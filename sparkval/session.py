@@ -1,0 +1,57 @@
+"""SparkSession factory with the engine's required configuration.
+
+Scale posture (designed for a 1000-executor cluster, tested on local[N]):
+- AQE on: runtime coalescing of small shuffle partitions and skew-join
+  splitting replace hand-tuned partition counts at 100 TB.
+- Arrow on: every Python-side kernel is a vectorized pandas UDF /
+  applyInPandas (the engine has NO per-row Python — north-rule
+  requirement); Arrow batch transfer is the boundary.
+- shuffle.partitions: a default for local runs; real deployments set it
+  (or rely on AQE advisory sizes) per cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "sparkval",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the validation engine.
+
+    ``parallelism`` sets local[N]; the scaling bench runs the identical
+    job at local[8] and local[32] to evidence the N->4N throughput
+    scaling criterion (BASELINE.json north_rule).
+    """
+    cpus = parallelism or DEFAULT_CPUS
+    shuffle = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARKVAL_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,64 @@
+"""Constraint-check tests — violation rows vs pandas-computed oracles.
+
+Mirrors the reference's golden discipline (reference_parity.rs): exact
+row sets, no tolerances, deterministic ordering.
+"""
+
+import pandas as pd
+
+from sparkval import constraints as C
+from sparkval import fixtures as fx
+
+
+def test_uniqueness_clean_corpus_has_no_violations(spark, corpus_pair):
+    base, _, _ = corpus_pair
+    assert C.uniqueness_violations(base).count() == 0
+
+
+def test_uniqueness_flags_each_duplicated_row(spark, corpus_pair):
+    _, snap, _ = corpus_pair
+    out = C.uniqueness_violations(snap).toPandas()
+    # 6 keys duplicated once each -> both copies flagged = 12 rows
+    assert len(out) == 12
+    assert set(out["check"]) == {"uniqueness"}
+    assert (out.groupby(["repo", "path", "commit"]).size() == 2).all()
+    assert set(out["detail"]) == {"key_count=2"}
+
+
+def test_referential_flags_dangling_commits(spark, corpus_pair):
+    _, snap, commits = corpus_pair
+    out = C.referential_violations(snap, commits).toPandas()
+    assert len(out) == 4
+    assert out["commit"].str.startswith("dead").all()
+
+
+def test_referential_clean(spark, corpus_pair):
+    base, _, commits = corpus_pair
+    assert C.referential_violations(base, commits).count() == 0
+
+
+def test_null_violations(spark):
+    pdf = fx.distort(fx.make_corpus("random_mid", 300), "nullify_10")
+    df = spark.createDataFrame(pdf)
+    out = C.null_violations(df).toPandas()
+    expected = int(pdf["content"].isna().sum())
+    assert expected > 0
+    assert len(out) == expected
+    assert (out["detail"] == "content").all()
+    assert out["content_sha256"].isna().all()
+
+
+def test_all_violations_union_and_order(spark, corpus_pair):
+    _, snap, commits = corpus_pair
+    out = C.all_violations(snap, commits).toPandas()
+    assert len(out) == 16
+    key = out[["check", "repo", "path", "commit"]].apply(tuple, axis=1).tolist()
+    assert key == sorted(key)
+
+
+def test_sha256_invariant_matches_hashlib(spark, corpus_pair):
+    import hashlib
+
+    base, _, _ = corpus_pair
+    row = base.select("content", C.content_sha256().alias("h")).first()
+    assert row["h"] == hashlib.sha256(row["content"].encode("utf-8")).hexdigest()
