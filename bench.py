@@ -1,0 +1,132 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" (per-query
+sec), "sf", ...extras}.
+
+Scaling evidence for the north rule (throughput efficiency >= 0.8
+from N to 4N parallelism) comes from running this same script at
+SPARK_GRAFT_CPUS=8 and =32 on identical input — see tools/scaling.py,
+results recorded in BENCH.md.
+
+Execution is forced through the noop sink (full computation, no
+driver collect costs skewing the numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from sparkval.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: benchmark subset of the entry queries: one per operator family
+HEADLINE = [
+    "uniqueness_lineitem",          # shuffle-heavy groupBy + join-back
+    "referential_orders_customer",  # broadcast anti-join
+    "column_stats_documents",       # partial+final agg
+    "score_stats_orders",           # fused max+pnorm reduction
+    "token_counts_documents",       # scan-speed projections
+    "lang_id_documents",            # expression-tree language ID
+    "ann_topk_embeddings",          # vectorized matmul topk
+    "cosine_near_dups_embeddings",  # LSH bucket join + exact verify
+    "drift_shifted_documents",      # full drift engine on documents
+]
+
+
+def force(df: DataFrame) -> int:
+    """Force full computation of every column through the noop sink."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def corpus_from_lineitem(spark, sf_dir: str) -> DataFrame:
+    """The big-throughput leg: lineitem rows reshaped into the corpus
+    schema (~600k 'files' at sf0.1) so the validation engine is
+    benchmarked at meaningful row counts with real shuffle pressure."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        F.concat(F.lit("r"), (F.col("l_suppkey") % 50).cast("string")).alias("repo"),
+        F.concat_ws("/", F.col("l_orderkey"), F.col("l_linenumber")).alias("path"),
+        F.sha2(F.concat_ws("#", "l_orderkey", "l_partkey"), 256).substr(1, 12).alias("commit"),
+        F.element_at(
+            F.array(F.lit("python"), F.lit("rust"), F.lit("go"), F.lit("js"), F.lit("c")),
+            (F.col("l_partkey") % 5 + 1).cast("int"),
+        ).alias("lang"),
+        F.repeat(
+            F.concat_ws(
+                " ",
+                "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate",
+            ),
+            8,
+        ).alias("content"),
+    )
+
+
+def bench_engine_throughput(spark, sf_dir: str) -> tuple[float, int]:
+    """End-to-end engine run (baseline build + validate) over the
+    lineitem-shaped corpus; returns (sec, files)."""
+    from sparkval import ValidationConfig, ValidationEngine
+
+    corpus = corpus_from_lineitem(spark, sf_dir)
+    n_files = corpus.count()
+    eng = ValidationEngine(ValidationConfig(short_circuit_identical=False))
+    t0 = time.perf_counter()
+    base = eng.build_baseline(corpus)
+    snap = corpus.withColumn("content", F.translate("content", "0123", "89AB"))
+    out = eng.validate(snap, base)
+    force(out["verdicts"])
+    force(out["violations"])
+    return time.perf_counter() - t0, n_files
+
+
+def main() -> None:
+    spark = get_spark("sparkval-bench", parallelism=CPUS, shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = E.queries()
+
+    # JVM warmup on a tiny query so startup cost isn't attributed to q1
+    force(spark.read.parquet(f"{SF_DIR}/region.parquet"))
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(queries[name](spark, SF_DIR))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    eng_sec, n_files = bench_engine_throughput(spark, SF_DIR)
+    per_query["engine_validate_lineitem_corpus"] = round(eng_sec, 3)
+
+    total = round(sum(per_query.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "validated files/sec + headline query wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf),
+                "parallelism": CPUS,
+                "engine_files": n_files,
+                "engine_files_per_sec": round(n_files / eng_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,7 @@ task parallelism); only the semantics carry over. See SURVEY.md.
 """
 
 from sparkval.config import ValidationConfig
+from sparkval.engine import ValidationEngine
 
-__all__ = ["ValidationConfig"]
+__all__ = ["ValidationConfig", "ValidationEngine"]
 __version__ = "0.1.0"

@@ -1,0 +1,103 @@
+"""CLI entry — the butteraugli-cli analog (main.rs:202-270, 536-622).
+
+Usage (spark-submit --py-files sparkval.zip cli.py ... in deployment;
+plain python locally):
+
+  python -m sparkval.cli build-baseline --corpus C.parquet --out B.parquet
+  python -m sparkval.cli validate --corpus SNAP.parquet --baseline B.parquet \
+      [--commits COMMITS.parquet] [--out-dir OUT] [--checkpoint CKPT] \
+      [--max-score 2.0] [--hf-asymmetry 1.0] [--single-resolution] [--json]
+
+Exit codes mirror the reference's --max-score contract
+(main.rs:232-259): 0 = all partitions below threshold, 2 = drift above
+threshold or violations found, 1 = error.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from sparkval.config import ValidationConfig
+from sparkval.engine import ValidationEngine
+from sparkval.session import get_spark
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--parallelism", type=int, default=None)
+    p.add_argument("--hf-asymmetry", type=float, default=1.0)
+    p.add_argument("--single-resolution", action="store_true")
+    p.add_argument("--json", action="store_true", help="one-line JSON output")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="sparkval")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-baseline")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--out", required=True)
+    _add_common(b)
+
+    v = sub.add_parser("validate")
+    v.add_argument("--corpus", required=True)
+    v.add_argument("--baseline", required=True)
+    v.add_argument("--commits", default=None)
+    v.add_argument("--out-dir", default=None)
+    v.add_argument("--checkpoint", default=None)
+    v.add_argument("--max-score", type=float, default=None)
+    _add_common(v)
+
+    args = ap.parse_args(argv)
+    config = ValidationConfig(
+        hf_asymmetry=args.hf_asymmetry, single_resolution=args.single_resolution
+    )
+    spark = get_spark("sparkval-cli", parallelism=args.parallelism)
+    engine = ValidationEngine(config)
+    t0 = time.time()
+
+    if args.cmd == "build-baseline":
+        corpus = spark.read.parquet(args.corpus)
+        engine.build_baseline(corpus).write.mode("overwrite").parquet(args.out)
+        if args.json:
+            print(json.dumps({"cmd": "build-baseline", "out": args.out,
+                              "elapsed_sec": time.time() - t0}))
+        return 0
+
+    corpus = spark.read.parquet(args.corpus)
+    baseline = spark.read.parquet(args.baseline)
+    commits = spark.read.parquet(args.commits) if args.commits else None
+
+    if args.checkpoint:
+        result = engine.validate_resumable(corpus, baseline, args.checkpoint, commits)
+    else:
+        result = engine.validate(corpus, baseline, commits)
+
+    if args.out_dir:
+        result["verdicts"].write.mode("overwrite").parquet(f"{args.out_dir}/verdicts")
+        result["violations"].write.mode("overwrite").parquet(f"{args.out_dir}/violations")
+
+    metrics = engine.run_metrics(result["verdicts"], result["violations"], t0)
+    if args.out_dir:
+        ValidationEngine.write_metrics(metrics, f"{args.out_dir}/metrics.json")
+    if args.json:
+        print(json.dumps(metrics, default=str))
+    else:
+        vc = metrics["verdict_counts"]
+        print(
+            f"partitions={metrics['partitions']} PASS={vc['PASS']} "
+            f"WARN={vc['WARN']} FAIL={vc['FAIL']} "
+            f"violations={sum(metrics['violations_by_check'].values())} "
+            f"files/sec={metrics['files_per_sec']:.0f}"
+        )
+
+    threshold = args.max_score if args.max_score is not None else config.bad_score
+    worst = metrics["score"]["max"] or 0.0
+    n_viol = sum(metrics["violations_by_check"].values())
+    return 2 if (worst >= threshold or n_viol > 0) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

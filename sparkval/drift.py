@@ -1,0 +1,153 @@
+"""Distribution-drift check: the butteraugli compare, Spark-side.
+
+Plan shape (designed for 10^12 files / 1000 executors):
+
+  snapshot corpus scan ──mapInPandas──> partial hists (tiny)
+        │ shuffle: (repo_bucket, lang, bin) rows only
+        ▼
+  per-partition hist table (~#buckets x #langs rows, ~3 KB each)
+        │ broadcast join with the baseline hist table
+        ▼
+  one grouped numpy kernel call per partition row  (mapInPandas)
+        ▼
+  verdict table (score, pnorm_3, verdict, driftmap)
+
+The expensive thing — the corpus scan — happens exactly once; the
+drift kernel itself runs on O(partitions) rows, never on file rows.
+The baseline side is the reference's ButteraugliReference
+(precompute.rs:127-152): computed once, persisted, broadcast to every
+comparison. Full-outer join semantics cover partitions that appear or
+vanish between snapshots (all mass appearing/disappearing = max
+drift, naturally).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from sparkval import kernels
+from sparkval.config import BYTE_BINS, LANG_VOCAB, LEN_BINS, ValidationConfig
+from sparkval.histograms import add_lang_hist, corpus_histograms
+
+VERDICT_PASS = "PASS"      # score < good  (reference README.md:50-62: imperceptible)
+VERDICT_WARN = "WARN"      # good <= score < bad
+VERDICT_FAIL = "FAIL"      # score >= bad  (clearly visible drift)
+
+_VERDICT_SCHEMA = T.StructType(
+    [
+        T.StructField("repo_bucket", T.IntegerType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("n_files_base", T.LongType(), False),
+        T.StructField("n_files_snap", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+        T.StructField("pnorm_3", T.DoubleType(), False),
+        T.StructField("verdict", T.StringType(), False),
+        T.StructField("low_confidence", T.BooleanType(), False),
+        T.StructField("driftmap", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def partition_histograms(corpus: DataFrame, config: ValidationConfig) -> DataFrame:
+    """Per-(repo_bucket, lang) hist table with the lang-mix channel."""
+    return add_lang_hist(corpus_histograms(corpus, config))
+
+
+def _vec(x, n: int) -> np.ndarray:
+    if x is None or (isinstance(x, float) and np.isnan(x)):
+        return np.zeros(n, dtype=np.float64)
+    return np.asarray(x, dtype=np.float64)
+
+
+def drift_verdicts(
+    base_hists: DataFrame, snap_hists: DataFrame, config: ValidationConfig
+) -> DataFrame:
+    """Join baseline x snapshot hist tables and score each partition.
+
+    The baseline table is tiny (partitions, not files) -> broadcast.
+    Full-outer join so appearing/vanishing partitions still get rows.
+    """
+    config.validate()
+    keys = ["repo_bucket", "lang"]
+    b = base_hists.select(
+        *keys,
+        F.col("n_files").alias("b_n_files"),
+        F.col("byte_hist").alias("b_byte"),
+        F.col("len_hist").alias("b_len"),
+        F.col("lang_hist").alias("b_lang"),
+    )
+    s = snap_hists.select(
+        *keys,
+        F.col("n_files").alias("s_n_files"),
+        F.col("byte_hist").alias("s_byte"),
+        F.col("len_hist").alias("s_len"),
+        F.col("lang_hist").alias("s_lang"),
+    )
+    # full-outer keeps appearing/vanishing partitions; broadcast hints
+    # are unsupported for full-outer joins, but both sides are
+    # partition-level tiny (O(buckets x langs) rows) so the shuffle is
+    # negligible regardless of corpus size.
+    joined = s.join(b, on=keys, how="full_outer")
+
+    hf_asym = config.hf_asymmetry
+    single_res = config.single_resolution
+    keep_map = config.compute_driftmap
+    good, bad = config.good_score, config.bad_score
+    min_rows = config.min_partition_rows
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                base = {
+                    "byte": _vec(row.b_byte, BYTE_BINS),
+                    "len": _vec(row.b_len, LEN_BINS),
+                    "lang": _vec(row.b_lang, len(LANG_VOCAB)),
+                }
+                snap = {
+                    "byte": _vec(row.s_byte, BYTE_BINS),
+                    "len": _vec(row.s_len, LEN_BINS),
+                    "lang": _vec(row.s_lang, len(LANG_VOCAB)),
+                }
+                score, pnorm3, dm = kernels.drift_score(
+                    base, snap, hf_asymmetry=hf_asym, single_resolution=single_res
+                )
+                n_b = int(row.b_n_files) if pd.notna(row.b_n_files) else 0
+                n_s = int(row.s_n_files) if pd.notna(row.s_n_files) else 0
+                verdict = (
+                    VERDICT_PASS if score < good else VERDICT_WARN if score < bad else VERDICT_FAIL
+                )
+                out.append(
+                    {
+                        "repo_bucket": int(row.repo_bucket),
+                        "lang": row.lang,
+                        "n_files_base": n_b,
+                        "n_files_snap": n_s,
+                        "score": score,
+                        "pnorm_3": pnorm3,
+                        "verdict": verdict,
+                        # tiny-partition analog of reflect-padding
+                        # (lib.rs:209-227): score stands, flag stands out
+                        "low_confidence": min(n_b, n_s) < min_rows,
+                        "driftmap": dm if keep_map else None,
+                    }
+                )
+            yield pd.DataFrame(out) if out else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in _VERDICT_SCHEMA.fields}
+            )
+
+    return joined.mapInPandas(score_batches, _VERDICT_SCHEMA)
+
+
+def drift_check(
+    base_corpus_hists: DataFrame, snapshot: DataFrame, config: ValidationConfig
+) -> DataFrame:
+    """One-call drift check: snapshot corpus + precomputed baseline hists."""
+    snap_hists = partition_histograms(snapshot, config)
+    return drift_verdicts(base_corpus_hists, snap_hists, config)

