@@ -184,6 +184,29 @@ def q_cosine_near_dups_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
 # Drift check (sparkval.drift) — non-SQL-expressible; rows-only oracle
 # ---------------------------------------------------------------------------
 
+def q_verdict_set_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-comparison operator (SURVEY §2.8: exceptAll both directions
+    = the exact-match rate check): two independent formulations of the
+    duplicate-key set must agree exactly — symmetric difference empty."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+    w = Window.partitionBy("l_orderkey", "l_linenumber")
+    b = (
+        li.withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .filter(F.col("dup_count") > 1)
+        .select("l_orderkey", "l_linenumber", "dup_count")
+        .distinct()
+    )
+    diff = a.exceptAll(b).unionByName(b.exceptAll(a))
+    return diff.agg(F.count(F.lit(1)).alias("n_mismatched"))
+
+
 def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -234,6 +257,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_documents": q_fingerprint_documents,
     "exact_dup_groups_documents": q_exact_dup_groups_documents,
     "lang_id_documents": q_lang_id_documents,
+    "verdict_set_compare": q_verdict_set_compare,
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
     "drift_identity_documents": q_drift_identity_documents,
@@ -296,6 +320,23 @@ ORACLE_SQL: dict[str, str] = {
     "exact_dup_groups_documents": """
         SELECT sha256(text) AS fp, count(*) AS n_dups
         FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+    "verdict_set_compare": """
+        WITH a AS (
+            SELECT l_orderkey, l_linenumber, count(*) AS dup_count
+            FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+        ), b AS (
+            SELECT DISTINCT l_orderkey, l_linenumber, dup_count FROM (
+                SELECT l_orderkey, l_linenumber,
+                       count(*) OVER (PARTITION BY l_orderkey, l_linenumber) AS dup_count
+                FROM lineitem
+            ) WHERE dup_count > 1
+        )
+        SELECT count(*) AS n_mismatched FROM (
+            (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+            UNION ALL
+            (SELECT * FROM b EXCEPT ALL SELECT * FROM a)
+        )
     """,
     "ann_topk_embeddings": """
         WITH q AS (

@@ -24,46 +24,93 @@ from sparkval.drift import partition_histograms
 from sparkval.histograms import repo_bucket_py
 
 
-def partition_fingerprints(corpus: DataFrame, config: ValidationConfig) -> DataFrame:
-    """Order-insensitive per-(repo_bucket, lang) content fingerprint.
-
-    bit_xor(xxhash64(content)) — commutative/associative (so it
-    partial-aggregates map-side and is partitioning-invariant) and
-    overflow-free under ANSI mode. XOR cancels identical pairs, so the
-    row count travels with it: any add/remove that XOR misses moves
-    fp_n_files.
-    """
-    from sparkval.histograms import _lang_norm  # noqa: F401 (same normalization)
-
-    lang = F.lower(F.coalesce(F.col("lang"), F.lit("other")))
-    from sparkval.config import LANG_VOCAB
-
-    lang = F.when(lang.isin(LANG_VOCAB), lang).otherwise(F.lit("other"))
-    bucket = _bucket_col(config.n_repo_buckets)
-    # the hash covers (lang, content): a lang relabel with unchanged
-    # content must still move the fingerprint, because the lang-mix
-    # drift channel is bucket-wide (see ValidationEngine short-circuit)
-    return (
-        corpus.select(
-            bucket.alias("repo_bucket"),
-            lang.alias("lang"),
-            F.xxhash64(lang, F.coalesce(F.col("content"), F.lit("\\x00NULL"))).alias("h"),
-        )
-        .groupBy("repo_bucket", "lang")
-        .agg(F.bit_xor("h").alias("fingerprint"), F.count(F.lit(1)).alias("fp_n_files"))
-    )
-
-
 def _bucket_col(n_buckets: int) -> F.Column:
     """JVM-side crc32-based bucket, bit-equal to histograms.repo_bucket_py."""
     return F.pmod(F.crc32(F.col("repo").cast("binary")), F.lit(n_buckets)).cast("int")
 
 
-def build_baseline(corpus: DataFrame, config: ValidationConfig) -> DataFrame:
-    """Histograms + fingerprints for a trusted snapshot."""
+def build_baseline(
+    corpus: DataFrame, config: ValidationConfig, precompute_bands: bool = True
+) -> DataFrame:
+    """Per-partition histograms for a trusted snapshot.
+
+    The content fingerprint (xor of per-row blake2b over (lang,
+    content) — see histograms._row_fingerprint) rides along inside the
+    histogram pass, so the baseline build is exactly ONE corpus scan.
+
+    ``precompute_bands`` additionally stores the decomposed DoG bands
+    per channel (the ButteraugliReference warm path,
+    precompute.rs:127-152): validate-time comparisons then skip the
+    baseline-side decomposition entirely. Bit-identical results either
+    way (tested); the flag only trades baseline size for compare cost.
+    """
     hists = partition_histograms(corpus, config)
-    fps = partition_fingerprints(corpus, config)
-    return hists.join(fps, ["repo_bucket", "lang"], "left")
+    if precompute_bands:
+        hists = with_precomputed_bands(hists, config)
+    return hists
+
+
+_PRE_COLS = ("pre_byte", "pre_len", "pre_lang")
+
+
+def with_precomputed_bands(hists: DataFrame, config: ValidationConfig) -> DataFrame:
+    """Add packed precomputed band columns to a hist table (tiny:
+    O(buckets x langs) rows — one vectorized pass, no corpus access)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sparkval import kernels
+
+    single_res = config.single_resolution
+    schema = T.StructType(
+        list(hists.schema.fields)
+        + [T.StructField(c, T.ArrayType(T.DoubleType()), True) for c in _PRE_COLS]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            packed = {c: [] for c in _PRE_COLS}
+            for _, row in pdf.iterrows():
+                for col, src in (("pre_byte", "byte_hist"), ("pre_len", "len_hist"),
+                                 ("pre_lang", "lang_hist")):
+                    ch = col[4:]
+                    pre = kernels.precompute_channel_bands(
+                        np.asarray(row[src], dtype=np.float64), ch,
+                        single_resolution=single_res,
+                    )
+                    packed[col].append(kernels.pack_bands(pre))
+            out = pdf.copy()
+            for c in _PRE_COLS:
+                out[c] = packed[c]
+            yield out
+
+    return hists.mapInPandas(gen, schema)
+
+
+def estimated_baseline_bytes(
+    config: ValidationConfig, n_langs: int = 9, precompute_bands: bool = True
+) -> int:
+    """Upper-bound memory/disk estimate for a baseline table — the
+    analog of ButteraugliReference::estimated_reference_bytes
+    (precompute.rs:733-824). Lets callers size broadcast thresholds
+    before building: rows = buckets x langs; per row = histograms
+    (256+64 longs) + lang_hist (9 doubles) + packed bands
+    (4x(n + n/2) doubles per channel) + scalars.
+    """
+    from sparkval.config import BYTE_BINS, LEN_BINS
+
+    per_row = 8 * (BYTE_BINS + LEN_BINS + n_langs + 8)  # hists + scalars
+    if precompute_bands:
+        for n in (BYTE_BINS, LEN_BINS, n_langs):
+            full = 4 * n
+            half = 4 * (n // 2) if n >= 16 else 0
+            per_row += 8 * (full + half)
+    return config.n_repo_buckets * n_langs * per_row
 
 
 def save_baseline(baseline: DataFrame, path: str) -> None:

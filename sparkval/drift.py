@@ -75,12 +75,19 @@ def drift_verdicts(
     """
     config.validate()
     keys = ["repo_bucket", "lang"]
+    has_pre = "pre_byte" in base_hists.columns
+    pre_cols = (
+        [F.col(f"pre_{ch}").alias(f"b_pre_{ch}") for ch in ("byte", "len", "lang")]
+        if has_pre
+        else []
+    )
     b = base_hists.select(
         *keys,
         F.col("n_files").alias("b_n_files"),
         F.col("byte_hist").alias("b_byte"),
         F.col("len_hist").alias("b_len"),
         F.col("lang_hist").alias("b_lang"),
+        *pre_cols,
     )
     s = snap_hists.select(
         *keys,
@@ -115,8 +122,16 @@ def drift_verdicts(
                     "len": _vec(row.s_len, LEN_BINS),
                     "lang": _vec(row.s_lang, len(LANG_VOCAB)),
                 }
+                pre = None
+                if has_pre and row.b_pre_byte is not None:
+                    pre = {
+                        ch: kernels.unpack_bands(getattr(row, f"b_pre_{ch}"), n)
+                        for ch, n in (("byte", BYTE_BINS), ("len", LEN_BINS),
+                                      ("lang", len(LANG_VOCAB)))
+                    }
                 score, pnorm3, dm = kernels.drift_score(
-                    base, snap, hf_asymmetry=hf_asym, single_resolution=single_res
+                    base, snap, hf_asymmetry=hf_asym, single_resolution=single_res,
+                    precomputed=pre,
                 )
                 n_b = int(row.b_n_files) if pd.notna(row.b_n_files) else 0
                 n_s = int(row.s_n_files) if pd.notna(row.s_n_files) else 0
@@ -151,3 +166,44 @@ def drift_check(
     """One-call drift check: snapshot corpus + precomputed baseline hists."""
     snap_hists = partition_histograms(snapshot, config)
     return drift_verdicts(base_corpus_hists, snap_hists, config)
+
+
+#: bin-address boundaries of the concatenated driftmap
+#: [byte(256) | len(64) | lang(9)] (kernels.drift_score contract)
+_CHANNEL_OFFSETS = (("byte", 0, BYTE_BINS), ("len", BYTE_BINS, LEN_BINS),
+                    ("lang", BYTE_BINS + LEN_BINS, len(LANG_VOCAB)))
+
+
+def driftmap_violations(verdicts: DataFrame, threshold: float) -> DataFrame:
+    """Explode per-bin driftmaps into addressable violation rows — the
+    diffmap-heatmap sink of the reference (butteraugli-cli
+    main.rs:461-519) as a relational output: one row per (partition,
+    channel, bin) whose drift exceeds ``threshold``.
+
+    Requires verdicts computed with compute_driftmap=True. Built-ins
+    only: posexplode + a channel-decoding CASE; the output is tiny
+    (only offending bins survive the filter).
+    """
+    exploded = (
+        verdicts.filter(F.col("driftmap").isNotNull())
+        .select("repo_bucket", "lang", "score",
+                F.posexplode("driftmap").alias("bin", "drift"))
+        .filter(F.col("drift") >= threshold)
+    )
+    channel = (
+        F.when(F.col("bin") < _CHANNEL_OFFSETS[1][1], F.lit("byte"))
+        .when(F.col("bin") < _CHANNEL_OFFSETS[2][1], F.lit("len"))
+        .otherwise(F.lit("lang"))
+    )
+    local_bin = (
+        F.when(F.col("bin") < _CHANNEL_OFFSETS[1][1], F.col("bin"))
+        .when(F.col("bin") < _CHANNEL_OFFSETS[2][1], F.col("bin") - _CHANNEL_OFFSETS[1][1])
+        .otherwise(F.col("bin") - _CHANNEL_OFFSETS[2][1])
+    )
+    return exploded.select(
+        "repo_bucket", "lang",
+        channel.alias("channel"),
+        local_bin.alias("channel_bin"),
+        F.round("drift", 9).alias("drift"),
+        F.round("score", 9).alias("partition_score"),
+    ).orderBy("repo_bucket", "lang", "channel", "channel_bin")

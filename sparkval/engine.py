@@ -23,7 +23,7 @@ from dataclasses import asdict
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sparkval import constraints
-from sparkval.baseline import build_baseline, partition_fingerprints
+from sparkval.baseline import build_baseline
 from sparkval.config import ValidationConfig
 from sparkval.drift import drift_verdicts, partition_histograms
 from sparkval.schema import check_corpus_schema
@@ -35,9 +35,9 @@ class ValidationEngine:
         self.config.validate()
 
     # -- baseline ----------------------------------------------------------
-    def build_baseline(self, corpus: DataFrame) -> DataFrame:
+    def build_baseline(self, corpus: DataFrame, precompute_bands: bool = True) -> DataFrame:
         check_corpus_schema(corpus)
-        return build_baseline(corpus, self.config)
+        return build_baseline(corpus, self.config, precompute_bands=precompute_bands)
 
     # -- one-shot validation ------------------------------------------------
     def validate(
@@ -54,23 +54,29 @@ class ValidationEngine:
 
         snap_hists = partition_histograms(snapshot, cfg)
         if cfg.short_circuit_identical and "fingerprint" in baseline.columns:
-            snap_fps = partition_fingerprints(snapshot, cfg)
-            snap_hists = snap_hists.join(snap_fps, ["repo_bucket", "lang"], "left")
+            # both hist tables are referenced by several branches below
+            # (same/changed/bucket fingerprints/drift join); they are
+            # O(buckets x langs) rows, so cache them rather than let
+            # each branch re-run the corpus-scan lineage
+            snap_hists = snap_hists.persist()
+            baseline = baseline.persist()
             # identical partitions score 0 by definition (diff.rs:766-772)
             # and skip the kernel — but ONLY if the enclosing bucket is
             # also unchanged: the lang-mix channel is bucket-wide, so a
             # lang relabel elsewhere in the bucket changes this
             # partition's true score even when its own contents match.
             # XOR of disjoint partition fingerprints = bucket fingerprint.
-            def _bucket_fp(fps):
-                return fps.groupBy("repo_bucket").agg(
+            # Fingerprints ride inside the histogram tables: zero extra
+            # corpus scans.
+            def _bucket_fp(hists):
+                return hists.groupBy("repo_bucket").agg(
                     F.bit_xor("fingerprint").alias("bucket_fp"),
-                    F.sum("fp_n_files").alias("bucket_n"),
+                    F.sum("n_files").alias("bucket_n"),
                 )
 
-            snap_bfp = _bucket_fp(snap_fps)
+            snap_bfp = _bucket_fp(snap_hists)
             base_bfp = _bucket_fp(
-                baseline.select("repo_bucket", "fingerprint", "fp_n_files")
+                baseline.select("repo_bucket", "fingerprint", "n_files")
             ).select(
                 "repo_bucket",
                 F.col("bucket_fp").alias("b_bucket_fp"),
@@ -82,7 +88,7 @@ class ValidationEngine:
                         baseline.select(
                             "repo_bucket", "lang",
                             F.col("fingerprint").alias("b_fp"),
-                            F.col("fp_n_files").alias("b_fp_n"),
+                            F.col("n_files").alias("b_fp_n"),
                         )
                     ),
                     ["repo_bucket", "lang"],
@@ -91,7 +97,7 @@ class ValidationEngine:
                 .join(F.broadcast(base_bfp), "repo_bucket")
                 .filter(
                     (F.col("fingerprint") == F.col("b_fp"))
-                    & (F.col("fp_n_files") == F.col("b_fp_n"))
+                    & (F.col("n_files") == F.col("b_fp_n"))
                     & (F.col("bucket_fp") == F.col("b_bucket_fp"))
                     & (F.col("bucket_n") == F.col("b_bucket_n"))
                 )

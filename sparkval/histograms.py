@@ -45,8 +45,25 @@ PARTIAL_SCHEMA = T.StructType(
         T.StructField("total_bytes", T.LongType(), False),
         T.StructField("byte_hist", T.ArrayType(T.LongType()), False),
         T.StructField("len_hist", T.ArrayType(T.LongType()), False),
+        # xor-of-row-hashes content fingerprint (order-insensitive,
+        # partition-invariant); rides along so the identical-input
+        # short-circuit (diff.rs:766-772) costs zero extra scans
+        T.StructField("fingerprint", T.LongType(), False),
     ]
 )
+
+
+def _row_fingerprint(lang: str, content) -> int:
+    """64-bit per-row hash over (lang, content). Includes lang because
+    the lang-mix drift channel is bucket-wide: a relabel with unchanged
+    content must still move the fingerprint."""
+    import hashlib
+
+    payload = (lang + "\x00" + (content if content is not None else "\x00NULL")).encode(
+        "utf-8", "replace"
+    )
+    h = hashlib.blake2b(payload, digest_size=8).digest()
+    return int.from_bytes(h, "little", signed=True)
 
 
 def repo_bucket_py(repo: str, n_buckets: int) -> int:
@@ -83,19 +100,25 @@ def partial_histograms(corpus: DataFrame, config: ValidationConfig) -> DataFrame
                 content = grp["content"]
                 nulls = int(content.isna().sum())
                 present = content.dropna()
+                fp = 0
+                for c in content:
+                    fp ^= _row_fingerprint(lg, c)
                 if len(present):
                     blob = np.frombuffer(
                         "\x00".join(present.tolist()).encode("utf-8", "replace"),
                         dtype=np.uint8,
                     )
+                    # np.add.at instead of np.bincount: bincount's
+                    # first large call pays a multi-second lazy-dispatch
+                    # cost in this environment; add.at is equivalent
+                    # here (fixed 256-bin alphabet) and consistently fast
+                    bh = np.zeros(BYTE_BINS, dtype=np.int64)
+                    np.add.at(bh, blob, 1)
                     # strip the join separators from the counts
-                    bh = np.bincount(blob, minlength=BYTE_BINS).astype(np.int64)
                     bh[0] -= len(present) - 1
                     lens = present.str.len().to_numpy(dtype=np.int64)
-                    lh = np.bincount(
-                        np.clip(np.log2(lens + 1).astype(np.int64), 0, LEN_BINS - 1),
-                        minlength=LEN_BINS,
-                    ).astype(np.int64)
+                    lh = np.zeros(LEN_BINS, dtype=np.int64)
+                    np.add.at(lh, np.clip(np.log2(lens + 1).astype(np.int64), 0, LEN_BINS - 1), 1)
                     total = int(lens.sum())
                 else:
                     bh = np.zeros(BYTE_BINS, dtype=np.int64)
@@ -110,6 +133,7 @@ def partial_histograms(corpus: DataFrame, config: ValidationConfig) -> DataFrame
                         "total_bytes": total,
                         "byte_hist": bh,
                         "len_hist": lh,
+                        "fingerprint": fp,
                     }
                 )
             yield pd.DataFrame(out)
@@ -117,33 +141,55 @@ def partial_histograms(corpus: DataFrame, config: ValidationConfig) -> DataFrame
     return corpus.select("repo", "lang", "content").mapInPandas(gen, PARTIAL_SCHEMA)
 
 
-def _vector_sum(df: DataFrame, keys: list[str], col: str, n_bins: int) -> DataFrame:
-    """Element-wise array sum per key via built-ins (no Python).
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """numpy merge of partial rows sharing one (repo_bucket, lang):
+    scalar sums, xor of fingerprints, elementwise vector sums."""
+    fp = 0
+    for f in pdf["fingerprint"]:
+        fp ^= int(f)
+    return pd.DataFrame(
+        [
+            {
+                "repo_bucket": int(pdf["repo_bucket"].iloc[0]),
+                "lang": pdf["lang"].iloc[0],
+                "n_files": int(pdf["n_files"].sum()),
+                "n_null_content": int(pdf["n_null_content"].sum()),
+                "total_bytes": int(pdf["total_bytes"].sum()),
+                "byte_hist": np.sum(np.stack(pdf["byte_hist"].to_numpy()), axis=0),
+                "len_hist": np.sum(np.stack(pdf["len_hist"].to_numpy()), axis=0),
+                "fingerprint": fp,
+            }
+        ]
+    )
 
-    posexplode -> hash-agg on (keys, bin) with map-side partial sums
-    -> reassemble ordered array. Bin cardinality is fixed and uniform:
-    skew-free by construction.
+
+def merge_histograms(partials: DataFrame, salt_levels: int = 0) -> DataFrame:
+    """Final per-(repo_bucket, lang) histogram table.
+
+    One applyInPandas grouped merge (vector sums are a numpy stack-sum;
+    xor/sum are associative, so any grouping order gives identical
+    results). Versus a posexplode + per-bin hash-agg formulation this
+    is ~5x fewer stages — partials are tiny (tasks x keys rows), so
+    stage-scheduling overhead, not data volume, dominates the merge.
+
+    ``salt_levels`` > 0 inserts a pre-merge on (key, task-salt) to
+    bound per-group row counts when the map side produced millions of
+    partials (the 100 TB case: 100k tasks x 144 keys -> cap each final
+    group at salt_levels pre-merged rows).
     """
-    exploded = df.select(*keys, F.posexplode(col).alias("bin", "cnt"))
-    summed = exploded.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
-    return summed.groupBy(*keys).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("bin", "cnt"))), lambda s: s["cnt"]
-        ).alias(col)
-    )
-
-
-def merge_histograms(partials: DataFrame) -> DataFrame:
-    """Final per-(repo_bucket, lang) histogram table."""
     keys = ["repo_bucket", "lang"]
-    scalars = partials.groupBy(*keys).agg(
-        F.sum("n_files").alias("n_files"),
-        F.sum("n_null_content").alias("n_null_content"),
-        F.sum("total_bytes").alias("total_bytes"),
-    )
-    bytes_ = _vector_sum(partials, keys, "byte_hist", BYTE_BINS)
-    lens = _vector_sum(partials, keys, "len_hist", LEN_BINS)
-    return scalars.join(bytes_, keys).join(lens, keys)
+    merged = partials
+    if salt_levels > 0:
+        salted = partials.withColumn(
+            "_salt", F.pmod(F.spark_partition_id(), F.lit(salt_levels))
+        )
+        merged = (
+            salted.groupBy(*keys, "_salt")
+            .applyInPandas(
+                lambda pdf: _merge_group(pdf.drop(columns=["_salt"])), PARTIAL_SCHEMA
+            )
+        )
+    return merged.groupBy(*keys).applyInPandas(_merge_group, PARTIAL_SCHEMA)
 
 
 def corpus_histograms(corpus: DataFrame, config: ValidationConfig) -> DataFrame:
@@ -152,29 +198,26 @@ def corpus_histograms(corpus: DataFrame, config: ValidationConfig) -> DataFrame:
 
 
 def add_lang_hist(hists: DataFrame) -> DataFrame:
-    """Per-bucket lang-mix vector (LANG_VOCAB order) joined back on.
+    """Per-bucket lang-mix vector (LANG_VOCAB order) attached to every
+    row of the bucket.
 
-    A window-free two-step: per-bucket totals are tiny (#buckets rows),
-    broadcast back onto the per-(bucket, lang) rows.
+    One grouped-map over the (tiny) merged hist table — deliberately
+    NOT a self-join of per-bucket totals back onto the rows: that
+    diamond would make Spark evaluate the expensive upstream
+    scan+partials lineage twice (once for the broadcast side, once for
+    the probe side).
     """
-    per_bucket = (
-        hists.groupBy("repo_bucket")
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("lang", "n_files"))).alias("m"),
-        )
-        .select(
-            "repo_bucket",
-            F.array(
-                *[F.coalesce(F.col("m").getItem(l), F.lit(0)).cast("double") for l in LANG_VOCAB]
-            ).alias("lang_hist_raw"),
-        )
-        .select(
-            "repo_bucket",
-            F.transform(
-                "lang_hist_raw",
-                lambda v: v
-                / F.greatest(F.aggregate("lang_hist_raw", F.lit(0.0), lambda a, x: a + x), F.lit(1.0)),
-            ).alias("lang_hist"),
-        )
+    schema = T.StructType(
+        list(hists.schema.fields)
+        + [T.StructField("lang_hist", T.ArrayType(T.DoubleType()), False)]
     )
-    return hists.join(F.broadcast(per_bucket), "repo_bucket")
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts = dict(zip(pdf["lang"], pdf["n_files"]))
+        raw = np.array([float(counts.get(l, 0)) for l in LANG_VOCAB])
+        vec = raw / max(raw.sum(), 1.0)
+        out = pdf.copy()
+        out["lang_hist"] = [vec] * len(pdf)
+        return out
+
+    return hists.groupBy("repo_bucket").applyInPandas(gen, schema)

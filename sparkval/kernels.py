@@ -89,6 +89,10 @@ WMUL = np.array([
 ASYM_LOW = 0.4
 ASYM_W = 0.8
 
+# Cross-channel suppression (psycho.rs:192-207, consts.rs:106-108)
+SUPPRESS_XY = 46.0
+SUPPRESS_S = 0.653020556257
+
 # Masking curve (consts.rs:128-151)
 MASK_MUL = 6.19424080439
 MASK_BIAS = 12.61050594197
@@ -295,6 +299,17 @@ def l2_diff(a: np.ndarray, b: np.ndarray, w: float) -> np.ndarray:
     return w * (a - b) ** 2
 
 
+def suppress_x_by_y(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Attenuate x where y is large (psycho.rs:192-207):
+    x *= s + (1-s)*yw/(y^2+yw). In the recast: secondary-channel drift
+    (lang / len) is partially masked where the primary byte-frequency
+    drift already dominates at the same relative position — the same
+    chroma-suppressed-by-luma semantics."""
+    yw = SUPPRESS_XY
+    scaler = SUPPRESS_S + (1.0 - SUPPRESS_S) * yw / (y * y + yw)
+    return x * scaler
+
+
 def l2_diff_asymmetric(a: np.ndarray, b: np.ndarray, w: float, asym: float) -> np.ndarray:
     """Blur-vs-artifact asymmetry (diff.rs:184-225 recast per the
     north rule): band mass APPEARING in the snapshot that the baseline
@@ -361,20 +376,68 @@ def normalize_hist(counts: np.ndarray) -> np.ndarray:
     return c / total * len(c) * INTENSITY_MID / 1.0
 
 
+def precompute_channel_bands(c0: np.ndarray, channel: str,
+                             single_resolution: bool = False) -> dict:
+    """Reference-side precompute (ButteraugliReference,
+    precompute.rs:127-152): decompose the baseline once, reuse across
+    every snapshot comparison. Returns {'full': bands, 'half': bands?}
+    with bands exactly as separate_frequencies produces them, so the
+    warm path is bit-identical to the cold path."""
+    spec = CHANNELS[channel]
+    c0 = np.asarray(c0, dtype=np.float64)
+    out = {"full": separate_frequencies(opsin_dynamics(normalize_hist(c0)),
+                                        full_bands=spec["full"])}
+    if not single_resolution and len(c0) >= 16:
+        ch = downsample_2x(c0)
+        out["half"] = separate_frequencies(opsin_dynamics(normalize_hist(ch)),
+                                           full_bands=spec["full"])
+    return out
+
+
+_BAND_ORDER = ("lf", "mf", "hf", "uhf")
+
+
+def pack_bands(pre: dict) -> np.ndarray:
+    """Flatten precomputed bands to one vector for an ArrayType column:
+    [4 x n full bands | 4 x n/2 half bands (if present)]."""
+    parts = [pre["full"][b] for b in _BAND_ORDER]
+    if "half" in pre:
+        parts += [pre["half"][b] for b in _BAND_ORDER]
+    return np.concatenate(parts)
+
+
+def unpack_bands(flat: np.ndarray, n_bins: int) -> dict:
+    """Inverse of pack_bands."""
+    flat = np.asarray(flat, dtype=np.float64)
+    full = {b: flat[i * n_bins:(i + 1) * n_bins] for i, b in enumerate(_BAND_ORDER)}
+    out = {"full": full}
+    rest = flat[4 * n_bins:]
+    if rest.size:
+        nh = rest.size // 4
+        out["half"] = {b: rest[i * nh:(i + 1) * nh] for i, b in enumerate(_BAND_ORDER)}
+    return out
+
+
 def channel_driftmap(c0: np.ndarray, c1: np.ndarray, channel: str,
-                     hf_asymmetry: float = 1.0) -> np.ndarray:
+                     hf_asymmetry: float = 1.0,
+                     pre_b0: dict[str, np.ndarray] | None = None) -> np.ndarray:
     """Single-resolution drift map for one distribution family
     (the recast of compute_diffmap_single_resolution_linear,
-    diff.rs:627-658)."""
+    diff.rs:627-658). ``pre_b0`` supplies precomputed baseline bands
+    (the warm path, compute_diffmap_with_precomputed,
+    precompute.rs:1235+) — results are bit-identical either way."""
     spec = CHANNELS[channel]
-    v0 = opsin_dynamics(normalize_hist(c0))
     v1 = opsin_dynamics(normalize_hist(c1))
-    b0 = separate_frequencies(v0, full_bands=spec["full"])
+    if pre_b0 is None:
+        v0 = opsin_dynamics(normalize_hist(c0))
+        b0 = separate_frequencies(v0, full_bands=spec["full"])
+    else:
+        b0 = pre_b0
     b1 = separate_frequencies(v1, full_bands=spec["full"])
 
     mask_ac, mask_dc = compute_mask(b0, b1)
 
-    ac = np.zeros_like(v0)
+    ac = np.zeros_like(v1)
     if spec["full"]:
         ac += malta_diff_1d(b0["uhf"], b1["uhf"], W_UHF_MALTA * spec["w_malta_uhf"],
                             NORM1_UHF, use_lf=False)
@@ -409,14 +472,20 @@ def add_supersampled_2x(full: np.ndarray, coarse: np.ndarray,
 
 def channel_driftmap_multires(c0: np.ndarray, c1: np.ndarray, channel: str,
                               hf_asymmetry: float = 1.0,
-                              single_resolution: bool = False) -> np.ndarray:
+                              single_resolution: bool = False,
+                              pre: dict | None = None) -> np.ndarray:
     """Full + half-resolution pass (diff.rs:666-695). The half-res
     pass is skipped for vectors under 16 bins (the >=15px gate,
-    diff.rs:673) or when single_resolution is set (lib.rs:466-481)."""
-    full = channel_driftmap(c0, c1, channel, hf_asymmetry)
+    diff.rs:673) or when single_resolution is set (lib.rs:466-481).
+    ``pre`` is the precompute_channel_bands output for the warm path."""
+    full = channel_driftmap(c0, c1, channel, hf_asymmetry,
+                            pre_b0=pre["full"] if pre else None)
     if single_resolution or len(c0) < 16:
         return full
-    coarse = channel_driftmap(downsample_2x(c0), downsample_2x(c1), channel, hf_asymmetry)
+    coarse = channel_driftmap(
+        downsample_2x(c0), downsample_2x(c1), channel, hf_asymmetry,
+        pre_b0=pre.get("half") if pre else None,
+    )
     return add_supersampled_2x(full, coarse)
 
 
@@ -437,6 +506,7 @@ def drift_score(
     snap: dict[str, np.ndarray],
     hf_asymmetry: float = 1.0,
     single_resolution: bool = False,
+    precomputed: dict[str, dict] | None = None,
 ) -> tuple[float, float, np.ndarray]:
     """Top-level drift query for one partition: three distribution
     families in, (score, pnorm_3, driftmap) out — the recast of
@@ -446,17 +516,24 @@ def drift_score(
     The returned driftmap concatenates the per-family maps
     [byte(256) | len(64) | lang(9)] so violation bins are addressable.
     """
-    maps = []
+    maps = {}
     for ch in ("byte", "len", "lang"):
-        maps.append(
-            channel_driftmap_multires(
-                np.asarray(base[ch], dtype=np.float64),
-                np.asarray(snap[ch], dtype=np.float64),
-                ch,
-                hf_asymmetry=hf_asymmetry,
-                single_resolution=single_resolution,
-            )
+        maps[ch] = channel_driftmap_multires(
+            np.asarray(base[ch], dtype=np.float64),
+            np.asarray(snap[ch], dtype=np.float64),
+            ch,
+            hf_asymmetry=hf_asymmetry,
+            single_resolution=single_resolution,
+            pre=(precomputed or {}).get(ch),
         )
-    dm = np.concatenate(maps) * DRIFT_OUTPUT_SCALE
+    # cross-channel suppression (psycho.rs:192-207): the secondary
+    # channels are attenuated where the byte channel already drifts at
+    # the same relative position (resampled onto each channel's axis)
+    byte_dm = maps["byte"]
+    for ch in ("len", "lang"):
+        n = len(maps[ch])
+        idx = (np.arange(n) * len(byte_dm)) // max(n, 1)
+        maps[ch] = suppress_x_by_y(maps[ch], byte_dm[idx])
+    dm = np.concatenate([maps["byte"], maps["len"], maps["lang"]]) * DRIFT_OUTPUT_SCALE
     score, pnorm3 = score_from_driftmap(dm)
     return score, pnorm3, dm

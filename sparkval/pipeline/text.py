@@ -56,22 +56,22 @@ def with_lang_id(df: DataFrame, col: str = "text") -> DataFrame:
     one codegen'd expression (no UDF): tag each language's hit count,
     take the struct-max (count, then language for tie-break stability).
     """
-    toks = F.split(F.lower(F.col(col)), _WORD_SPLIT)
+    # materialize the token array once so codegen doesn't inline the
+    # split into every per-language count expression
+    tokenized = df.withColumn("_toks", F.split(F.lower(F.col(col)), _WORD_SPLIT))
     scored = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         if lang == "zh":
-            # zh markers are single chars, not whitespace-delimited
-            cnt = sum(
-                (F.length(col) - F.length(F.regexp_replace(col, m, "")))
-                for m in markers
-            )
+            # zh markers are single chars: ONE translate() strips them
+            # all, the length delta is the total hit count
+            cnt = F.length(col) - F.length(F.translate(F.col(col), "".join(markers), ""))
         else:
             arr = F.array(*[F.lit(m) for m in markers])
-            cnt = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+            cnt = F.size(F.filter(F.col("_toks"), lambda t: F.array_contains(arr, t)))
         scored.append(F.struct(cnt.cast("long").alias("hits"), F.lit(lang).alias("lang")))
     best = F.greatest(*scored)
     pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown"))
-    return df.withColumn("lang_pred", pred)
+    return tokenized.withColumn("lang_pred", pred).drop("_toks")
 
 
 def with_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:

@@ -66,6 +66,40 @@ def column_stats(corpus: DataFrame, group_cols: list[str] | None = None) -> Data
     return agg
 
 
+def per_repo_stats(corpus: DataFrame, salt_buckets: int = 8) -> DataFrame:
+    """Per-repo stats with explicit salting for hot repos.
+
+    A Zipf-hot repo (one repo = 30% of all rows) would make a plain
+    groupBy("repo") put a third of the corpus in one reducer. The salt
+    splits each repo's rows across ``salt_buckets`` partial groups
+    (map-side parallel), then a second tiny aggregation merges the
+    partials — the same two-stage shape AQE's skew-join uses, applied
+    to aggregation. All merged stats are algebraic (sum/count/min/max),
+    so the two-stage result is exact.
+    """
+    length = F.length("content")
+    salted = corpus.withColumn(
+        "_salt", F.pmod(F.xxhash64("path", "commit"), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("repo", "_salt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("content").isNull().cast("long")).alias("nn"),
+        F.sum(length.cast("double")).alias("len_sum"),
+        F.min(length).alias("len_min"),
+        F.max(length).alias("len_max"),
+    )
+    return (
+        partial.groupBy("repo")
+        .agg(
+            F.sum("n").alias("n_files"),
+            F.sum("nn").alias("n_null_content"),
+            (F.sum("len_sum") / F.sum("n")).alias("len_mean"),
+            F.min("len_min").alias("len_min"),
+            F.max("len_max").alias("len_max"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # t-digest length sketch: mapInPandas partials -> applyInPandas merge
 # --------------------------------------------------------------------------

@@ -101,6 +101,45 @@ def test_spark_scores_match_numpy_kernel(spark, engine, baseline_df):
         assert row["pnorm_3"] == pytest.approx(want_p, rel=1e-9)
 
 
+def test_warm_precompute_bit_identical(spark, baseline_df):
+    """Warm path (precomputed baseline bands, precompute.rs:1235+) must
+    produce bit-identical scores to the cold path — the reference's
+    warm-vs-cold compare contract."""
+    df, pdf = baseline_df
+    snap = spark.createDataFrame(fx.distort(pdf, "noise_7_0.3"))
+    eng = ValidationEngine(ValidationConfig(short_circuit_identical=False))
+    cold_base = eng.build_baseline(df, precompute_bands=False)
+    warm_base = eng.build_baseline(df, precompute_bands=True)
+    assert "pre_byte" in warm_base.columns and "pre_byte" not in cold_base.columns
+    cold = eng.validate(snap, cold_base)["verdicts"].toPandas()
+    warm = eng.validate(snap, warm_base)["verdicts"].toPandas()
+    a = cold.set_index(["repo_bucket", "lang"])["score"].sort_index()
+    b = warm.set_index(["repo_bucket", "lang"])["score"].sort_index()
+    assert list(a.index) == list(b.index)
+    assert np.array_equal(a.to_numpy(), b.to_numpy())
+
+
+def test_kernel_warm_path_bit_identical():
+    """Pure-kernel warm parity (no Spark): pack/unpack roundtrip too."""
+    from sparkval import kernels as K
+
+    rng = np.random.default_rng(11)
+    base = {"byte": rng.integers(0, 500, 256).astype(float),
+            "len": rng.integers(0, 200, 64).astype(float),
+            "lang": rng.integers(0, 50, 9).astype(float)}
+    snap = {k: v + rng.integers(0, 30, len(v)) for k, v in base.items()}
+    cold = K.drift_score(base, snap)
+    pre = {
+        ch: K.unpack_bands(
+            K.pack_bands(K.precompute_channel_bands(base[ch], ch)), len(base[ch])
+        )
+        for ch in base
+    }
+    warm = K.drift_score(base, snap, precomputed=pre)
+    assert cold[0] == warm[0] and cold[1] == warm[1]
+    assert np.array_equal(cold[2], warm[2])
+
+
 def test_partition_parity(spark, engine, baseline_df):
     """strip_parity analog: scores identical under different input
     partitioning (histogram counts are exact integers, so scores are

@@ -127,6 +127,17 @@ def test_asymmetric_l2_appearing_beats_disappearing():
     assert appear > disappear
 
 
+def test_suppress_x_by_y():
+    """psycho.rs:192-207: x attenuated toward s=0.653 as y grows,
+    untouched (factor -> 1) where y ~ 0."""
+    x = np.full(8, 10.0)
+    quiet = K.suppress_x_by_y(x, np.zeros(8))
+    busy = K.suppress_x_by_y(x, np.full(8, 100.0))
+    assert np.allclose(quiet, 10.0)
+    assert np.all(busy < 10.0)
+    assert np.all(busy > 10.0 * K.SUPPRESS_S * 0.99)
+
+
 def test_downsample_preserves_mass():
     c = np.arange(64, dtype=float)
     d = K.downsample_2x(c)
@@ -239,8 +250,8 @@ GOLDEN = {
     "random_mid__quantize_3": (82.78415353874738, 36.81988188120153),
     "random_mid__shift_3": (1.7939315502213231, 0.8847462489592636),
     "random_mid__noise_7_0.5": (1.2468408071237067, 0.5226775059959761),
-    "gradient_len__truncate_20": (23.1299655056818, 8.997171094616307),
-    "bimodal_len__truncate_50": (124.00032238181186, 52.12393686110028),
+    "gradient_len__truncate_20": (23.129658913032564, 8.997024998435322),
+    "bimodal_len__truncate_50": (123.65686678680348, 52.03937383969037),
     "sine_bytes__shift_5": (77.24841208982473, 32.298185518793),
     "uniform_rust__quantize_8": (79.13393214451519, 35.17585076274577),
 }

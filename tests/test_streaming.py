@@ -56,13 +56,16 @@ def test_windowed_lang_counts_matches_batch_groupby(spark, tmp_path):
     df.write.parquet(src)
 
     stream = spark.readStream.schema(df.schema).parquet(src)
+    # complete mode + memory sink: availableNow may split the input
+    # into several micro-batches in arbitrary file order, and append
+    # mode would drop cross-batch late rows at the watermark; complete
+    # mode keeps all state, so the final table equals the batch agg.
     agg = windowed_lang_counts(stream, ts_col="ts", window="1 minute")
-    out = str(tmp_path / "winout")
 
     q = (
-        agg.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out)
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
         .option("checkpointLocation", str(tmp_path / "winckpt"))
         .trigger(availableNow=True)
         .start()
@@ -70,9 +73,7 @@ def test_windowed_lang_counts_matches_batch_groupby(spark, tmp_path):
     q.awaitTermination(300)
 
     got = (
-        spark.read.parquet(out)
-        .groupBy("window_start", "lang")
-        .agg(F.sum("n").alias("n"))
+        spark.table("win_counts")
         .toPandas()
         .set_index(["window_start", "lang"])["n"]
         .sort_index()
