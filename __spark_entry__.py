@@ -153,6 +153,144 @@ def q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (expression-only, scan speed)."""
+    from sparkval.pipeline.text import with_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_quality_score(docs).select("doc_id", "quality_score")
+
+
+def q_length_quantiles_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length quantiles per lang (SURVEY §2.5 column stats);
+    the t-digest path covers the approximate/mergeable variant."""
+    docs = _t(spark, sf_dir, "documents")
+    q = F.percentile(F.length("text"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return docs.groupBy("lang").agg(
+        F.round(q[0], 4).alias("len_p25"),
+        F.round(q[1], 4).alias("len_p50"),
+        F.round(q[2], 4).alias("len_p75"),
+    )
+
+
+def q_ngram_jaccard_adjacent_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard on a deterministic candidate set
+    (adjacent doc_ids) — the verification kernel of the dedup
+    pipeline, JVM built-ins only (array_intersect/union)."""
+    from sparkval.pipeline.dedup import ngram_jaccard_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    cands = ids.select(F.col("doc_id").alias("a")).join(
+        ids.select(F.col("doc_id").alias("b")), F.col("b") == F.col("a") + 1
+    )
+    out = ngram_jaccard_exact(docs, cands, n=3)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _planted_near_dups(docs: DataFrame) -> DataFrame:
+    """documents ∪ lightly-corrupted copies (doc_id + 100000): a known
+    near-dup pair per document, derived deterministically in-plan."""
+    corrupt = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("zq "), F.substring("text", 5, 1 << 20)).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(corrupt)
+
+
+def q_minhash_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup sweep over documents with planted dups:
+    shingle -> 64-perm minhash -> banded LSH -> signature-estimated
+    Jaccard >= 0.5. Custom vectorized kernel — rows-only check."""
+    from sparkval.pipeline.dedup import near_duplicates_minhash
+
+    docs = _t(spark, sf_dir, "documents")
+    out = near_duplicates_minhash(_planted_near_dups(docs), threshold=0.5)
+    return out.select("a", "b", F.round("jaccard_est", 6).alias("jaccard_est"))
+
+
+def q_simhash_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup sweep (64-bit signatures, 4x16 block LSH,
+    Hamming <= 3) over documents with planted dups. Rows-only check."""
+    from sparkval.pipeline.dedup import near_duplicates_simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_duplicates_simhash(_planted_near_dups(docs), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Event-stream operators (sparkval.pipeline.events)
+# ---------------------------------------------------------------------------
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def q_events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the streaming op)."""
+    from sparkval.pipeline.events import tumbling_window_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_window_counts(ev, "1 hour")
+    return out.select(
+        F.date_format("window_start", _TS_FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "avg_value",
+    )
+
+
+def q_events_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) rolled up per user."""
+    from sparkval.pipeline.events import session_stats_per_user
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats_per_user(ev, gap_minutes=30)
+
+
+def q_events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-to-latest: most recent event per user."""
+    from sparkval.pipeline.events import latest_event_per_user
+
+    ev = _t(spark, sf_dir, "events")
+    return latest_event_per_user(ev).select(
+        "user_id", "event_id", F.date_format("ts", _TS_FMT).alias("ts"), "event_type"
+    )
+
+
+def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction (codegen get_json_object) + rollup."""
+    from sparkval.pipeline.events import extract_props
+
+    ev = _t(spark, sf_dir, "events")
+    return extract_props(ev, keys=("k",)).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("prop_k").alias("sum_k"),
+        F.min("prop_k").alias("min_k"),
+        F.max("prop_k").alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (sparkval.pipeline.multimodal)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction over the deterministic fake
+    media table (decode stubbed — no media libs in this container;
+    plumbing, schema and batching are real). Rows-only check."""
+    from sparkval.pipeline.multimodal import extract_features, make_fake_media
+
+    media = make_fake_media(spark, n=64)
+    feats = extract_features(media, deterministic_fake=True)
+    return feats.select(
+        "media_id",
+        "payload_sha256",
+        "payload_bytes",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 6).alias("feat_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (sparkval.pipeline.similarity)
 # ---------------------------------------------------------------------------
@@ -168,6 +306,19 @@ def q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = embs.filter(F.col("vec_id").isin(_ANN_QUERY_IDS)).collect()
     queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
     out = brute_force_topk(embs, queries, k=5)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-5 (deterministic kmeans-lite coarse
+    quantizer, nprobe=4 of 16 lists). Approximate by design —
+    rows-only check; recall vs brute force is asserted in tests."""
+    from sparkval.pipeline.similarity import ivf_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    qrows = embs.filter(F.col("vec_id").isin(_ANN_QUERY_IDS)).collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    out = ivf_topk(embs, queries, k=5, n_centroids=16, nprobe=4)
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
@@ -230,6 +381,23 @@ def q_drift_identity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("repo_bucket", "lang", "n_files_snap", "score", "verdict")
 
 
+def q_drift_topk_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k worst-drifting partitions (SURVEY §2.8 orderBy+limit)
+    against a byte-shifted snapshot. Rows-only check."""
+    from sparkval import ValidationConfig, ValidationEngine
+
+    corpus = _docs_as_corpus(spark, sf_dir)
+    shifted = corpus.withColumn("content", F.translate("content", "aeiou", "xqzvw"))
+    eng = ValidationEngine(ValidationConfig())
+    base = eng.build_baseline(corpus)
+    v = eng.validate(shifted, base)["verdicts"]
+    return (
+        v.orderBy(F.desc("score"), "repo_bucket", "lang")
+        .limit(5)
+        .select("repo_bucket", "lang", F.round("score", 6).alias("score"), "verdict")
+    )
+
+
 def q_drift_shifted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift check against a byte-shifted snapshot: distribution drift
     must be flagged per partition (the butteraugli compare recast)."""
@@ -258,10 +426,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dup_groups_documents": q_exact_dup_groups_documents,
     "lang_id_documents": q_lang_id_documents,
     "verdict_set_compare": q_verdict_set_compare,
+    "quality_score_documents": q_quality_score_documents,
+    "length_quantiles_documents": q_length_quantiles_documents,
+    "ngram_jaccard_adjacent_documents": q_ngram_jaccard_adjacent_documents,
+    "minhash_near_dups_documents": q_minhash_near_dups_documents,
+    "simhash_near_dups_documents": q_simhash_near_dups_documents,
+    "events_hourly_counts": q_events_hourly_counts,
+    "events_sessions_per_user": q_events_sessions_per_user,
+    "events_latest_per_user": q_events_latest_per_user,
+    "events_props_extract": q_events_props_extract,
+    "multimodal_features": q_multimodal_features,
     "ann_topk_embeddings": q_ann_topk_embeddings,
+    "ivf_topk_embeddings": q_ivf_topk_embeddings,
     "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
     "drift_identity_documents": q_drift_identity_documents,
     "drift_shifted_documents": q_drift_shifted_documents,
+    "drift_topk_partitions": q_drift_topk_partitions,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -355,9 +535,91 @@ ORACLE_SQL: dict[str, str] = {
         SELECT query_id, vec_id, round(cos_raw, 6) AS cosine, rank
         FROM ranked WHERE rank <= 5
     """,
-    # lang_id_documents, cosine_near_dups_embeddings, drift_*: custom
-    # vectorized/LSH/multi-scale operators — not SQL-expressible;
-    # driver records rows-only checks for them.
+    "quality_score_documents": """
+        SELECT doc_id,
+               round(
+                 (CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1 ELSE 0 END) * 0.4
+                 + (CASE WHEN length(text)::DOUBLE / greatest(
+                       len(regexp_split_to_array(trim(text), '\\s+')), 1)
+                       BETWEEN 2.0 AND 15.0 THEN 1 ELSE 0 END) * 0.2
+                 + least(length(regexp_replace(text, '[^A-Za-zÀ-ɏ一-鿿]', '', 'g'))::DOUBLE
+                         / greatest(length(text), 1) * 2.0, 1.0) * 0.4,
+               6) AS quality_score
+        FROM documents
+    """,
+    "length_quantiles_documents": """
+        SELECT lang,
+               round(quantile_cont(length(text), 0.25), 4) AS len_p25,
+               round(quantile_cont(length(text), 0.50), 4) AS len_p50,
+               round(quantile_cont(length(text), 0.75), 4) AS len_p75
+        FROM documents GROUP BY lang
+    """,
+    "ngram_jaccard_adjacent_documents": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   list_distinct([
+                       array_to_string(list_slice(t, i, i + 2), ' ')
+                       for i in range(1, greatest(len(t) - 3, 0) + 2)
+                   ]) AS g
+            FROM toks
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               round(len(list_intersect(a.g, b.g))::DOUBLE
+                     / greatest(len(list_distinct(list_concat(a.g, b.g))), 1), 6) AS jaccard
+        FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+    """,
+    "events_hourly_counts": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value,
+               round(avg(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sessions_per_user": """
+        WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, ts, new_session,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM g
+        ), per_session AS (
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   date_diff('second', min(ts), max(ts)) AS duration_s
+            FROM s GROUP BY 1, 2
+        )
+        SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+               max(duration_s) AS max_session_s
+        FROM per_session GROUP BY user_id
+    """,
+    "events_latest_per_user": """
+        SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "events_props_extract": """
+        SELECT event_type, count(*) AS n,
+               sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+               min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+               max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    # lang_id_documents, minhash/simhash near-dups, ivf/cosine LSH,
+    # multimodal_features, drift_*: custom vectorized / LSH /
+    # multi-scale operators — not SQL-expressible; driver records
+    # rows-only checks for them.
 }
 
 

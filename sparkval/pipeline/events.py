@@ -1,0 +1,118 @@
+"""Event-stream operators over a timestamped event table: tumbling
+windows, gap-based sessionization, dedup-to-latest, JSON prop
+extraction.
+
+These are the batch twins of the Structured Streaming operators in
+``sparkval.streaming`` — identical logical plans, so a pipeline can be
+developed in batch and flipped to ``readStream`` unchanged.
+
+Scale notes:
+- tumbling window agg: one shuffle on (window, event_type) with
+  map-side partial aggregation; window key is derived, never stored.
+- sessionization: one shuffle on user_id, then lag/cumsum window
+  functions inside each partition — no second shuffle because the
+  session aggregation reuses the user_id partitioning.
+- dedup-to-latest: row_number over (user_id ORDER BY ts DESC) —
+  AQE handles per-user skew; for truly hot users, max_by semantics
+  (one agg, no full sort) are the fallback.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def tumbling_window_counts(
+    events: DataFrame, duration: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Per (tumbling window, event_type): count + value stats.
+
+    F.window() is epoch-aligned for whole-hour durations, so results
+    agree with date_trunc-based oracles.
+    """
+    return (
+        events.groupBy(F.window(ts_col, duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the user has been
+    idle longer than ``gap_minutes``. Returns one row per session.
+
+    Plan: single shuffle on user_id; lag + running-sum window
+    functions share the same partitioning (one Window spec family),
+    so Catalyst plans them in one Exchange.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    # microsecond-exact gap: truncating to seconds would misclassify
+    # gaps in (30min, 30min+1s) vs an interval-exact oracle
+    # cast handles TIMESTAMP_NTZ sources (session TZ is UTC, lossless)
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
+    with_flag = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_sid = with_flag.withColumn("session_seq", F.sum("new_session").over(w))
+    return (
+        with_sid.groupBy(user_col, "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .withColumn(
+            "duration_s",
+            F.col("session_end").cast("timestamp").cast("long")
+            - F.col("session_start").cast("timestamp").cast("long"),
+        )
+    )
+
+
+def session_stats_per_user(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user rollup of gap-based sessions (n_sessions, n_events)."""
+    s = sessionize(events, gap_minutes)
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("duration_s").alias("max_session_s"),
+    )
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """Dedup-to-latest: the most recent event per user (deterministic
+    tie-break on event_id)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def extract_props(events: DataFrame, keys: tuple[str, ...] = ("k",)) -> DataFrame:
+    """Typed extraction from the JSON props column — pure expression
+    (get_json_object runs in codegen; no UDF, no shuffle)."""
+    out = events
+    for key in keys:
+        out = out.withColumn(
+            f"prop_{key}", F.get_json_object("props", f"$.{key}").cast("long")
+        )
+    return out

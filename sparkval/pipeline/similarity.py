@@ -131,6 +131,100 @@ def cosine_pairs_exact(
     return joined.select("a", "b", F.round(cos, 9).alias("cosine"))
 
 
+def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
+    """Tiny deterministic k-means on a driver-side sample (normalized
+    rows, cosine == dot). At 100 TB the sample is still ~1e5 rows —
+    training is a driver-side detail; only assignment distributes."""
+    centroids = sample[np.linspace(0, len(sample) - 1, k, dtype=np.int64)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 4096,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` inverted lists, then score each query only against
+    its ``nprobe`` nearest lists.
+
+    Scale shape: centroids trained on a bounded driver sample and
+    broadcast; list assignment is one mapInPandas pass (no shuffle);
+    the probe is a broadcast-joinable filter ``centroid IN probe_set``
+    pushed into the scan of a centroid-partitioned corpus, so at
+    nprobe/n_centroids = 1/4 the scan reads ~25% of the data.
+    """
+    spark = embeddings.sparkSession
+    # deterministic bounded sample: orderBy(hash)+limit plans as
+    # TakeOrderedAndProject (distributed top-k, no full sort)
+    sample_rows = (
+        embeddings.select(F.col(vec_col), F.xxhash64(id_col).alias("_h"))
+        .orderBy("_h")
+        .limit(train_sample)
+        .select(vec_col)
+        .collect()
+    )
+    sample = _normalize(np.stack([np.asarray(r[0]) for r in sample_rows]).astype(np.float64))
+    centroids = _kmeans_lite(sample, n_centroids)
+
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    # per-query probe lists (driver-side: queries are small by contract)
+    probes = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
+    probed_centroids = sorted({int(c) for row in probes for c in row})
+    q_by_centroid: dict[int, list[int]] = {
+        int(c): [qi for qi in range(len(q_ids)) if c in probes[qi]] for c in probed_centroids
+    }
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, centroids, q_by_centroid))
+
+    def assign_and_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, cents, by_c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            corpus = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            cell = np.argmax(corpus @ cents.T, axis=1)
+            vec_ids = pdf[id_col].to_numpy()
+            out = []
+            for c, q_idx in by_c.items():
+                in_cell = cell == c
+                if not in_cell.any():
+                    continue
+                sims = mat[q_idx] @ corpus[in_cell].T
+                cell_ids = vec_ids[in_cell]
+                kk = min(k, sims.shape[1])
+                top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                for row, qi in enumerate(q_idx):
+                    for j in top[row]:
+                        out.append(
+                            {"query_id": ids[qi], "vec_id": int(cell_ids[j]),
+                             "cosine": float(sims[row, j])}
+                        )
+            if out:
+                yield pd.DataFrame(out)
+
+    partials = embeddings.select(id_col, vec_col).mapInPandas(assign_and_score, _TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 9).alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def near_duplicates_cosine(
     embeddings: DataFrame,
     threshold: float = 0.95,

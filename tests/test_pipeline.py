@@ -158,3 +158,44 @@ def test_frame_sample_plan(spark):
         got = plan[plan["media_id"] == r["media_id"]]["frame_ts_ms"].tolist()
         want = list(range(0, int(r["duration_ms"]), 500))
         assert got == want
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, embs):
+    """IVF with nprobe=4/16 recovers most of the exact top-5 and is
+    perfect with nprobe == n_centroids (search-everything reduces to
+    brute force)."""
+    pdf = embs.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    queries = [(int(pdf["vec_id"][i]), mat[i].tolist()) for i in (0, 7, 11)]
+    exact = similarity.brute_force_topk(embs, queries, k=5).toPandas()
+    full = similarity.ivf_topk(embs, queries, k=5, n_centroids=8, nprobe=8).toPandas()
+    for qid, _ in queries:
+        e = exact[exact["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        f = full[full["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert f == e, (qid, f, e)
+    approx = similarity.ivf_topk(embs, queries, k=5, n_centroids=16, nprobe=4).toPandas()
+    hits = total = 0
+    for qid, _ in queries:
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+        # a query vector always lands in its own probe list
+        assert qid in a
+    assert hits / total >= 0.5, (hits, total)
+
+
+def test_minhash_planted_pairs_recall(spark, docs):
+    """The entry-contract shape: every planted near-dup pair must be
+    recovered by the MinHash LSH sweep."""
+    planted = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.lit("zq "), F.substring("text", 5, 1 << 20)).alias("text"),
+        )
+    )
+    out = dedup.near_duplicates_minhash(planted, threshold=0.5).toPandas()
+    pairs = set(zip(out["a"], out["b"]))
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    missing = [i for i in ids if (i, i + 100000) not in pairs]
+    assert not missing, missing[:10]
