@@ -30,6 +30,11 @@ from sparkval.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+#: content size multiplier for the engine-throughput corpus (~100 B of
+#: text per repeat -> 48 gives ~4.6 KB/file, 2.8 GB total at sf0.1:
+#: the scan dominates the run the way it does at 100 TB, instead of
+#: stage-scheduling latency dominating a toy corpus)
+REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "48"))
 
 #: benchmark subset of the entry queries: one per operator family
 HEADLINE = [
@@ -70,7 +75,7 @@ def corpus_from_lineitem(spark, sf_dir: str) -> DataFrame:
                 "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
                 "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate",
             ),
-            8,
+            REPEAT,
         ).alias("content"),
     )
 
@@ -93,8 +98,9 @@ def bench_engine_throughput(spark, sf_dir: str) -> tuple[float, int]:
     corpus_path = f"{tmp}/corpus.parquet"
     snap_path = f"{tmp}/snapshot.parquet"
     # write with enough files that the scan parallelizes across all
-    # local cores (real corpus tables have thousands of files)
-    virtual = corpus_from_lineitem(spark, sf_dir).repartition(CPUS * 2)
+    # local cores (real corpus tables have thousands of files); the
+    # count is FIXED so every parallelism level benches identical input
+    virtual = corpus_from_lineitem(spark, sf_dir).repartition(256)
     virtual.write.mode("overwrite").parquet(corpus_path)
     virtual.withColumn("content", F.translate("content", "0123", "89AB")).write.mode(
         "overwrite"
@@ -139,12 +145,29 @@ def warmup(spark) -> None:
     force(spark.range(0, CPUS * 100, 1, CPUS).mapInPandas(echo, schema))
 
 
+def _steal_ticks() -> int:
+    """Host CPU steal (ticks) — this sandbox is a shared VM and bursts
+    of steal dominate wall-time variance at high parallelism; reporting
+    it makes runs comparable."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return 0
+
+
 def main() -> None:
     spark = get_spark("sparkval-bench", parallelism=CPUS, shuffle_partitions=max(CPUS, 8))
     spark.sparkContext.setLogLevel("ERROR")
     queries = E.queries()
+    steal0 = _steal_ticks()
 
     warmup(spark)
+
+    # engine leg FIRST (the headline metric), on a freshly-warmed
+    # session with nothing cached
+    eng_sec, n_files = bench_engine_throughput(spark, SF_DIR)
+    spark.catalog.clearCache()
 
     # best-of-2: first run still pays per-plan codegen; the repeat is
     # the steady-state number a long-running cluster job sees
@@ -156,8 +179,11 @@ def main() -> None:
             force(queries[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         per_query[name] = round(best, 3)
+        # drop persisted intermediates so queries are isolated: leaked
+        # cache blocks from one query would squeeze execution memory
+        # for the next (classic benchmark cross-talk)
+        spark.catalog.clearCache()
 
-    eng_sec, n_files = bench_engine_throughput(spark, SF_DIR)
     per_query["engine_validate_lineitem_corpus"] = round(eng_sec, 3)
 
     total = round(sum(per_query.values()), 3)
@@ -172,6 +198,8 @@ def main() -> None:
                 "sf": float(sf),
                 "parallelism": CPUS,
                 "runs_per_query": 2,
+                "repeat": REPEAT,
+                "host_steal_ticks": _steal_ticks() - steal0,
                 "engine_files": n_files,
                 "engine_files_per_sec": round(n_files / eng_sec, 1),
             }

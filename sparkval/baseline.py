@@ -34,8 +34,8 @@ def build_baseline(
 ) -> DataFrame:
     """Per-partition histograms for a trusted snapshot.
 
-    The content fingerprint (xor of per-row blake2b over (lang,
-    content) — see histograms._row_fingerprint) rides along inside the
+    The content fingerprint (xor of per-row xxhash64 over (lang,
+    content) — see histograms.prepared_scan) rides along inside the
     histogram pass, so the baseline build is exactly ONE corpus scan.
 
     ``precompute_bands`` additionally stores the decomposed DoG bands

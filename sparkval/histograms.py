@@ -45,25 +45,12 @@ PARTIAL_SCHEMA = T.StructType(
         T.StructField("total_bytes", T.LongType(), False),
         T.StructField("byte_hist", T.ArrayType(T.LongType()), False),
         T.StructField("len_hist", T.ArrayType(T.LongType()), False),
-        # xor-of-row-hashes content fingerprint (order-insensitive,
+        # xor of per-row xxhash64(lang, content) (order-insensitive,
         # partition-invariant); rides along so the identical-input
         # short-circuit (diff.rs:766-772) costs zero extra scans
         T.StructField("fingerprint", T.LongType(), False),
     ]
 )
-
-
-def _row_fingerprint(lang: str, content) -> int:
-    """64-bit per-row hash over (lang, content). Includes lang because
-    the lang-mix drift channel is bucket-wide: a relabel with unchanged
-    content must still move the fingerprint."""
-    import hashlib
-
-    payload = (lang + "\x00" + (content if content is not None else "\x00NULL")).encode(
-        "utf-8", "replace"
-    )
-    h = hashlib.blake2b(payload, digest_size=8).digest()
-    return int.from_bytes(h, "little", signed=True)
 
 
 def repo_bucket_py(repo: str, n_buckets: int) -> int:
@@ -80,12 +67,40 @@ def _lang_norm(s: pd.Series) -> pd.Series:
     return low.where(low.isin(LANG_VOCAB), "other")
 
 
+def prepared_scan(corpus: DataFrame, n_buckets: int) -> DataFrame:
+    """JVM-side per-row preparation for the histogram scan: bucket,
+    normalized lang, 64-bit row fingerprint, char length, and UTF-8
+    bytes — all codegen'd expressions, zero per-row Python. The pandas
+    stage downstream only groups and bin-counts.
+
+    encode() matters doubly: the Arrow transfer ships raw bytes and the
+    Python side never materializes (decode + re-encode) str objects for
+    multi-KB contents.
+    """
+    lang_low = F.lower(F.coalesce(F.col("lang"), F.lit("other")))
+    lang_norm = F.when(lang_low.isin(*LANG_VOCAB), lang_low).otherwise(F.lit("other"))
+    return corpus.select(
+        F.pmod(F.crc32(F.col("repo").cast("binary")), F.lit(n_buckets))
+        .cast("int")
+        .alias("_b"),
+        lang_norm.alias("_l"),
+        # includes lang: a relabel with unchanged content must still
+        # move the fingerprint (the lang-mix channel is bucket-wide)
+        F.xxhash64(lang_norm, F.coalesce(F.col("content"), F.lit("\x00NULL")))
+        .alias("_fp"),
+        F.length("content").alias("_len"),
+        F.encode(F.col("content"), "UTF-8").alias("_bytes"),
+    )
+
+
 def partial_histograms(corpus: DataFrame, config: ValidationConfig) -> DataFrame:
     """Map-side partial histograms: one output row per (key, batch).
 
-    All byte work is numpy over the Arrow batch: contents join into a
-    single buffer per group, np.bincount over uint8 — no per-row
-    Python function calls (north-rule requirement).
+    Per-row work (bucket, lang-norm, fingerprint, length, UTF-8 bytes)
+    runs JVM-side in prepared_scan; the pandas stage is pure numpy over
+    the Arrow batch: contents join into a single buffer per group,
+    bincount over uint8, xor-reduce of fingerprints — no per-row Python
+    function calls anywhere (north-rule requirement).
     """
     n_buckets = config.n_repo_buckets
 
@@ -93,21 +108,18 @@ def partial_histograms(corpus: DataFrame, config: ValidationConfig) -> DataFrame
         for pdf in batches:
             if pdf.empty:
                 continue
-            bucket = pdf["repo"].map(lambda r: repo_bucket_py(r, n_buckets))
-            lang = _lang_norm(pdf["lang"])
             out = []
-            for (b, lg), grp in pdf.assign(_b=bucket, _l=lang).groupby(["_b", "_l"]):
-                content = grp["content"]
+            for (b, lg), grp in pdf.groupby(["_b", "_l"], sort=False):
+                content = grp["_bytes"]
                 nulls = int(content.isna().sum())
                 present = content.dropna()
-                fp = 0
-                for c in content:
-                    fp ^= _row_fingerprint(lg, c)
+                fp = int(
+                    np.bitwise_xor.reduce(
+                        grp["_fp"].to_numpy(dtype=np.int64).view(np.uint64)
+                    ).view(np.int64)
+                ) if len(grp) else 0
                 if len(present):
-                    blob = np.frombuffer(
-                        "\x00".join(present.tolist()).encode("utf-8", "replace"),
-                        dtype=np.uint8,
-                    )
+                    blob = np.frombuffer(b"\x00".join(present.tolist()), dtype=np.uint8)
                     # np.add.at instead of np.bincount: bincount's
                     # first large call pays a multi-second lazy-dispatch
                     # cost in this environment; add.at is equivalent
@@ -116,7 +128,7 @@ def partial_histograms(corpus: DataFrame, config: ValidationConfig) -> DataFrame
                     np.add.at(bh, blob, 1)
                     # strip the join separators from the counts
                     bh[0] -= len(present) - 1
-                    lens = present.str.len().to_numpy(dtype=np.int64)
+                    lens = grp["_len"].dropna().to_numpy(dtype=np.int64)
                     lh = np.zeros(LEN_BINS, dtype=np.int64)
                     np.add.at(lh, np.clip(np.log2(lens + 1).astype(np.int64), 0, LEN_BINS - 1), 1)
                     total = int(lens.sum())
@@ -138,7 +150,7 @@ def partial_histograms(corpus: DataFrame, config: ValidationConfig) -> DataFrame
                 )
             yield pd.DataFrame(out)
 
-    return corpus.select("repo", "lang", "content").mapInPandas(gen, PARTIAL_SCHEMA)
+    return prepared_scan(corpus, n_buckets).mapInPandas(gen, PARTIAL_SCHEMA)
 
 
 def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:

