@@ -381,6 +381,36 @@ def q_drift_identity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("repo_bucket", "lang", "n_files_snap", "score", "verdict")
 
 
+def q_manifest_check_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row sha256 invariant vs a reference manifest (the
+    BASELINE.json input_hint contract): one doc's hash is perturbed,
+    one key is dropped, one extra key is planted — the check must
+    report exactly those three, classified."""
+    from sparkval.constraints import content_manifest, manifest_violations
+
+    corpus = _docs_as_corpus(spark, sf_dir)
+    ref = content_manifest(corpus)
+    perturbed = (
+        ref.withColumn(
+            "content_sha256",
+            F.when(F.col("path") == "doc/0", F.sha2(F.lit("tampered"), 256)).otherwise(
+                F.col("content_sha256")
+            ),
+        )
+        .filter(F.col("path") != "doc/1")  # missing from reference
+        .unionByName(
+            ref.filter(F.col("path") == "doc/2").select(
+                "repo",
+                F.lit("doc/extra").alias("path"),
+                "commit",
+                "content_sha256",
+            )
+        )
+    )
+    out = manifest_violations(corpus, perturbed)
+    return out.select("check", "repo", "path", "commit", "detail")
+
+
 def q_drift_topk_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k worst-drifting partitions (SURVEY §2.8 orderBy+limit)
     against a byte-shifted snapshot. Rows-only check."""
@@ -426,6 +456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dup_groups_documents": q_exact_dup_groups_documents,
     "lang_id_documents": q_lang_id_documents,
     "verdict_set_compare": q_verdict_set_compare,
+    "manifest_check_documents": q_manifest_check_documents,
     "quality_score_documents": q_quality_score_documents,
     "length_quantiles_documents": q_length_quantiles_documents,
     "ngram_jaccard_adjacent_documents": q_ngram_jaccard_adjacent_documents,
@@ -534,6 +565,31 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT query_id, vec_id, round(cos_raw, 6) AS cosine, rank
         FROM ranked WHERE rank <= 5
+    """,
+    "manifest_check_documents": """
+        WITH corpus AS (
+            SELECT source AS repo, 'doc/' || doc_id AS path, 'c0' AS "commit",
+                   sha256(text) AS content_sha256
+            FROM documents
+        ), ref AS (
+            SELECT repo, path, "commit",
+                   CASE WHEN path = 'doc/0' THEN sha256('tampered')
+                        ELSE content_sha256 END AS expected_sha256
+            FROM corpus WHERE path <> 'doc/1'
+            UNION ALL
+            SELECT repo, 'doc/extra', "commit", content_sha256
+            FROM corpus WHERE path = 'doc/2'
+        )
+        SELECT 'row_invariant_sha256' AS check, coalesce(c.repo, r.repo) AS repo,
+               coalesce(c.path, r.path) AS path,
+               coalesce(c."commit", r."commit") AS "commit",
+               CASE WHEN c.path IS NULL THEN 'missing_in_snapshot'
+                    WHEN r.path IS NULL THEN 'unexpected_in_snapshot'
+                    ELSE 'content_hash_mismatch' END AS detail
+        FROM corpus c FULL OUTER JOIN ref r
+          ON c.repo = r.repo AND c.path = r.path AND c."commit" = r."commit"
+        WHERE c.path IS NULL OR r.path IS NULL
+              OR c.content_sha256 <> r.expected_sha256
     """,
     "quality_score_documents": """
         SELECT doc_id,

@@ -35,6 +35,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 #: the scan dominates the run the way it does at 100 TB, instead of
 #: stage-scheduling latency dominating a toy corpus)
 REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "48"))
+#: engine-leg repetitions (min is reported); scaling runs set 1 and
+#: take min across whole-process runs instead
+ENGINE_REPS = int(os.environ.get("SPARK_GRAFT_ENGINE_REPS", "2"))
 
 #: benchmark subset of the entry queries: one per operator family
 HEADLINE = [
@@ -111,7 +114,7 @@ def bench_engine_throughput(spark, sf_dir: str) -> tuple[float, int]:
 
     eng = ValidationEngine(ValidationConfig(short_circuit_identical=False))
     best = float("inf")
-    for _ in range(2):
+    for _ in range(ENGINE_REPS):
         t0 = time.perf_counter()
         base = eng.build_baseline(corpus)
         out = eng.validate(snap, base)

@@ -45,6 +45,9 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--corpus", required=True)
     v.add_argument("--baseline", required=True)
     v.add_argument("--commits", default=None)
+    v.add_argument("--manifest", default=None,
+                   help="reference-engine (repo,path,commit,content_sha256) "
+                        "manifest parquet for the per-row invariant check")
     v.add_argument("--out-dir", default=None)
     v.add_argument("--checkpoint", default=None)
     v.add_argument("--max-score", type=float, default=None)
@@ -69,11 +72,14 @@ def main(argv: list[str] | None = None) -> int:
     corpus = spark.read.parquet(args.corpus)
     baseline = spark.read.parquet(args.baseline)
     commits = spark.read.parquet(args.commits) if args.commits else None
+    manifest = spark.read.parquet(args.manifest) if args.manifest else None
 
     if args.checkpoint:
-        result = engine.validate_resumable(corpus, baseline, args.checkpoint, commits)
+        result = engine.validate_resumable(
+            corpus, baseline, args.checkpoint, commits, manifest
+        )
     else:
-        result = engine.validate(corpus, baseline, commits)
+        result = engine.validate(corpus, baseline, commits, manifest)
 
     if args.out_dir:
         result["verdicts"].write.mode("overwrite").parquet(f"{args.out_dir}/verdicts")

@@ -103,6 +103,48 @@ def null_violations(
     )
 
 
+def content_manifest(corpus: DataFrame) -> DataFrame:
+    """Per-row invariant manifest: (repo, path, commit, content_sha256).
+
+    This is the cross-engine verdict contract from BASELINE.json's
+    input_hint — the reference engine emits the same manifest, and row
+    equality is checked by sha256, never by shipping content. sha2 is
+    a codegen'd JVM expression: compute-dense, scan-speed, no Python.
+    """
+    return corpus.select(*NATURAL_KEY, content_sha256().alias("content_sha256"))
+
+
+def manifest_violations(corpus: DataFrame, expected: DataFrame) -> DataFrame:
+    """Row-invariant check against a reference manifest.
+
+    Full-outer join on the natural key (SURVEY §2.4: violation-row
+    equality vs reference verdicts): rows present on one side only or
+    with differing sha256 become violations. The join shuffles ONLY
+    (key, sha) pairs — ~100 B/row even when content is megabytes; AQE
+    skew-join covers hot repos.
+    """
+    ours = content_manifest(corpus)
+    theirs = expected.select(
+        *NATURAL_KEY, F.col("content_sha256").alias("expected_sha256")
+    )
+    j = ours.join(theirs, on=NATURAL_KEY, how="full_outer")
+    detail = (
+        F.when(F.col("content_sha256").isNull(), F.lit("missing_in_snapshot"))
+        .when(F.col("expected_sha256").isNull(), F.lit("unexpected_in_snapshot"))
+        .when(
+            F.col("content_sha256") != F.col("expected_sha256"),
+            F.lit("content_hash_mismatch"),
+        )
+    )
+    bad = j.withColumn("detail", detail).filter(F.col("detail").isNotNull())
+    return bad.select(
+        F.lit("row_invariant_sha256").alias("check"),
+        *NATURAL_KEY,
+        F.coalesce("content_sha256", "expected_sha256").alias("content_sha256"),
+        F.col("detail").cast("string").alias("detail"),
+    )
+
+
 def all_violations(corpus: DataFrame, commits: DataFrame | None = None) -> DataFrame:
     """Union of every row-level check, deterministically ordered.
 
@@ -113,4 +155,16 @@ def all_violations(corpus: DataFrame, commits: DataFrame | None = None) -> DataF
     out = uniqueness_violations(corpus).unionByName(null_violations(corpus))
     if commits is not None:
         out = out.unionByName(referential_violations(corpus, commits))
-    return out.orderBy("check", "repo", "path", "commit")
+    return deterministic_order(out, ["check", "repo", "path", "commit"])
+
+
+def deterministic_order(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Deterministic total order WITHOUT a global orderBy: violation /
+    verdict tables are tiny (violations are rare by definition), but a
+    global sort range-partitions, and its sampling pass RE-EXECUTES the
+    entire upstream lineage — for violation tables that means scanning
+    the corpus twice. One hash partition + in-partition sort gives the
+    same total order for a fraction of the cost; callers with huge
+    outputs should write partitioned-unsorted instead.
+    """
+    return df.repartition(1).sortWithinPartitions(*keys)

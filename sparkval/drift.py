@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 
 from sparkval import kernels
 from sparkval.config import BYTE_BINS, LANG_VOCAB, LEN_BINS, ValidationConfig
-from sparkval.histograms import add_lang_hist, corpus_histograms
+from sparkval.histograms import add_lang_hist, corpus_histograms  # noqa: F401 (public API)
 
 VERDICT_PASS = "PASS"      # score < good  (reference README.md:50-62: imperceptible)
 VERDICT_WARN = "WARN"      # good <= score < bad
@@ -55,8 +55,14 @@ _VERDICT_SCHEMA = T.StructType(
 
 
 def partition_histograms(corpus: DataFrame, config: ValidationConfig) -> DataFrame:
-    """Per-(repo_bucket, lang) hist table with the lang-mix channel."""
-    return add_lang_hist(corpus_histograms(corpus, config))
+    """Per-(repo_bucket, lang) hist table with the lang-mix channel.
+
+    Fused single-shuffle path: scan -> map-side partials -> one
+    bucket-keyed merge that emits both the merged histograms and the
+    bucket-wide lang-mix vector."""
+    from sparkval.histograms import merge_histograms_with_lang, partial_histograms
+
+    return merge_histograms_with_lang(partial_histograms(corpus, config))
 
 
 def _vec(x, n: int) -> np.ndarray:

@@ -45,12 +45,25 @@ class ValidationEngine:
         snapshot: DataFrame,
         baseline: DataFrame,
         commits: DataFrame | None = None,
+        expected_manifest: DataFrame | None = None,
     ) -> dict[str, DataFrame]:
-        """Full validation of a snapshot against a baseline table."""
+        """Full validation of a snapshot against a baseline table.
+
+        ``expected_manifest``: optional (repo, path, commit,
+        content_sha256) table from a reference engine run — enables the
+        per-row sha256 invariant check (BASELINE.json input_hint).
+        """
         check_corpus_schema(snapshot)
         cfg = self.config
 
         violations = constraints.all_violations(snapshot, commits)
+        if expected_manifest is not None:
+            violations = constraints.deterministic_order(
+                violations.unionByName(
+                    constraints.manifest_violations(snapshot, expected_manifest)
+                ),
+                ["check", "repo", "path", "commit"],
+            )
 
         snap_hists = partition_histograms(snapshot, cfg)
         if cfg.short_circuit_identical and "fingerprint" in baseline.columns:
@@ -125,7 +138,12 @@ class ValidationEngine:
             verdicts = drift_verdicts(baseline, snap_hists, cfg)
 
         return {
-            "verdicts": verdicts.orderBy("repo_bucket", "lang"),
+            # verdict table is O(buckets x langs): single-partition
+            # sort, not a global orderBy (whose range-partition sampling
+            # pass would re-execute the whole snapshot scan lineage)
+            "verdicts": constraints.deterministic_order(
+                verdicts, ["repo_bucket", "lang"]
+            ),
             "violations": violations,
         }
 
@@ -136,6 +154,7 @@ class ValidationEngine:
         baseline: DataFrame,
         checkpoint_dir: str,
         commits: DataFrame | None = None,
+        expected_manifest: DataFrame | None = None,
     ) -> dict[str, DataFrame]:
         """Checkpointed run: per-partition verdicts land in
         ``checkpoint_dir/verdicts`` keyed by (repo_bucket, lang); a
@@ -145,7 +164,7 @@ class ValidationEngine:
         """
         spark = snapshot.sparkSession
         done_path = os.path.join(checkpoint_dir, "verdicts")
-        result = self.validate(snapshot, baseline, commits)
+        result = self.validate(snapshot, baseline, commits, expected_manifest)
         verdicts = result["verdicts"]
 
         try:
@@ -165,7 +184,10 @@ class ValidationEngine:
         # union — the marker table IS the output table
         todo.write.mode("append").partitionBy("repo_bucket").parquet(done_path)
         full = spark.read.parquet(done_path)
-        return {"verdicts": full.orderBy("repo_bucket", "lang"), "violations": result["violations"]}
+        return {
+            "verdicts": constraints.deterministic_order(full, ["repo_bucket", "lang"]),
+            "violations": result["violations"],
+        }
 
     # -- lineage / metrics ----------------------------------------------------
     def run_metrics(

@@ -175,6 +175,41 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+MERGED_LANG_SCHEMA = T.StructType(
+    list(PARTIAL_SCHEMA.fields)
+    + [T.StructField("lang_hist", T.ArrayType(T.DoubleType()), False)]
+)
+
+
+def merge_histograms_with_lang(partials: DataFrame, salt_levels: int = 0) -> DataFrame:
+    """Fused merge + lang-mix stage: ONE shuffle on repo_bucket does
+    both the per-(bucket, lang) histogram merge and the bucket-wide
+    lang-mix vector, instead of merge(groupBy bucket,lang) followed by
+    add_lang_hist(groupBy bucket) — the operator-fusion rewrite the
+    reference applied by hand everywhere (SURVEY §4), applied to
+    shuffle stages: every stage saved is ~0.5-1 s of latency that would
+    otherwise be a fixed serial cost at any cluster size.
+    """
+    merged = partials
+    if salt_levels > 0:
+        salted = partials.withColumn(
+            "_salt", F.pmod(F.spark_partition_id(), F.lit(salt_levels))
+        )
+        merged = salted.groupBy("repo_bucket", "lang", "_salt").applyInPandas(
+            lambda pdf: _merge_group(pdf.drop(columns=["_salt"])), PARTIAL_SCHEMA
+        )
+
+    def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = pd.concat([_merge_group(g) for _, g in pdf.groupby("lang", sort=False)])
+        counts = dict(zip(rows["lang"], rows["n_files"]))
+        raw = np.array([float(counts.get(l, 0)) for l in LANG_VOCAB])
+        vec = raw / max(raw.sum(), 1.0)
+        rows["lang_hist"] = [vec] * len(rows)
+        return rows
+
+    return merged.groupBy("repo_bucket").applyInPandas(merge_bucket, MERGED_LANG_SCHEMA)
+
+
 def merge_histograms(partials: DataFrame, salt_levels: int = 0) -> DataFrame:
     """Final per-(repo_bucket, lang) histogram table.
 

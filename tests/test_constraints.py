@@ -62,3 +62,45 @@ def test_sha256_invariant_matches_hashlib(spark, corpus_pair):
     base, _, _ = corpus_pair
     row = base.select("content", C.content_sha256().alias("h")).first()
     assert row["h"] == hashlib.sha256(row["content"].encode("utf-8")).hexdigest()
+
+
+def test_manifest_roundtrip_clean(spark, corpus_pair):
+    """A snapshot checked against its own manifest has zero row-invariant
+    violations (per-row sha256 equality, BASELINE.json input_hint)."""
+    from sparkval.constraints import content_manifest, manifest_violations
+
+    base, _, _ = corpus_pair
+    assert manifest_violations(base, content_manifest(base)).count() == 0
+
+
+def test_manifest_violations_classified(spark, corpus_pair):
+    from pyspark.sql import functions as F
+
+    from sparkval.constraints import content_manifest, manifest_violations
+
+    base, _, _ = corpus_pair
+    ref = content_manifest(base)
+    one = ref.orderBy("repo", "path", "commit").limit(3).collect()
+    k_tamper, k_drop, k_extra = [ (r["repo"], r["path"], r["commit"]) for r in one ]
+    perturbed = (
+        ref.withColumn(
+            "content_sha256",
+            F.when(
+                (F.col("repo") == k_tamper[0]) & (F.col("path") == k_tamper[1])
+                & (F.col("commit") == k_tamper[2]),
+                F.sha2(F.lit("x"), 256),
+            ).otherwise(F.col("content_sha256")),
+        )
+        .filter(~((F.col("repo") == k_drop[0]) & (F.col("path") == k_drop[1])
+                  & (F.col("commit") == k_drop[2])))
+        .unionByName(
+            ref.filter((F.col("repo") == k_extra[0]) & (F.col("path") == k_extra[1])
+                       & (F.col("commit") == k_extra[2]))
+            .select("repo", F.lit("___extra___").alias("path"), "commit", "content_sha256")
+        )
+    )
+    out = {(r["path"], r["detail"]) for r in manifest_violations(base, perturbed).collect()}
+    assert (k_tamper[1], "content_hash_mismatch") in out
+    assert (k_drop[1], "unexpected_in_snapshot") in out
+    assert ("___extra___", "missing_in_snapshot") in out
+    assert len(out) == 3

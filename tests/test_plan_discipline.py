@@ -1,0 +1,116 @@
+"""Physical-plan discipline tests (SURVEY §7.3 hard part d).
+
+The north rule requires ALL predicate evaluation through vectorized
+pandas/Arrow UDFs and DataFrame SQL — no per-row Python. These tests
+enforce it two ways: statically (no .rdd / row-at-a-time udf anywhere
+in the package) and physically (scans prune + push down, dimension
+joins broadcast, python stages are ArrowEvalPython/MapInPandas,
+never BatchEvalPython).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import functions as F
+
+from tests.conftest import load
+
+PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "sparkval")
+
+
+def _pkg_sources():
+    for root, _, files in os.walk(PKG):
+        for fn in files:
+            if fn.endswith(".py"):
+                path = os.path.join(root, fn)
+                with open(path) as f:
+                    yield path, f.read()
+
+
+def test_no_rdd_api_usage():
+    offenders = [p for p, src in _pkg_sources() if re.search(r"\.rdd\b|sparkContext\.parallelize", src)]
+    assert not offenders, offenders
+
+
+def test_no_row_at_a_time_udf():
+    # row-at-a-time registrations: F.udf(...), @udf — the slow path the
+    # north rule forbids. pandas_udf / mapInPandas / applyInPandas are
+    # the only python boundaries allowed.
+    pat = re.compile(r"(?<!pandas_)\budf\s*\(")
+    offenders = []
+    for p, src in _pkg_sources():
+        for m in pat.finditer(src):
+            line = src[: m.start()].count("\n") + 1
+            offenders.append(f"{p}:{line}")
+    assert not offenders, offenders
+
+
+def test_scan_prunes_and_pushes_down(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    plan = (
+        docs.filter(F.col("lang") == "en")
+        .select("doc_id", "lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # column pruning: the scan must not read `text`
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "text" not in m.group(1), plan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(lang,en\)", plan), plan
+
+
+def test_referential_check_broadcasts(spark, corpus_pair):
+    from sparkval.constraints import referential_violations
+
+    base, _, commits = corpus_pair
+    plan = (
+        referential_violations(base, commits)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_python_stages_are_arrow_vectorized(spark, corpus_pair):
+    """Every python execution node in the drift pipeline must be an
+    Arrow-vectorized operator (MapInPandas / ArrowEvalPython /
+    FlatMapGroupsInPandas) — BatchEvalPython (pickled row-at-a-time)
+    must never appear."""
+    from sparkval import ValidationConfig, ValidationEngine
+
+    base, snap, _ = corpus_pair
+    eng = ValidationEngine(ValidationConfig())
+    out = eng.validate(snap, eng.build_baseline(base))
+    plan = out["verdicts"]._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+    assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_histogram_shuffle_carries_no_content(spark, corpus_pair):
+    """The corpus scan's output rows (what would shuffle at scale) are
+    fixed-size histogram vectors, never content: assert the partial
+    schema has no content column and the merged table is O(keys)."""
+    from sparkval.config import ValidationConfig
+    from sparkval.histograms import partial_histograms
+
+    base, _, _ = corpus_pair
+    cfg = ValidationConfig()
+    partials = partial_histograms(base, cfg)
+    assert "content" not in partials.columns
+    # every column is a key, a scalar, or a fixed-width count vector:
+    # the row is ~2.6 KB regardless of how many GB of content fed it
+    from pyspark.sql import types as T
+
+    for f in partials.schema.fields:
+        assert isinstance(
+            f.dataType, (T.IntegerType, T.LongType, T.StringType, T.ArrayType)
+        ), f
+    # and the merged table is O(keys), not O(files)
+    n_keys = partials.select("repo_bucket", "lang").distinct().count()
+    from sparkval.histograms import merge_histograms
+
+    assert merge_histograms(partials).count() == n_keys

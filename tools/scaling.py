@@ -31,14 +31,36 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
 
 
+RUNS_LOG = os.path.join(REPO, "BENCH_runs.jsonl")
+
+
 def run_bench(cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=SF_DIR,
+        # heavier corpus for the scaling legs: amortizes fixed stage
+        # latency so the compute term dominates (what 100 TB looks like)
+        SPARK_GRAFT_BENCH_REPEAT=os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "96"),
+        SPARK_GRAFT_ENGINE_REPS="1",
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    r = json.loads(line)
+    with open(RUNS_LOG, "a") as f:  # crash-proof: every run lands on disk
+        f.write(json.dumps(r) + "\n")
+    return r
+
+
+def _spin(_):
+    # module-level: mp.Pool pickles the callable, nested defs fail
+    x = 0
+    for _ in range(20_000_000):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+    return x
 
 
 def calibrate_host(n: int, four_n: int) -> float:
@@ -53,17 +75,11 @@ def calibrate_host(n: int, four_n: int) -> float:
     import multiprocessing as mp
     import time
 
-    def spin(_):
-        x = 0
-        for _ in range(20_000_000):
-            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
-        return x
-
     rates = {}
     for procs in (n, four_n):
         with mp.Pool(procs) as p:
             t0 = time.perf_counter()
-            p.map(spin, range(procs))
+            p.map(_spin, range(procs))
             rates[procs] = procs / (time.perf_counter() - t0)
     return (rates[four_n] / rates[n]) / (four_n / n)
 
