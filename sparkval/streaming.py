@@ -54,6 +54,130 @@ def stream_validate(
     return writer.start()
 
 
+def _baseline_by_bucket(baseline: DataFrame) -> dict[int, dict]:
+    """Collapse the per-(bucket, lang) baseline table to per-bucket
+    channel vectors for the stateful monitor. Driver-side collect is
+    safe: the table is O(buckets x langs) rows at any corpus size."""
+    import numpy as np
+
+    from sparkval.config import LANG_VOCAB
+
+    out: dict[int, dict] = {}
+    for r in baseline.select(
+        "repo_bucket", "lang", "n_files", "byte_hist", "len_hist"
+    ).collect():
+        b = out.setdefault(
+            int(r["repo_bucket"]),
+            {
+                "byte": np.zeros(256, dtype=np.float64),
+                "len": np.zeros(64, dtype=np.float64),
+                "lang": np.zeros(len(LANG_VOCAB), dtype=np.float64),
+            },
+        )
+        b["byte"] += np.asarray(r["byte_hist"], dtype=np.float64)
+        b["len"] += np.asarray(r["len_hist"], dtype=np.float64)
+        if r["lang"] in LANG_VOCAB:
+            b["lang"][LANG_VOCAB.index(r["lang"])] += float(r["n_files"])
+    return out
+
+
+def stream_cumulative_drift(
+    stream: DataFrame,
+    baseline: DataFrame,
+    config: ValidationConfig,
+):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    cumulative per-bucket drift across micro-batches.
+
+    Unlike ``stream_validate`` (which scores each micro-batch in
+    isolation), this keeps the RUNNING histograms of everything seen so
+    far as typed group state — the streaming twin of the strip walker's
+    running StripReducer (strip.rs:126-209), except the state is the
+    mergeable histogram monoid, so the emitted score after the final
+    batch is bit-comparable to a batch run over the full input.
+
+    State per repo_bucket: (n_files, byte_hist[256], len_hist[64],
+    lang_counts[|vocab|]) — a few KB regardless of stream volume.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from sparkval import kernels
+    from sparkval.config import LANG_VOCAB
+    from sparkval.histograms import prepared_scan
+
+    base_by_bucket = _baseline_by_bucket(baseline)
+    good, bad = config.good_score, config.bad_score
+    hf_asym, single_res = config.hf_asymmetry, config.single_resolution
+
+    out_schema = T.StructType(
+        [
+            T.StructField("repo_bucket", T.IntegerType(), False),
+            T.StructField("files_seen", T.LongType(), False),
+            T.StructField("score", T.DoubleType(), False),
+            T.StructField("pnorm_3", T.DoubleType(), False),
+            T.StructField("verdict", T.StringType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_files", T.LongType(), False),
+            T.StructField("byte_hist", T.ArrayType(T.LongType()), False),
+            T.StructField("len_hist", T.ArrayType(T.LongType()), False),
+            T.StructField("lang_hist", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        bucket = int(key[0])
+        if state.exists:
+            n, bh, lh, gh = state.get
+            bh = np.asarray(bh, dtype=np.int64).copy()
+            lh = np.asarray(lh, dtype=np.int64).copy()
+            gh = np.asarray(gh, dtype=np.int64).copy()
+        else:
+            n = 0
+            bh = np.zeros(256, dtype=np.int64)
+            lh = np.zeros(64, dtype=np.int64)
+            gh = np.zeros(len(LANG_VOCAB), dtype=np.int64)
+        for pdf in pdfs:
+            present = pdf["_bytes"].dropna()
+            if len(present):
+                blob = np.frombuffer(b"\x00".join(present.tolist()), dtype=np.uint8)
+                np.add.at(bh, blob, 1)
+                bh[0] -= len(present) - 1
+                lens = pdf["_len"].dropna().to_numpy(dtype=np.int64)
+                np.add.at(lh, np.clip(np.log2(lens + 1).astype(np.int64), 0, 63), 1)
+            for lg, cnt in pdf["_l"].value_counts().items():
+                gh[LANG_VOCAB.index(lg)] += int(cnt)
+            n += len(pdf)
+        state.update((int(n), bh.tolist(), lh.tolist(), gh.tolist()))
+        base = base_by_bucket.get(
+            bucket,
+            {k: np.zeros(s, dtype=np.float64)
+             for k, s in (("byte", 256), ("len", 64), ("lang", len(LANG_VOCAB)))},
+        )
+        snap = {"byte": bh.astype(np.float64), "len": lh.astype(np.float64),
+                "lang": gh.astype(np.float64) / max(gh.sum(), 1)}
+        score, pnorm3, _ = kernels.drift_score(
+            base, snap, hf_asymmetry=hf_asym, single_resolution=single_res
+        )
+        verdict = "PASS" if score < good else ("WARN" if score < bad else "FAIL")
+        yield pd.DataFrame(
+            [{"repo_bucket": bucket, "files_seen": int(n), "score": float(score),
+              "pnorm_3": float(pnorm3), "verdict": verdict}]
+        )
+
+    prepped = prepared_scan(stream, config.n_repo_buckets).select(
+        "_b", "_l", "_len", "_bytes"
+    )
+    return prepped.groupBy("_b").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def windowed_lang_counts(
     events: DataFrame,
     ts_col: str = "ts",

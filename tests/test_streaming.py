@@ -88,3 +88,64 @@ def test_windowed_lang_counts_matches_batch_groupby(spark, tmp_path):
     # watermark may hold back nothing with availableNow + append on
     # finite input: all windows flush at end-of-stream
     assert got.equals(want)
+
+
+def test_stream_cumulative_drift_matches_numpy(spark, tmp_path):
+    """The stateful monitor's running score after the last micro-batch
+    equals a straight-line numpy drift over everything streamed."""
+    from sparkval import kernels
+    from sparkval.config import LANG_VOCAB
+    from sparkval.histograms import repo_bucket_py
+    from sparkval.streaming import _baseline_by_bucket, stream_cumulative_drift
+
+    base_pdf = fx.make_corpus("random_mid", 500)
+    snap_pdf = fx.distort(base_pdf, "quantize_3")
+    src = str(tmp_path / "cum_src")
+    spark.createDataFrame(snap_pdf).write.parquet(src)
+
+    eng = ValidationEngine(CFG)
+    base = eng.build_baseline(spark.createDataFrame(base_pdf), precompute_bands=False)
+    base.persist().count()
+
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(src)
+    q = (
+        stream_cumulative_drift(stream, base, CFG)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cum_drift")
+        .option("checkpointLocation", str(tmp_path / "cum_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.table("cum_drift")
+        .toPandas()
+        .sort_values("files_seen")
+        .groupby("repo_bucket")
+        .last()  # last emitted row per bucket = full-stream state
+    )
+
+    # numpy oracle: full-snapshot hists per bucket
+    base_by_bucket = _baseline_by_bucket(base)
+    snap_pdf = snap_pdf.assign(
+        _b=snap_pdf["repo"].map(lambda r: repo_bucket_py(r, CFG.n_repo_buckets))
+    )
+    for b, grp in snap_pdf.groupby("_b"):
+        blob = np.frombuffer(
+            "\x00".join(grp["content"].dropna()).encode("utf-8", "replace"), dtype=np.uint8
+        )
+        bh = np.zeros(256, dtype=np.int64)
+        np.add.at(bh, blob, 1)
+        bh[0] -= len(grp["content"].dropna()) - 1
+        lens = grp["content"].dropna().str.len().to_numpy(dtype=np.int64)
+        lh = np.zeros(64, dtype=np.int64)
+        np.add.at(lh, np.clip(np.log2(lens + 1).astype(np.int64), 0, 63), 1)
+        gh = np.zeros(len(LANG_VOCAB), dtype=np.float64)
+        for lg, cnt in grp["lang"].str.lower().value_counts().items():
+            gh[LANG_VOCAB.index(lg if lg in LANG_VOCAB else "other")] += cnt
+        snap = {"byte": bh.astype(np.float64), "len": lh.astype(np.float64),
+                "lang": gh / max(gh.sum(), 1)}
+        want, _, _ = kernels.drift_score(base_by_bucket[b], snap)
+        assert np.isclose(got.loc[b, "score"], want, rtol=1e-9), (b, got.loc[b, "score"], want)
+        assert got.loc[b, "files_seen"] == len(grp)
