@@ -218,6 +218,50 @@ def q_simhash_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return near_duplicates_simhash(_planted_near_dups(docs), max_hamming=3)
 
 
+def q_winnow_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap on documents + planted near-dups:
+    every planted pair must share many fingerprints. Rolling-hash
+    kernel is not SQL-expressible — rows-only check."""
+    from sparkval.pipeline.dedup import winnow_fingerprints, winnow_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(_planted_near_dups(docs))
+    return winnow_overlap(fps, min_containment=0.8)
+
+
+def q_salted_repo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-salted two-stage aggregation (north-rule skew handling)
+    over a deliberately skewed corpus (one repo holds ~25% of rows):
+    results must be EXACTLY the plain one-stage GROUP BY — the oracle
+    proves the salted rewrite is semantics-preserving."""
+    from sparkval.stats import per_repo_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    # repo r0 absorbs suppkeys 0..24 -> hot key
+    corpus = li.select(
+        F.when(F.col("l_suppkey") % 100 < 25, F.lit("r0"))
+        .otherwise(F.concat(F.lit("r"), (F.col("l_suppkey") % 100).cast("string")))
+        .alias("repo"),
+        F.concat_ws("/", "l_orderkey", "l_linenumber").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("python").alias("lang"),
+        # string/date/int columns only: double->string formatting is
+        # not identical across engines, lengths must match the oracle
+        F.concat_ws(
+            " ",
+            "l_returnflag",
+            "l_linestatus",
+            F.date_format("l_shipdate", "yyyy-MM-dd"),
+            F.col("l_orderkey").cast("string"),
+        ).alias("content"),
+    )
+    out = per_repo_stats(corpus, salt_buckets=8)
+    return out.select(
+        "repo", "n_files", "n_null_content",
+        F.round("len_mean", 6).alias("len_mean"), "len_min", "len_max",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-stream operators (sparkval.pipeline.events)
 # ---------------------------------------------------------------------------
@@ -461,6 +505,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_quantiles_documents": q_length_quantiles_documents,
     "ngram_jaccard_adjacent_documents": q_ngram_jaccard_adjacent_documents,
     "minhash_near_dups_documents": q_minhash_near_dups_documents,
+    "winnow_overlap_documents": q_winnow_overlap_documents,
+    "salted_repo_stats": q_salted_repo_stats,
     "simhash_near_dups_documents": q_simhash_near_dups_documents,
     "events_hourly_counts": q_events_hourly_counts,
     "events_sessions_per_user": q_events_sessions_per_user,
@@ -626,6 +672,21 @@ ORACLE_SQL: dict[str, str] = {
                round(len(list_intersect(a.g, b.g))::DOUBLE
                      / greatest(len(list_distinct(list_concat(a.g, b.g))), 1), 6) AS jaccard
         FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+    """,
+    "salted_repo_stats": """
+        SELECT CASE WHEN l_suppkey % 100 < 25 THEN 'r0'
+                    ELSE 'r' || (l_suppkey % 100) END AS repo,
+               count(*) AS n_files,
+               0 AS n_null_content,
+               round(avg(length(c)), 6) AS len_mean,
+               min(length(c)) AS len_min,
+               max(length(c)) AS len_max
+        FROM (
+            SELECT l_suppkey,
+                   l_returnflag || ' ' || l_linestatus || ' '
+                   || strftime(l_shipdate, '%Y-%m-%d') || ' ' || l_orderkey AS c
+            FROM lineitem
+        ) GROUP BY 1
     """,
     "events_hourly_counts": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

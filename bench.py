@@ -49,6 +49,8 @@ HEADLINE = [
     "lang_id_documents",            # expression-tree language ID
     "ann_topk_embeddings",          # vectorized matmul topk
     "cosine_near_dups_embeddings",  # LSH bucket join + exact verify
+    "minhash_near_dups_documents",  # shingle->minhash->LSH->verify pipeline
+    "events_sessions_per_user",     # window functions (lag + running sum)
     "drift_shifted_documents",      # full drift engine on documents
 ]
 

@@ -216,6 +216,104 @@ def near_duplicates_simhash(df: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# Winnowing (MOSS-style) rolling-hash fingerprints
+# ---------------------------------------------------------------------------
+
+_WINNOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("fingerprint", T.LongType(), False),
+        T.StructField("pos", T.IntegerType(), False),
+    ]
+)
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 5, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): rolling k-gram hashes, keep the minimum of every
+    ``window`` consecutive hashes (rightmost tie-break) — guarantees
+    any match of length >= k+window-1 shares a fingerprint, with
+    document-position-independent selection (robust to reordering,
+    unlike head/tail sampling).
+
+    One vectorized pass: the rolling hash is the same polynomial
+    shingle hash as MinHash (shared _shingles kernel); the windowed
+    min is a numpy sliding_window_view argmin. Output is the long
+    (doc_id, fingerprint, pos) table: overlap detection is then a
+    plain fingerprint equi-join + group-count — pure built-ins that
+    shuffle only (hash, id) pairs.
+    """
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps, poss = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                h = _shingles(text or "", k=k)
+                if len(h) < window:
+                    sel = np.arange(len(h))
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(h, window)
+                    # rightmost minimum per window (the paper's robust
+                    # winnowing tie-break): argmin on the reversed axis
+                    rev_arg = np.argmin(win[:, ::-1], axis=1)
+                    sel = np.unique(np.arange(len(win)) + (window - 1 - rev_arg))
+                ids.extend([did] * len(sel))
+                fps.extend(h[sel].astype(np.int64))
+                poss.extend(sel.astype(np.int32))
+            yield pd.DataFrame({"doc_id": ids, "fingerprint": fps, "pos": poss})
+
+    return df.select(id_col, text_col).mapInPandas(gen, _WINNOW_SCHEMA)
+
+
+def winnow_overlap(fps: DataFrame, min_containment: float = 0.8,
+                   max_fingerprint_df: int | None = None) -> DataFrame:
+    """Document pairs whose winnowed fingerprint sets overlap with
+    containment (shared / smaller set size) >= ``min_containment`` —
+    the MOSS match criterion, robust to templated corpora where raw
+    shared-count thresholds drown in boilerplate.
+
+    Scale shape: fingerprint equi-join on per-doc-deduped fingerprints;
+    pair counts and set sizes are partial+final hash aggs. Hot
+    fingerprints (boilerplate shared by thousands of files) are the
+    skew hazard: ``max_fingerprint_df`` applies the classic
+    stopword cut before the join (AQE skew-join covers the rest) — at
+    web scale ALWAYS set it, since a fingerprint shared by k docs
+    yields k^2/2 join rows.
+    """
+    d = fps.select("doc_id", "fingerprint").distinct()
+    if max_fingerprint_df is not None:
+        keep = (
+            d.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_fingerprint_df)
+            .select("fingerprint")
+        )
+        d = d.join(F.broadcast(keep), "fingerprint")
+    sizes = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    l, r = d.alias("l"), d.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.fingerprint") == F.col("r.fingerprint"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+    )
+    with_sizes = pairs.join(
+        sizes.select(F.col("doc_id").alias("a"), F.col("n_fps").alias("_na")), "a"
+    ).join(sizes.select(F.col("doc_id").alias("b"), F.col("n_fps").alias("_nb")), "b")
+    return (
+        with_sizes.withColumn(
+            "containment",
+            F.col("shared_fingerprints") / F.least("_na", "_nb"),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("a", "b", "shared_fingerprints", F.round("containment", 6).alias("containment"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (verification joined onto candidates)
 # ---------------------------------------------------------------------------
 

@@ -199,3 +199,35 @@ def test_minhash_planted_pairs_recall(spark, docs):
     ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
     missing = [i for i in ids if (i, i + 100000) not in pairs]
     assert not missing, missing[:10]
+
+
+def test_winnowing_guarantee_and_overlap(spark, docs):
+    """Winnowing guarantee: any shared substring of length >= k+w-1
+    yields a shared fingerprint; planted near-dups must overlap
+    heavily, unrelated docs must not tie them."""
+    planted = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.lit("zq "), F.substring("text", 5, 1 << 20)).alias("text"),
+        )
+    )
+    fps = dedup.winnow_fingerprints(planted, k=5, window=4)
+    overlap = dedup.winnow_overlap(fps, min_containment=0.8).toPandas()
+    pairs = set(zip(overlap["a"], overlap["b"]))
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    missing = [i for i in ids if (i, i + 100000) not in pairs]
+    assert not missing, missing[:10]
+
+
+def test_winnow_fingerprints_position_independent(spark):
+    """The same motif fingerprints identically wherever it appears
+    (the winnowing property head/tail sampling lacks)."""
+    motif = "def compute_scores(frame, weights): return frame.dot(weights) # shared"
+    df = spark.createDataFrame(
+        [(1, "AAAA " * 10 + motif), (2, motif + " ZZZZ " * 10)],
+        ["doc_id", "text"],
+    )
+    fps = dedup.winnow_fingerprints(df).toPandas()
+    s1 = set(fps[fps["doc_id"] == 1]["fingerprint"])
+    s2 = set(fps[fps["doc_id"] == 2]["fingerprint"])
+    assert len(s1 & s2) >= 5
