@@ -367,11 +367,21 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_near_dups_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-dup pairs verified by exact cosine >= 0.9."""
+    """LSH-bucketed near-dup pairs verified by exact cosine >= 0.9,
+    over embeddings ∪ planted scaled copies (vec_id + 100000): every
+    planted pair MUST surface (cosine(v, 2v) = 1), plus any real pairs."""
     from sparkval.pipeline.similarity import near_duplicates_cosine
 
-    embs = _t(spark, sf_dir, "embeddings")
-    out = near_duplicates_cosine(embs, threshold=0.9, n_planes=6)
+    embs = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = embs.unionByName(
+        embs.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(2.0))
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+    )
+    out = near_duplicates_cosine(planted, threshold=0.9, n_planes=6)
     return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 

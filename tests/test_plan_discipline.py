@@ -114,3 +114,42 @@ def test_histogram_shuffle_carries_no_content(spark, corpus_pair):
     from sparkval.histograms import merge_histograms
 
     assert merge_histograms(partials).count() == n_keys
+
+
+def test_bucketed_table_uniqueness_is_shuffle_free(spark, corpus_pair, tmp_path):
+    """The docs/SCALE.md claim, proven on a real plan: with the corpus
+    stored bucketed by the natural key, the uniqueness check's
+    groupBy(key) reuses the storage partitioning — ZERO exchanges
+    (at 10^12 rows this is the difference between a 60 TB shuffle and
+    none)."""
+    base, _, _ = corpus_pair
+    spark.sql("DROP TABLE IF EXISTS corpus_bucketed")
+    (
+        base.write.bucketBy(8, "repo", "path", "commit")
+        .sortBy("repo", "path", "commit")
+        .format("parquet")
+        .option("path", str(tmp_path / "corpus_bucketed"))  # external: keep the repo cwd clean
+        .mode("overwrite")
+        .saveAsTable("corpus_bucketed")
+    )
+    try:
+        from pyspark.sql import functions as F
+
+        t = spark.table("corpus_bucketed")
+        dup = (
+            t.groupBy("repo", "path", "commit")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+        )
+        plan = dup._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and results match the unbucketed path
+        want = (
+            base.groupBy("repo", "path", "commit")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .count()
+        )
+        assert dup.count() == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS corpus_bucketed")
