@@ -73,15 +73,29 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                sh = _shingles(text or "", k_shingle)
-                with np.errstate(over="ignore"):
-                    # (a*x+b) mod p for all perms x all shingles
-                    vals = (sh[None, :] * _PERM_A[:, None] + _PERM_B[:, None]) % _MINHASH_P
-                sig = vals.min(axis=1).astype(np.int64)
-                sigs.append({id_col: did, "signature": sig})
-            yield pd.DataFrame(sigs)
+            if pdf.empty:
+                continue
+            # batch-vectorized: concatenate every doc's (deduped)
+            # shingle set, hash ALL (perm x shingle) pairs with the
+            # classic (a*x+b) mod p family, then take per-doc minima
+            # with one segmented reduce per permutation. The former
+            # per-doc loop spent its time on 64-row tiny-matrix
+            # overhead, not hashing — shingle sets are small after
+            # np.unique, so the flat batch is cheap even with mod p.
+            per_doc = [_shingles(t or "", k_shingle) for t in pdf[text_col]]
+            lengths = np.array([len(s) for s in per_doc])
+            flat = np.concatenate(per_doc) if per_doc else np.empty(0, np.uint64)
+            offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            with np.errstate(over="ignore"):
+                sig_mat = np.empty((_N_PERM, len(lengths)), dtype=np.uint64)
+                for p in range(_N_PERM):
+                    hp = (flat * _PERM_A[p] + _PERM_B[p]) % _MINHASH_P
+                    sig_mat[p] = np.minimum.reduceat(hp, offsets)
+            sig_mat = sig_mat.astype(np.int64)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(),
+                 "signature": [sig_mat[:, j] for j in range(len(lengths))]}
+            )
 
     return df.select(id_col, text_col).mapInPandas(gen, out_schema)
 
