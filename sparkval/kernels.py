@@ -501,6 +501,15 @@ def score_from_driftmap(dm: np.ndarray) -> tuple[float, float]:
     return score, pn / 3.0
 
 
+def pnorm_slice(dm: np.ndarray, p: float) -> float:
+    """Arbitrary-p aggregation (lib.rs:556-577): mean of the p-norms at
+    p, 2p and 4p — the reference's public pnorm API, f64 sums."""
+    if dm.size == 0 or p <= 0:
+        return 0.0
+    a = np.abs(np.asarray(dm, dtype=np.float64))
+    return float(np.mean([np.mean(a ** q) ** (1.0 / q) for q in (p, 2 * p, 4 * p)]))
+
+
 def drift_score(
     base: dict[str, np.ndarray],
     snap: dict[str, np.ndarray],

@@ -263,3 +263,15 @@ def test_golden_scores(case):
     got_s, got_p, _ = case_score(case)
     assert got_s == pytest.approx(want_s, rel=1e-3)
     assert got_p == pytest.approx(want_p, rel=1e-3)
+
+
+def test_pnorm_slice_arbitrary_p():
+    """pnorm_slice (lib.rs:556-577): mean of norms at p/2p/4p; at p=3
+    it reproduces the fused score_from_driftmap pnorm_3 exactly."""
+    rng = np.random.default_rng(7)
+    dm = rng.uniform(0, 2, 200)
+    _, pn3 = K.score_from_driftmap(dm)
+    assert np.isclose(K.pnorm_slice(dm, 3.0), pn3, rtol=1e-12)
+    # monotone in p for this nonnegative map (higher p -> closer to max)
+    assert K.pnorm_slice(dm, 1.0) <= K.pnorm_slice(dm, 3.0) <= np.max(dm) + 1e-12
+    assert K.pnorm_slice(np.array([]), 3.0) == 0.0
