@@ -302,6 +302,36 @@ def q_events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join — custom operator Spark lacks,
+    implemented as union + carry-forward window (one shuffle, no range
+    explosion): each click gets the user's latest view at-or-before it.
+    Oracle: DuckDB's native ASOF JOIN."""
+    from pyspark.sql import Window
+    from sparkval.pipeline.events import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    # dedupe right per (user, ts) deterministically: ASOF tie order is
+    # engine-specific, so make the right side unique before joining
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("view_id"), "value")
+    )
+    out = as_of_join(clicks, views, ["user_id"], "ts", right_cols=["view_id", "value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts"),
+        "view_id_right",
+        F.round("value_right", 4).alias("view_value"),
+        F.date_format("ts_right", _TS_FMT).alias("view_ts"),
+    )
+
+
 def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON prop extraction (codegen get_json_object) + rollup."""
     from sparkval.pipeline.events import extract_props
@@ -522,6 +552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessions_per_user": q_events_sessions_per_user,
     "events_latest_per_user": q_events_latest_per_user,
     "events_props_extract": q_events_props_extract,
+    "events_asof_click_view": q_events_asof_click_view,
     "multimodal_features": q_multimodal_features,
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -735,6 +766,24 @@ ORACLE_SQL: dict[str, str] = {
                                          ORDER BY ts DESC, event_id DESC) AS rn
             FROM events
         ) WHERE rn = 1
+    """,
+    "events_asof_click_view": """
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), views AS (
+            SELECT user_id, ts, event_id AS view_id, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                             ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'view'
+            ) WHERE rn = 1
+        )
+        SELECT c.event_id, c.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               v.view_id AS view_id_right,
+               round(v.value, 4) AS view_value,
+               strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
     """,
     "events_props_extract": """
         SELECT event_type, count(*) AS n,

@@ -107,6 +107,50 @@ def latest_event_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Point-in-time (as-of) join: each left row gets the latest right
+    row with ``right.ts <= left.ts`` for the same key. Spark has no
+    native ASOF JOIN; the naive range-join is O(|L|·|R|) per key.
+
+    Scalable formulation — ONE shuffle on the key, no range explosion:
+    union both sides tagged, sort within key by (ts, side), and carry
+    the right side's values forward with last(..., ignorenulls) over an
+    unbounded-preceding window; keep left rows. Right side sorts before
+    left at equal timestamps, so ties are inclusive (ts_right == ts_left
+    matches), mirroring ASOF semantics with >=.
+
+    Cost at scale: |L|+|R| rows shuffle once on the key; the window is
+    a single pass per key partition. Hot keys → AQE skew handling.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in key_cols + [ts_col]]
+    carried = [f"{c}{suffix}" for c in right_cols] + [f"{ts_col}{suffix}"]
+    l = left.withColumn("_side", F.lit(1))
+    r = right.select(
+        *key_cols,
+        F.col(ts_col),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        F.lit(0).alias("_side"),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned
+    for c in carried:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.filter(F.col("_side") == 1).drop("_side")
+
+
 def extract_props(events: DataFrame, keys: tuple[str, ...] = ("k",)) -> DataFrame:
     """Typed extraction from the JSON props column — pure expression
     (get_json_object runs in codegen; no UDF, no shuffle)."""

@@ -85,3 +85,28 @@ def test_sessionize_partition_parity(spark, events):
     a = sessionize(events.repartition(1), 30).orderBy("user_id", "session_seq").collect()
     b = sessionize(events.repartition(7), 30).orderBy("user_id", "session_seq").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_as_of_join_semantics(spark):
+    from sparkval.pipeline.events import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 1, T0 + dt.timedelta(minutes=10)),
+         (2, 1, T0 + dt.timedelta(minutes=30)),
+         (3, 2, T0 + dt.timedelta(minutes=5)),
+         (4, 3, T0)],  # user 3 has no right rows at all
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 1, T0, 1.0),
+         (101, 1, T0 + dt.timedelta(minutes=10), 2.0),   # ties with left @10 -> inclusive
+         (102, 1, T0 + dt.timedelta(minutes=20), 3.0),
+         (103, 2, T0 + dt.timedelta(minutes=6), 9.0)],   # after user2's click
+        "rid long, user_id long, ts timestamp, v double",
+    )
+    out = {r["event_id"]: (r["rid_right"], r["v_right"])
+           for r in as_of_join(left, right, ["user_id"], "ts").collect()}
+    assert out[1] == (101, 2.0)   # inclusive tie at ts=10
+    assert out[2] == (102, 3.0)   # latest at-or-before 30
+    assert out[3] == (None, None) # right row is later -> no match
+    assert out[4] == (None, None) # no right rows for key
