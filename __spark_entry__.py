@@ -575,11 +575,14 @@ ORACLE_SQL: dict[str, str] = {
         SELECT count(*) AS n_orphans FROM lineitem l
         WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
     """,
+    # ::BIGINT casts matter: DuckDB sum() over integers returns HUGEINT,
+    # which pandas renders as float64 ("3.0" vs Spark's "3") — a value-
+    # hash mismatch even when the numbers are identical.
     "null_stats_documents": """
         SELECT count(*) AS n_rows,
-               sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
-               sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
-               sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS len_mismatch
+               sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_text,
+               sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_lang,
+               sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END)::BIGINT AS len_mismatch
         FROM documents
     """,
     "column_stats_documents": """
@@ -739,7 +742,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "events_sessions_per_user": """
         WITH g AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_session
@@ -747,7 +750,7 @@ ORACLE_SQL: dict[str, str] = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), s AS (
             SELECT user_id, ts, new_session,
-                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                           ROWS UNBOUNDED PRECEDING) AS session_seq
             FROM g
         ), per_session AS (
@@ -755,7 +758,7 @@ ORACLE_SQL: dict[str, str] = {
                    date_diff('second', min(ts), max(ts)) AS duration_s
             FROM s GROUP BY 1, 2
         )
-        SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+        SELECT user_id, count(*) AS n_sessions, sum(n_events)::BIGINT AS n_events,
                max(duration_s) AS max_session_s
         FROM per_session GROUP BY user_id
     """,
@@ -787,7 +790,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "events_props_extract": """
         SELECT event_type, count(*) AS n,
-               sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+               sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
                min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
                max(json_extract_string(props, '$.k')::BIGINT) AS max_k
         FROM events GROUP BY event_type
