@@ -296,13 +296,18 @@ def winnow_overlap(fps: DataFrame, min_containment: float = 0.8,
     """
     d = fps.select("doc_id", "fingerprint").distinct()
     if max_fingerprint_df is not None:
-        keep = (
+        # Broadcast the HOT list (df > cap) and remove it with a
+        # left-anti join: the hot set is tiny by construction (few
+        # boilerplate fingerprints shared by many docs), whereas the
+        # keep-list is nearly every distinct fingerprint — broadcasting
+        # that would OOM the driver at exactly the scale the cap is for.
+        hot = (
             d.groupBy("fingerprint")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_fingerprint_df)
+            .filter(F.col("df") > max_fingerprint_df)
             .select("fingerprint")
         )
-        d = d.join(F.broadcast(keep), "fingerprint")
+        d = d.join(F.broadcast(hot), "fingerprint", "left_anti")
     sizes = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
     l, r = d.alias("l"), d.alias("r")
     pairs = (

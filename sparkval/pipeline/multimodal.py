@@ -122,12 +122,17 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def make_fake_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (seeded payloads)."""
+    """Deterministic fake media table for tests (seeded payloads).
+
+    Payloads are ASCII (repeated sha256 hexdigests) on purpose: an
+    external SQL oracle can then reproduce payload bytes, sha256 and
+    the fake feature vector exactly (DuckDB's sha256 is VARCHAR-only,
+    so raw binary payloads would be unverifiable there)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (i % 5 + 1)
+        payload = (hashlib.sha256(f"media-{i}".encode()).hexdigest() * (i % 5 + 1)).encode()
         rows.append(
             (
                 i,

@@ -88,26 +88,56 @@ def brute_force_topk(
     )
 
 
-def hyperplane_buckets(
-    df: DataFrame, vec_col: str, n_planes: int = 12, dim: int = 64, seed: int = 42
+def lsh_bands(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket id per row (one pandas UDF)."""
+    """OR-amplified random-hyperplane LSH: ``n_tables`` independent
+    hash tables of ``n_planes`` bits each, all from ONE matmul pass.
+
+    A single table collides a cosine-θ pair with p = (1 - θ/π)^P —
+    only ~0.40 at cosine 0.9 with P=6, i.e. it silently drops most
+    true pairs. OR-amplification raises recall to 1 - (1-p)^L
+    (≈ 0.98 at L=8, P=8, cosine 0.9) while keeping per-bucket sizes
+    ~n/2^P so candidate generation never goes quadratic.
+
+    Scale shape: output is ONLY (id, band, bucket) — embeddings never
+    round-trip through Python or the shuffle; candidate join volume is
+    L x (bucket-local pairs).
+    """
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, dim))
+    planes = rng.normal(size=(n_tables * n_planes, dim))
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("band", T.IntegerType(), False),
+            T.StructField("bucket", T.LongType(), False),
+        ]
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (mat @ planes.T) > 0
-            bucket = bits @ (1 << np.arange(n_planes))
-            out = pdf.copy()
-            out["bucket"] = bucket.astype(np.int64)
-            yield out
+            bits = (mat @ planes.T) > 0  # (n, L*P), one fused matmul
+            buckets = bits.reshape(len(mat), n_tables, n_planes) @ weights
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_tables),
+                    "band": np.tile(np.arange(n_tables, dtype=np.int32), len(ids)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
 
-    schema = T.StructType(df.schema.fields + [T.StructField("bucket", T.LongType(), False)])
-    return df.mapInPandas(gen, schema)
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
 def cosine_pairs_exact(
@@ -231,23 +261,28 @@ def near_duplicates_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    n_tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """Embedding near-dup: LSH bucket join -> exact cosine -> filter.
+    """Embedding near-dup: OR-amplified LSH candidate join -> exact
+    cosine verify -> filter.
 
-    n_planes=8 keeps per-bucket sizes ~n/256; candidate pairs are
-    bucket-local, so the join never goes quadratic in the corpus.
-    """
-    b = hyperplane_buckets(embeddings.select(id_col, vec_col), vec_col, n_planes, dim)
+    Candidates from ANY of the ``n_tables`` hash tables survive
+    (recall ≈ 1-(1-p)^L, see lsh_bands); false positives cost only an
+    exact-cosine verification, never a wrong answer. distinct() after
+    the union dedups multi-table hits before the verify join. No
+    global sort: output is a pair SET (callers order if needed)."""
+    b = lsh_bands(embeddings, id_col, vec_col, n_planes, n_tables, dim)
     l, r = b.alias("l"), b.alias("r")
     cands = (
         l.join(
             r,
-            (F.col("l.bucket") == F.col("r.bucket"))
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
         .distinct()
     )
     exact = cosine_pairs_exact(embeddings, cands, id_col, vec_col)
-    return exact.filter(F.col("cosine") >= threshold).orderBy("a", "b")
+    return exact.filter(F.col("cosine") >= threshold)

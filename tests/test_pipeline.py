@@ -135,6 +135,28 @@ def test_cosine_near_duplicates(spark, embs):
     assert (3, 9999) in pairs
 
 
+def test_cosine_lsh_recall_non_collinear(spark):
+    """OR-amplified LSH must recover >=95% of true cosine-0.92 pairs
+    whose members are NOT collinear — the case a single 6..8-plane
+    table silently drops ~60% of (p_single = (1-θ/π)^P ≈ 0.33)."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(150, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.normal(size=base.shape)
+    noise -= (noise * base).sum(axis=1, keepdims=True) * base
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    theta = float(np.arccos(0.92))
+    pert = np.cos(theta) * base + np.sin(theta) * noise  # exact cosine 0.92
+    rows = [(i, base[i].astype(np.float32).tolist()) for i in range(len(base))] + [
+        (i + 100000, pert[i].astype(np.float32).tolist()) for i in range(len(base))
+    ]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+    out = similarity.near_duplicates_cosine(df, threshold=0.9).toPandas()
+    pairs = set(zip(out["a"], out["b"]))
+    found = sum((i, i + 100000) in pairs for i in range(len(base)))
+    assert found / len(base) >= 0.95, found
+
+
 def test_multimodal_features_deterministic(spark):
     media = multimodal.make_fake_media(spark, 30)
     out1 = multimodal.extract_features(media).toPandas().set_index("media_id").sort_index()
