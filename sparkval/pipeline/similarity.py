@@ -176,6 +176,151 @@ def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
     return centroids
 
 
+def train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 4096,
+) -> np.ndarray:
+    """Deterministic coarse quantizer from a bounded driver sample.
+
+    orderBy(hash)+limit plans as TakeOrderedAndProject (distributed
+    top-k, no full sort); the sample stays ~1e5 rows even at 100 TB.
+    """
+    sample_rows = (
+        embeddings.select(F.col(vec_col), F.xxhash64(id_col).alias("_h"))
+        .orderBy("_h")
+        .limit(train_sample)
+        .select(vec_col)
+        .collect()
+    )
+    sample = _normalize(np.stack([np.asarray(r[0]) for r in sample_rows]).astype(np.float64))
+    return _kmeans_lite(sample, n_centroids)
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 4096,
+) -> np.ndarray:
+    """Build the IVF layout: assign each row to its nearest centroid
+    and write parquet PARTITIONED BY centroid, so probes become
+    partition-pruned scans (ivf_topk_indexed reads nprobe/n_centroids
+    of the files, verified by a plan-discipline test). Centroids are
+    persisted alongside (underscore-prefixed => invisible to parquet
+    discovery). One corpus pass; the only Python stage is the
+    assignment matmul, which ships (id, vec) and appends a byte."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark = embeddings.sparkSession
+    centroids = train_centroids(embeddings, n_centroids, id_col, vec_col, train_sample)
+    bc = spark.sparkContext.broadcast(centroids)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(vec_col, T.ArrayType(T.FloatType()), False),
+            T.StructField("centroid", T.IntegerType(), False),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            pdf = pdf.copy()
+            pdf["centroid"] = np.argmax(mat @ cents.T, axis=1).astype(np.int32)
+            yield pdf
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(assign, schema)
+    assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
+    pq.write_table(
+        pa.table(
+            {
+                "centroid_id": pa.array(range(len(centroids)), pa.int32()),
+                "vec": pa.array([c.tolist() for c in centroids]),
+            }
+        ),
+        f"{path}/_centroids.parquet",
+    )
+    return centroids
+
+
+def read_ivf_centroids(path: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{path}/_centroids.parquet").sort_by("centroid_id")
+    return np.stack([np.asarray(v) for v in t["vec"].to_pylist()])
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against a centroid-partitioned index: the probe is a
+    ``centroid IN (...)`` filter on the PARTITION column, so Spark's
+    scan reads only the probed directories — at nprobe/n_centroids =
+    1/4, 75% of the corpus is never opened. This (not the index-free
+    ivf_topk) is the 100 TB path."""
+    centroids = read_ivf_centroids(index_path)
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    probes = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
+    probed = sorted({int(c) for row in probes for c in row})
+    q_by_centroid = {
+        int(c): [qi for qi in range(len(q_ids)) if c in probes[qi]] for c in probed
+    }
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_by_centroid))
+
+    corpus = spark.read.parquet(index_path).filter(F.col("centroid").isin(probed))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, by_c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            cells = pdf["centroid"].to_numpy()
+            vec_ids = pdf[id_col].to_numpy()
+            out = []
+            for c, q_idx in by_c.items():
+                in_cell = cells == c
+                if not in_cell.any():
+                    continue
+                sims = mat[q_idx] @ vecs[in_cell].T
+                cell_ids = vec_ids[in_cell]
+                kk = min(k, sims.shape[1])
+                top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                for row, qi in enumerate(q_idx):
+                    for j in top[row]:
+                        out.append(
+                            {"query_id": ids[qi], "vec_id": int(cell_ids[j]),
+                             "cosine": float(sims[row, j])}
+                        )
+            if out:
+                yield pd.DataFrame(out)
+
+    partials = corpus.select(id_col, vec_col, "centroid").mapInPandas(score, _TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 9).alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: list[tuple[int, list[float]]],
@@ -186,28 +331,17 @@ def ivf_topk(
     vec_col: str = "embedding",
     train_sample: int = 4096,
 ) -> DataFrame:
-    """IVF approximate top-k: coarse-quantize the corpus into
-    ``n_centroids`` inverted lists, then score each query only against
-    its ``nprobe`` nearest lists.
+    """Index-free IVF approximate top-k: coarse-quantize, then score
+    each query only against its ``nprobe`` nearest lists.
 
-    Scale shape: centroids trained on a bounded driver sample and
-    broadcast; list assignment is one mapInPandas pass (no shuffle);
-    the probe is a broadcast-joinable filter ``centroid IN probe_set``
-    pushed into the scan of a centroid-partitioned corpus, so at
-    nprobe/n_centroids = 1/4 the scan reads ~25% of the data.
+    NOTE the scan still reads 100% of the rows here (assignment
+    happens inside the UDF) — it saves distance computations, not
+    I/O. For the scan-pruning variant that reads only probed
+    partitions, build the layout once with write_ivf_index and query
+    via ivf_topk_indexed.
     """
     spark = embeddings.sparkSession
-    # deterministic bounded sample: orderBy(hash)+limit plans as
-    # TakeOrderedAndProject (distributed top-k, no full sort)
-    sample_rows = (
-        embeddings.select(F.col(vec_col), F.xxhash64(id_col).alias("_h"))
-        .orderBy("_h")
-        .limit(train_sample)
-        .select(vec_col)
-        .collect()
-    )
-    sample = _normalize(np.stack([np.asarray(r[0]) for r in sample_rows]).astype(np.float64))
-    centroids = _kmeans_lite(sample, n_centroids)
+    centroids = train_centroids(embeddings, n_centroids, id_col, vec_col, train_sample)
 
     q_ids = np.array([q[0] for q in queries], dtype=np.int64)
     q_mat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
