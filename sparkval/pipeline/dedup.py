@@ -47,8 +47,12 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return groups
 
 
-def _shingles(text: str, k: int = 5) -> np.ndarray:
-    """Character k-shingle hashes, vectorized via numpy byte tricks."""
+def _shingles(text: str, k: int = 5, unique: bool = True) -> np.ndarray:
+    """Character k-shingle hashes, vectorized via numpy byte tricks.
+
+    ``unique=True`` (set semantics) for MinHash/SimHash; winnowing
+    needs ``unique=False`` — the hashes in DOCUMENT ORDER — because
+    its window-minimum selection is positional."""
     b = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
     if len(b) < k:
         b = np.pad(b, (0, k - len(b)), constant_values=32)
@@ -58,7 +62,7 @@ def _shingles(text: str, k: int = 5) -> np.ndarray:
     with np.errstate(over="ignore"):
         for i in range(k):
             h = h * np.uint64(1099511628211) + windows[:, i]
-    return np.unique(h)
+    return np.unique(h) if unique else h
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -148,13 +152,26 @@ def minhash_jaccard(sigs: DataFrame, candidates: DataFrame, id_col: str = "doc_i
 
 
 def near_duplicates_minhash(df: DataFrame, text_col: str = "text",
-                            id_col: str = "doc_id", threshold: float = 0.7) -> DataFrame:
-    """End-to-end MinHash near-dup: signatures -> LSH -> estimate -> filter."""
+                            id_col: str = "doc_id", threshold: float = 0.7,
+                            persist_signatures: bool = True) -> DataFrame:
+    """End-to-end MinHash near-dup: signatures -> LSH -> estimate -> filter.
+
+    The signature table feeds both the banding leg and the estimation
+    join; ``persist_signatures`` caches it so the signature kernel runs
+    once, not twice. The cache lives until the session drops it (or
+    ``spark.catalog.clearCache()``) — long-lived sessions running many
+    sweeps should unpersist via the returned plan's source or pass
+    ``persist_signatures=False`` (recompute instead of cache).
+
+    No global sort: the result is a pair SET (deterministic content);
+    callers needing a stable order sort the (tiny) output themselves.
+    """
     sigs = minhash_signatures(df, text_col, id_col)
-    sigs.persist()
+    if persist_signatures:
+        sigs.persist()
     cands = minhash_candidates(sigs, id_col)
     est = minhash_jaccard(sigs, cands, id_col)
-    return est.filter(F.col("jaccard_est") >= threshold).orderBy("a", "b")
+    return est.filter(F.col("jaccard_est") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -174,16 +191,27 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bitw = (np.uint64(1) << np.arange(64, dtype=np.uint64))
         for pdf in batches:
-            out = []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                sh = _shingles(text or "")
-                bits = (sh[:, None] & bitw[None, :]) != 0  # (n_shingles, 64)
-                counts = bits.sum(axis=0)
-                fp = np.uint64(0)
-                maj = counts * 2 > len(sh)
-                fp = np.bitwise_or.reduce(np.where(maj, bitw, np.uint64(0)))
-                out.append({id_col: did, "simhash": np.int64(fp)})
-            yield pd.DataFrame(out)
+            if pdf.empty:
+                continue
+            # batch-vectorized like minhash (flat concat + segmented
+            # reduce): concatenate every doc's shingle hashes once,
+            # then per-doc bit counts are one add.reduceat per bit
+            # plane over the doc-boundary offsets — no per-doc numpy
+            # calls, and peak extra memory is one bool plane
+            # (O(total_shingles) bytes), not a (total, 64) matrix.
+            per_doc = [_shingles(t or "") for t in pdf[text_col]]
+            lengths = np.array([len(s) for s in per_doc], dtype=np.int64)
+            flat = np.concatenate(per_doc) if per_doc else np.empty(0, np.uint64)
+            offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            counts = np.empty((len(lengths), 64), dtype=np.int64)
+            for j in range(64):
+                # int64 plane: reduceat keeps the operand dtype, and an
+                # int8 plane would overflow at segments > 127 shingles
+                plane = ((flat & bitw[j]) != 0).astype(np.int64)
+                counts[:, j] = np.add.reduceat(plane, offsets)
+            maj = counts * 2 > lengths[:, None]
+            fps = (maj * bitw).sum(axis=1, dtype=np.uint64).astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "simhash": fps})
 
     return df.select(id_col, text_col).mapInPandas(gen, out_schema)
 
@@ -222,10 +250,10 @@ def near_duplicates_simhash(df: DataFrame, text_col: str = "text",
         .distinct()
     )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    # no global sort in the hot path — the result is a pair set
     return (
         cands.select("a", "b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .orderBy("a", "b")
     )
 
 
@@ -251,30 +279,59 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "do
     document-position-independent selection (robust to reordering,
     unlike head/tail sampling).
 
-    One vectorized pass: the rolling hash is the same polynomial
-    shingle hash as MinHash (shared _shingles kernel); the windowed
-    min is a numpy sliding_window_view argmin. Output is the long
-    (doc_id, fingerprint, pos) table: overlap detection is then a
-    plain fingerprint equi-join + group-count — pure built-ins that
-    shuffle only (hash, id) pairs.
+    One batch-vectorized pass (flat-concat + masked windows, the same
+    treatment as the MinHash/SimHash kernels): every doc's rolling
+    hashes concatenate into ONE array, the window argmin runs over it
+    globally, and windows straddling a document boundary are masked
+    out — zero per-doc Python in the main path (only docs shorter
+    than the window, rare by construction, take a fallback). Output
+    is the long (doc_id, fingerprint, pos) table: overlap detection
+    is then a plain fingerprint equi-join + group-count — pure
+    built-ins that shuffle only (hash, id) pairs.
+
+    Selection density is ~2/(window+1) of the k-gram stream (the
+    paper's bound), which is exactly what keeps the downstream
+    equi-join volume sane at web scale.
     """
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, fps, poss = [], [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                h = _shingles(text or "", k=k)
-                if len(h) < window:
-                    sel = np.arange(len(h))
-                else:
-                    win = np.lib.stride_tricks.sliding_window_view(h, window)
-                    # rightmost minimum per window (the paper's robust
-                    # winnowing tie-break): argmin on the reversed axis
-                    rev_arg = np.argmin(win[:, ::-1], axis=1)
-                    sel = np.unique(np.arange(len(win)) + (window - 1 - rev_arg))
-                ids.extend([did] * len(sel))
-                fps.extend(h[sel].astype(np.int64))
-                poss.extend(sel.astype(np.int32))
-            yield pd.DataFrame({"doc_id": ids, "fingerprint": fps, "pos": poss})
+            if pdf.empty:
+                continue
+            # document-order hashes (unique=False): winnowing's window
+            # minimum is positional — sorted-unique input would
+            # degenerate selection to "almost every distinct hash"
+            per_doc = [_shingles(t or "", k=k, unique=False) for t in pdf[text_col]]
+            lengths = np.array([len(h) for h in per_doc], dtype=np.int64)
+            flat = np.concatenate(per_doc)
+            starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            doc_idx = np.repeat(np.arange(len(lengths)), lengths)
+            if len(flat) >= window:
+                win = np.lib.stride_tricks.sliding_window_view(flat, window)
+                # rightmost minimum per window (the paper's robust
+                # winnowing tie-break): argmin on the reversed axis
+                rev_arg = np.argmin(win[:, ::-1], axis=1)
+                w_start = np.arange(len(win))
+                sel_pos = w_start + (window - 1 - rev_arg)
+                # windows fully inside one document only
+                inside = doc_idx[w_start] == doc_idx[w_start + window - 1]
+                sel_pos = sel_pos[inside]
+            else:
+                sel_pos = np.empty(0, dtype=np.int64)
+            short = np.flatnonzero(lengths < window)
+            if len(short):
+                short_pos = np.concatenate(
+                    [np.arange(starts[d], starts[d] + lengths[d]) for d in short]
+                )
+                sel_pos = np.concatenate([sel_pos, short_pos])
+            sel_pos = np.unique(sel_pos)
+            sel_doc = doc_idx[sel_pos]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy()[sel_doc],
+                    "fingerprint": flat[sel_pos].astype(np.int64),
+                    "pos": (sel_pos - starts[sel_doc]).astype(np.int32),
+                }
+            )
 
     return df.select(id_col, text_col).mapInPandas(gen, _WINNOW_SCHEMA)
 
