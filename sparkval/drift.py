@@ -109,6 +109,7 @@ def drift_verdicts(
     joined = s.join(b, on=keys, how="full_outer")
 
     hf_asym = config.hf_asymmetry
+    xmul = config.xmul
     single_res = config.single_resolution
     keep_map = config.compute_driftmap
     good, bad = config.good_score, config.bad_score
@@ -136,8 +137,8 @@ def drift_verdicts(
                                       ("lang", len(LANG_VOCAB)))
                     }
                 score, pnorm3, dm = kernels.drift_score(
-                    base, snap, hf_asymmetry=hf_asym, single_resolution=single_res,
-                    precomputed=pre,
+                    base, snap, hf_asymmetry=hf_asym, xmul=xmul,
+                    single_resolution=single_res, precomputed=pre,
                 )
                 n_b = int(row.b_n_files) if pd.notna(row.b_n_files) else 0
                 n_s = int(row.s_n_files) if pd.notna(row.s_n_files) else 0

@@ -153,6 +153,20 @@ def blur1d(v: np.ndarray, sigma: float) -> np.ndarray:
     return num / den
 
 
+def blur1d_mirror(v: np.ndarray, sigma: float) -> np.ndarray:
+    """Mirrored-boundary blur with normalized taps — the opsin
+    pre-blur (blur_mirrored_5x5, blur.rs:1240-1258: x<0 -> -x-1, i.e.
+    the edge sample IS repeated => np.pad mode='symmetric'; weights
+    normalized to sum 1, compute_separable5_weights blur.rs:26-39).
+    Unlike blur1d there is no border re-normalization: mirrored
+    samples supply the mass."""
+    k = gaussian_kernel(sigma)
+    k = k / k.sum()
+    hw = (len(k) - 1) // 2
+    padded = np.pad(v, hw, mode="symmetric")
+    return np.convolve(padded, k, mode="valid")
+
+
 def fuzzy_erosion_1d(v: np.ndarray, offset: int = 3) -> np.ndarray:
     """Weighted 3-smallest of {x-offset, x, x+offset} (mask.rs:110-149:
     0.45*min0 + 0.3*min1 + 0.25*min2), edges clamped."""
@@ -185,7 +199,9 @@ def opsin_dynamics(v: np.ndarray) -> np.ndarray:
     # sensitivity = gamma(x)/x bounded (<= gamma(1) ~ 22.9) so the first
     # epsilon of mass in an empty histogram region cannot dominate the
     # score and break monotonicity in distortion amplitude.
-    blurred = np.maximum(blur1d(v, SIGMA_OPSIN), 1.0)
+    # Mirrored boundaries (not clamp+renorm): the reference uses the
+    # dedicated blur_mirrored_5x5 for exactly this sigma-1.2 pre-blur.
+    blurred = np.maximum(blur1d_mirror(v, SIGMA_OPSIN), 1.0)
     sensitivity = gamma(blurred) / blurred
     return v * sensitivity
 
@@ -364,6 +380,25 @@ CHANNELS = {
 }
 
 
+#: Minimum histogram length for a full-strength pipeline pass — the 8px
+#: floor of the reference (lib.rs:209-227): shorter vectors are
+#: reflect-101-padded, scored, and their driftmap cropped back.
+MIN_BINS = 8
+
+
+def reflect_pad_min(v: np.ndarray, min_bins: int = MIN_BINS) -> np.ndarray:
+    """Reflect(mirror)-pad to the pipeline floor (reflect_index,
+    lib.rs:189-201: period 2(n-1), edge NOT repeated => np.pad
+    mode='reflect'). Original bins occupy the head, so a driftmap
+    computed on the padded vector crops back with [:len(v)]
+    (crop_diffmap analog)."""
+    n = len(v)
+    if n >= min_bins:
+        return v
+    mode = "reflect" if n > 1 else "edge"
+    return np.pad(v, (0, min_bins - n), mode=mode)
+
+
 def normalize_hist(counts: np.ndarray) -> np.ndarray:
     """Counts -> intensity: probability mass scaled so a uniform
     distribution sits at mid-gray (partition-size invariance; the
@@ -384,7 +419,7 @@ def precompute_channel_bands(c0: np.ndarray, channel: str,
     with bands exactly as separate_frequencies produces them, so the
     warm path is bit-identical to the cold path."""
     spec = CHANNELS[channel]
-    c0 = np.asarray(c0, dtype=np.float64)
+    c0 = reflect_pad_min(np.asarray(c0, dtype=np.float64))
     out = {"full": separate_frequencies(opsin_dynamics(normalize_hist(c0)),
                                         full_bands=spec["full"])}
     if not single_resolution and len(c0) >= 16:
@@ -420,13 +455,28 @@ def unpack_bands(flat: np.ndarray, n_bins: int) -> dict:
 
 def channel_driftmap(c0: np.ndarray, c1: np.ndarray, channel: str,
                      hf_asymmetry: float = 1.0,
+                     xmul: float = 1.0,
                      pre_b0: dict[str, np.ndarray] | None = None) -> np.ndarray:
     """Single-resolution drift map for one distribution family
     (the recast of compute_diffmap_single_resolution_linear,
     diff.rs:627-658). ``pre_b0`` supplies precomputed baseline bands
     (the warm path, compute_diffmap_with_precomputed,
-    precompute.rs:1235+) — results are bit-identical either way."""
+    precompute.rs:1235+) — results are bit-identical either way.
+
+    ``xmul`` scales the X-channel combine weights exactly as the
+    reference does (WMUL X entries x xmul, diff.rs:405-472 /
+    consts.rs:40-50); the recast's X channel is `lang` (see CHANNELS),
+    so xmul multiplies every lang weight and leaves byte/len alone.
+    Inputs below the 8-bin floor are reflect-101 padded and the
+    driftmap cropped back (lib.rs:209-227 + crop_diffmap)."""
     spec = CHANNELS[channel]
+    n_orig = len(c0)
+    c0 = reflect_pad_min(np.asarray(c0, dtype=np.float64))
+    c1 = reflect_pad_min(np.asarray(c1, dtype=np.float64))
+    if channel == "lang" and xmul != 1.0:
+        spec = dict(spec)
+        for wk in ("w_malta_uhf", "w_malta_hf", "w_ac", "w_dc"):
+            spec[wk] = spec[wk] * xmul
     v1 = opsin_dynamics(normalize_hist(c1))
     if pre_b0 is None:
         v0 = opsin_dynamics(normalize_hist(c0))
@@ -449,7 +499,7 @@ def channel_driftmap(c0: np.ndarray, c1: np.ndarray, channel: str,
     ac += l2_diff(b0["mf"], b1["mf"], spec["w_ac"])
 
     dc = l2_diff(b0["lf"], b1["lf"], spec["w_dc"])
-    return np.sqrt(np.maximum(dc * mask_dc + ac * mask_ac, 0.0))
+    return np.sqrt(np.maximum(dc * mask_dc + ac * mask_ac, 0.0))[:n_orig]
 
 
 def downsample_2x(counts: np.ndarray) -> np.ndarray:
@@ -472,18 +522,19 @@ def add_supersampled_2x(full: np.ndarray, coarse: np.ndarray,
 
 def channel_driftmap_multires(c0: np.ndarray, c1: np.ndarray, channel: str,
                               hf_asymmetry: float = 1.0,
+                              xmul: float = 1.0,
                               single_resolution: bool = False,
                               pre: dict | None = None) -> np.ndarray:
     """Full + half-resolution pass (diff.rs:666-695). The half-res
     pass is skipped for vectors under 16 bins (the >=15px gate,
     diff.rs:673) or when single_resolution is set (lib.rs:466-481).
     ``pre`` is the precompute_channel_bands output for the warm path."""
-    full = channel_driftmap(c0, c1, channel, hf_asymmetry,
+    full = channel_driftmap(c0, c1, channel, hf_asymmetry, xmul,
                             pre_b0=pre["full"] if pre else None)
     if single_resolution or len(c0) < 16:
         return full
     coarse = channel_driftmap(
-        downsample_2x(c0), downsample_2x(c1), channel, hf_asymmetry,
+        downsample_2x(c0), downsample_2x(c1), channel, hf_asymmetry, xmul,
         pre_b0=pre.get("half") if pre else None,
     )
     return add_supersampled_2x(full, coarse)
@@ -514,6 +565,7 @@ def drift_score(
     base: dict[str, np.ndarray],
     snap: dict[str, np.ndarray],
     hf_asymmetry: float = 1.0,
+    xmul: float = 1.0,
     single_resolution: bool = False,
     precomputed: dict[str, dict] | None = None,
 ) -> tuple[float, float, np.ndarray]:
@@ -532,6 +584,7 @@ def drift_score(
             np.asarray(snap[ch], dtype=np.float64),
             ch,
             hf_asymmetry=hf_asymmetry,
+            xmul=xmul,
             single_resolution=single_resolution,
             pre=(precomputed or {}).get(ch),
         )
