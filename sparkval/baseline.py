@@ -17,6 +17,8 @@ skipped.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sparkval.config import ValidationConfig
@@ -114,8 +116,41 @@ def estimated_baseline_bytes(
 
 
 def save_baseline(baseline: DataFrame, path: str) -> None:
+    """Persist the baseline plus a metadata sidecar recording the
+    fingerprint algorithm version (ADVICE: a baseline persisted under
+    an older fingerprint function must not silently never-match)."""
+    import json
+
     baseline.write.mode("overwrite").parquet(path)
+    from sparkval.histograms import FP_ALGO
+
+    with open(os.path.join(path, "_sparkval_meta.json"), "w") as f:
+        json.dump({"fp_algo": FP_ALGO}, f)
 
 
 def load_baseline(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    """Load a persisted baseline. If its fingerprint-algorithm version
+    differs from the current engine's (or predates versioning), warn
+    and DROP the fingerprint column: the identical-input short-circuit
+    is then explicitly disabled instead of silently never firing."""
+    import json
+    import warnings
+
+    from sparkval.histograms import FP_ALGO
+
+    df = spark.read.parquet(path)
+    meta_path = os.path.join(path, "_sparkval_meta.json")
+    saved_algo = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            saved_algo = json.load(f).get("fp_algo")
+    if saved_algo != FP_ALGO and "fingerprint" in df.columns:
+        warnings.warn(
+            f"baseline at {path} carries fingerprint algo {saved_algo!r} "
+            f"(engine: {FP_ALGO!r}); dropping fingerprints — the "
+            "identical-input short-circuit is disabled for this baseline. "
+            "Rebuild the baseline to restore it.",
+            stacklevel=2,
+        )
+        df = df.drop("fingerprint")
+    return df

@@ -123,16 +123,21 @@ def manifest_violations(corpus: DataFrame, expected: DataFrame) -> DataFrame:
     (key, sha) pairs — ~100 B/row even when content is megabytes; AQE
     skew-join covers hot repos.
     """
-    ours = content_manifest(corpus)
+    # explicit presence flags, NOT sha-nullness: content_sha256 is NULL
+    # for rows whose content is NULL (a supported state — see
+    # null_violations), so a NULL-content row present on both sides
+    # must classify by the flags, and NULL-vs-hash differences must
+    # surface as a mismatch (eqNullSafe), not as a phantom missing row.
+    ours = content_manifest(corpus).withColumn("_in_snap", F.lit(True))
     theirs = expected.select(
         *NATURAL_KEY, F.col("content_sha256").alias("expected_sha256")
-    )
+    ).withColumn("_in_ref", F.lit(True))
     j = ours.join(theirs, on=NATURAL_KEY, how="full_outer")
     detail = (
-        F.when(F.col("content_sha256").isNull(), F.lit("missing_in_snapshot"))
-        .when(F.col("expected_sha256").isNull(), F.lit("unexpected_in_snapshot"))
+        F.when(F.col("_in_snap").isNull(), F.lit("missing_in_snapshot"))
+        .when(F.col("_in_ref").isNull(), F.lit("unexpected_in_snapshot"))
         .when(
-            F.col("content_sha256") != F.col("expected_sha256"),
+            ~F.col("content_sha256").eqNullSafe(F.col("expected_sha256")),
             F.lit("content_hash_mismatch"),
         )
     )
@@ -158,13 +163,22 @@ def all_violations(corpus: DataFrame, commits: DataFrame | None = None) -> DataF
     return deterministic_order(out, ["check", "repo", "path", "commit"])
 
 
-def deterministic_order(df: DataFrame, keys: list[str]) -> DataFrame:
+def deterministic_order(
+    df: DataFrame, keys: list[str], max_rows: int | None = 1_000_000
+) -> DataFrame:
     """Deterministic total order WITHOUT a global orderBy: violation /
     verdict tables are tiny (violations are rare by definition), but a
     global sort range-partitions, and its sampling pass RE-EXECUTES the
     entire upstream lineage — for violation tables that means scanning
     the corpus twice. One hash partition + in-partition sort gives the
-    same total order for a fraction of the cost; callers with huge
-    outputs should write partitioned-unsorted instead.
+    same total order for a fraction of the cost.
+
+    ``max_rows`` bounds the single task against the pathological case
+    (e.g. validating against the wrong manifest makes violations
+    O(corpus)): output truncates at the cap rather than funnelling the
+    corpus through one task. Callers that must emit every row of a
+    huge violation set pass None and write partitioned-unsorted.
     """
+    if max_rows is not None:
+        df = df.limit(max_rows)
     return df.repartition(1).sortWithinPartitions(*keys)

@@ -36,6 +36,13 @@ from pyspark.sql import types as T
 
 from sparkval.config import BYTE_BINS, LANG_VOCAB, LEN_BINS, ValidationConfig
 
+#: Version tag of the per-row content fingerprint function used for the
+#: identical-input short-circuit. Bump whenever prepared_scan's
+#: fingerprint expression changes (e.g. the blake2b->xxhash64 switch):
+#: baselines persisted under another version must NOT short-circuit
+#: against current fingerprints (they'd silently never match).
+FP_ALGO = "xxhash64(lang,content)-v1"
+
 PARTIAL_SCHEMA = T.StructType(
     [
         T.StructField("repo_bucket", T.IntegerType(), False),

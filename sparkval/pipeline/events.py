@@ -52,15 +52,21 @@ def sessionize(
     gap_minutes: int = 30,
     ts_col: str = "ts",
     user_col: str = "user_id",
+    id_col: str | None = "event_id",
 ) -> DataFrame:
     """Gap-based sessions: a new session starts when the user has been
     idle longer than ``gap_minutes``. Returns one row per session.
+
+    ``id_col`` breaks ordering ties at equal timestamps; pass None for
+    event tables without a usable id column (results are then
+    plan-dependent only when duplicate (user, ts) rows exist).
 
     Plan: single shuffle on user_id; lag + running-sum window
     functions share the same partitioning (one Window spec family),
     so Catalyst plans them in one Exchange.
     """
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    order = [F.col(ts_col).asc()] + ([F.col(id_col).asc()] if id_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
     # microsecond-exact gap: truncating to seconds would misclassify
     # gaps in (30min, 30min+1s) vs an interval-exact oracle
     # cast handles TIMESTAMP_NTZ sources (session TZ is UTC, lossless)
@@ -128,9 +134,20 @@ def as_of_join(
 
     Cost at scale: |L|+|R| rows shuffle once on the key; the window is
     a single pass per key partition. Hot keys → AQE skew handling.
+
+    Right rows sharing (key, ts) are deduped deterministically inside
+    the operator (max struct of the carried columns wins), so the
+    output never depends on physical plan ordering.
     """
     right_cols = right_cols or [c for c in right.columns if c not in key_cols + [ts_col]]
     carried = [f"{c}{suffix}" for c in right_cols] + [f"{ts_col}{suffix}"]
+    tie = F.struct(*right_cols).desc() if right_cols else F.lit(1).asc()
+    dw = Window.partitionBy(*key_cols, ts_col).orderBy(tie)
+    right = (
+        right.withColumn("_rn", F.row_number().over(dw))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     l = left.withColumn("_side", F.lit(1))
     r = right.select(
         *key_cols,

@@ -103,4 +103,28 @@ def test_manifest_violations_classified(spark, corpus_pair):
     assert (k_tamper[1], "content_hash_mismatch") in out
     assert (k_drop[1], "unexpected_in_snapshot") in out
     assert ("___extra___", "missing_in_snapshot") in out
-    assert len(out) == 3
+
+
+def test_manifest_null_content_semantics(spark):
+    """NULL content hashes to NULL sha256 (a supported state): a
+    NULL-content row present in BOTH manifests is NOT a violation, and
+    a NULL-vs-hash difference is a content_hash_mismatch — never a
+    phantom missing/unexpected row (presence flags + eqNullSafe)."""
+    from pyspark.sql import functions as F
+
+    from sparkval.constraints import content_manifest, manifest_violations
+
+    rows = [
+        ("r1", "a", "c1", "py", None),        # NULL in both -> clean
+        ("r1", "b", "c1", "py", "hello"),     # NULL in ref -> mismatch
+        ("r1", "c", "c1", "py", None),        # NULL here, hash in ref -> mismatch
+    ]
+    corpus = spark.createDataFrame(rows, ["repo", "path", "commit", "lang", "content"])
+    ref = content_manifest(corpus).withColumn(
+        "content_sha256",
+        F.when(F.col("path") == "b", F.lit(None).cast("string"))
+        .when(F.col("path") == "c", F.sha2(F.lit("was-here").cast("binary"), 256))
+        .otherwise(F.col("content_sha256")),
+    )
+    out = {(r["path"], r["detail"]) for r in manifest_violations(corpus, ref).collect()}
+    assert out == {("b", "content_hash_mismatch"), ("c", "content_hash_mismatch")}

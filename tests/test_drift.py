@@ -53,6 +53,35 @@ def test_identity_all_pass_score_zero(spark, engine, baseline_df):
     assert out["violations"].count() == 0
 
 
+def test_baseline_fingerprint_version_contract(spark, engine, baseline_df, tmp_path):
+    """A persisted baseline round-trips intact; one saved under a
+    DIFFERENT fingerprint algorithm loads with a warning and without
+    its fingerprint column (short-circuit explicitly disabled, never
+    silently never-matching)."""
+    import json
+    import warnings
+
+    from sparkval.baseline import load_baseline, save_baseline
+
+    df, _ = baseline_df
+    base = engine.build_baseline(df)
+    path = str(tmp_path / "b")
+    save_baseline(base, path)
+    again = load_baseline(spark, path)
+    assert "fingerprint" in again.columns
+
+    with open(f"{path}/_sparkval_meta.json", "w") as f:
+        json.dump({"fp_algo": "blake2b-legacy"}, f)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        stale = load_baseline(spark, path)
+    assert "fingerprint" not in stale.columns
+    assert any("short-circuit" in str(x.message) for x in w)
+    # and the engine still validates correctly without fingerprints
+    out = engine.validate(df, stale)["verdicts"].toPandas()
+    assert (out["score"] == 0.0).all()
+
+
 def test_identity_without_shortcircuit_still_zero(spark, baseline_df):
     """Same histograms -> drift kernel itself must return exactly 0."""
     df, _ = baseline_df
