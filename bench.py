@@ -123,7 +123,23 @@ def bench_engine_throughput(spark, sf_dir: str) -> tuple[float, int]:
         force(out["verdicts"])
         force(out["violations"])
         best = min(best, time.perf_counter() - t0)
-    return best, n_files
+
+    # per-stage breakdown (scan vs merge vs kernel+join): lets scaling
+    # analysis separate the memory-bandwidth-bound scan from fixed
+    # stage latency. Each leg forced in isolation.
+    from sparkval.drift import partition_histograms
+    from sparkval.histograms import partial_histograms
+
+    stages = {}
+    cfg = eng.config
+    t0 = time.perf_counter()
+    force(partial_histograms(snap, cfg))
+    stages["scan_partials"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    force(partition_histograms(snap, cfg))
+    stages["hists_merged"] = round(time.perf_counter() - t0, 3)
+    stages["merge_only_est"] = round(stages["hists_merged"] - stages["scan_partials"], 3)
+    return best, n_files, stages
 
 
 def warmup(spark) -> None:
@@ -171,7 +187,7 @@ def main() -> None:
 
     # engine leg FIRST (the headline metric), on a freshly-warmed
     # session with nothing cached
-    eng_sec, n_files = bench_engine_throughput(spark, SF_DIR)
+    eng_sec, n_files, eng_stages = bench_engine_throughput(spark, SF_DIR)
     spark.catalog.clearCache()
 
     # best-of-2: first run still pays per-plan codegen; the repeat is
@@ -207,6 +223,7 @@ def main() -> None:
                 "host_steal_ticks": _steal_ticks() - steal0,
                 "engine_files": n_files,
                 "engine_files_per_sec": round(n_files / eng_sec, 1),
+                "engine_stage_sec": eng_stages,
             }
         )
     )

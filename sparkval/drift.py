@@ -71,15 +71,13 @@ def _vec(x, n: int) -> np.ndarray:
     return np.asarray(x, dtype=np.float64)
 
 
-def drift_verdicts(
-    base_hists: DataFrame, snap_hists: DataFrame, config: ValidationConfig
-) -> DataFrame:
-    """Join baseline x snapshot hist tables and score each partition.
-
-    The baseline table is tiny (partitions, not files) -> broadcast.
-    Full-outer join so appearing/vanishing partitions still get rows.
-    """
-    config.validate()
+def joined_hists(base_hists: DataFrame, snap_hists: DataFrame) -> DataFrame:
+    """Full-outer join of baseline x snapshot hist tables on the
+    partition key — appearing/vanishing partitions still get rows.
+    Both sides are partition-level tiny (O(buckets x langs) rows), so
+    the shuffle is negligible regardless of corpus size (broadcast
+    hints are unsupported for full-outer joins). Fingerprint columns
+    ride along when present (the short-circuit predicate reads them)."""
     keys = ["repo_bucket", "lang"]
     has_pre = "pre_byte" in base_hists.columns
     pre_cols = (
@@ -87,12 +85,19 @@ def drift_verdicts(
         if has_pre
         else []
     )
+    fp_b = (
+        [F.col("fingerprint").alias("b_fingerprint")]
+        if "fingerprint" in base_hists.columns
+        else []
+    )
+    fp_s = [F.col("fingerprint")] if "fingerprint" in snap_hists.columns else []
     b = base_hists.select(
         *keys,
         F.col("n_files").alias("b_n_files"),
         F.col("byte_hist").alias("b_byte"),
         F.col("len_hist").alias("b_len"),
         F.col("lang_hist").alias("b_lang"),
+        *fp_b,
         *pre_cols,
     )
     s = snap_hists.select(
@@ -101,12 +106,21 @@ def drift_verdicts(
         F.col("byte_hist").alias("s_byte"),
         F.col("len_hist").alias("s_len"),
         F.col("lang_hist").alias("s_lang"),
+        *fp_s,
     )
-    # full-outer keeps appearing/vanishing partitions; broadcast hints
-    # are unsupported for full-outer joins, but both sides are
-    # partition-level tiny (O(buckets x langs) rows) so the shuffle is
-    # negligible regardless of corpus size.
-    joined = s.join(b, on=keys, how="full_outer")
+    return s.join(b, on=keys, how="full_outer")
+
+
+def drift_verdicts_joined(
+    joined: DataFrame, config: ValidationConfig, same_col: str | None = None
+) -> DataFrame:
+    """Score each row of a joined hist table. When ``same_col`` names a
+    boolean column, rows where it is true take the identical-input
+    short-circuit (diff.rs:766-772) INSIDE the kernel stage: score
+    exactly 0.0, PASS, no kernel call — no extra joins or union
+    branches in the plan."""
+    config.validate()
+    has_pre = "b_pre_byte" in joined.columns
 
     hf_asym = config.hf_asymmetry
     xmul = config.xmul
@@ -119,6 +133,23 @@ def drift_verdicts(
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
+                n_b = int(row.b_n_files) if pd.notna(row.b_n_files) else 0
+                n_s = int(row.s_n_files) if pd.notna(row.s_n_files) else 0
+                if same_col is not None and bool(getattr(row, same_col)):
+                    out.append(
+                        {
+                            "repo_bucket": int(row.repo_bucket),
+                            "lang": row.lang,
+                            "n_files_base": n_b,
+                            "n_files_snap": n_s,
+                            "score": 0.0,
+                            "pnorm_3": 0.0,
+                            "verdict": VERDICT_PASS,
+                            "low_confidence": min(n_b, n_s) < min_rows,
+                            "driftmap": None,
+                        }
+                    )
+                    continue
                 base = {
                     "byte": _vec(row.b_byte, BYTE_BINS),
                     "len": _vec(row.b_len, LEN_BINS),
@@ -140,8 +171,6 @@ def drift_verdicts(
                     base, snap, hf_asymmetry=hf_asym, xmul=xmul,
                     single_resolution=single_res, precomputed=pre,
                 )
-                n_b = int(row.b_n_files) if pd.notna(row.b_n_files) else 0
-                n_s = int(row.s_n_files) if pd.notna(row.s_n_files) else 0
                 verdict = (
                     VERDICT_PASS if score < good else VERDICT_WARN if score < bad else VERDICT_FAIL
                 )
@@ -165,6 +194,13 @@ def drift_verdicts(
             )
 
     return joined.mapInPandas(score_batches, _VERDICT_SCHEMA)
+
+
+def drift_verdicts(
+    base_hists: DataFrame, snap_hists: DataFrame, config: ValidationConfig
+) -> DataFrame:
+    """Join baseline x snapshot hist tables and score each partition."""
+    return drift_verdicts_joined(joined_hists(base_hists, snap_hists), config)
 
 
 def drift_check(

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from sparkval import constraints
 from sparkval.baseline import build_baseline
 from sparkval.config import ValidationConfig
-from sparkval.drift import drift_verdicts, partition_histograms
+from sparkval.drift import drift_verdicts_joined, joined_hists, partition_histograms
 from sparkval.schema import check_corpus_schema
 
 
@@ -66,76 +66,44 @@ class ValidationEngine:
             )
 
         snap_hists = partition_histograms(snapshot, cfg)
-        if cfg.short_circuit_identical and "fingerprint" in baseline.columns:
-            # both hist tables are referenced by several branches below
-            # (same/changed/bucket fingerprints/drift join); they are
-            # O(buckets x langs) rows, so cache them rather than let
-            # each branch re-run the corpus-scan lineage
-            snap_hists = snap_hists.persist()
-            baseline = baseline.persist()
-            # identical partitions score 0 by definition (diff.rs:766-772)
-            # and skip the kernel — but ONLY if the enclosing bucket is
-            # also unchanged: the lang-mix channel is bucket-wide, so a
-            # lang relabel elsewhere in the bucket changes this
-            # partition's true score even when its own contents match.
-            # XOR of disjoint partition fingerprints = bucket fingerprint.
-            # Fingerprints ride inside the histogram tables: zero extra
-            # corpus scans.
-            def _bucket_fp(hists):
-                return hists.groupBy("repo_bucket").agg(
-                    F.bit_xor("fingerprint").alias("bucket_fp"),
-                    F.sum("n_files").alias("bucket_n"),
-                )
+        joined = joined_hists(baseline, snap_hists)
+        if cfg.short_circuit_identical and "b_fingerprint" in joined.columns:
+            # Identical partitions score 0 by definition
+            # (diff.rs:766-772) and skip the kernel — but ONLY if the
+            # enclosing bucket is also unchanged: the lang-mix channel
+            # is bucket-wide, so a lang relabel elsewhere in the bucket
+            # changes this partition's true score even when its own
+            # contents match. XOR of disjoint partition fingerprints =
+            # bucket fingerprint.
+            #
+            # Plan shape: the predicate is computed with WINDOW
+            # aggregates over the single full-outer join (one extra
+            # exchange on repo_bucket), and the shortcut itself fires
+            # INSIDE the scoring kernel — versus the previous
+            # formulation's 2 groupBys + 4 joins + union of branches.
+            # The tables are O(buckets x langs) rows: fixed stage
+            # latency, not data volume, is what those extra stages cost
+            # at any cluster size.
+            from pyspark.sql import Window
 
-            snap_bfp = _bucket_fp(snap_hists)
-            base_bfp = _bucket_fp(
-                baseline.select("repo_bucket", "fingerprint", "n_files")
-            ).select(
-                "repo_bucket",
-                F.col("bucket_fp").alias("b_bucket_fp"),
-                F.col("bucket_n").alias("b_bucket_n"),
+            w = Window.partitionBy("repo_bucket")
+            row_same = (
+                F.col("fingerprint").eqNullSafe(F.col("b_fingerprint"))
+                & F.col("s_n_files").eqNullSafe(F.col("b_n_files"))
             )
-            same = (
-                snap_hists.join(
-                    F.broadcast(
-                        baseline.select(
-                            "repo_bucket", "lang",
-                            F.col("fingerprint").alias("b_fp"),
-                            F.col("n_files").alias("b_fp_n"),
-                        )
-                    ),
-                    ["repo_bucket", "lang"],
+            # window aggs skip NULLs (rows missing on one side), which
+            # is exactly right: a one-sided row unbalances the bucket
+            # sums/xors and vetoes the whole bucket's shortcut
+            bucket_same = (
+                F.bit_xor("fingerprint").over(w).eqNullSafe(
+                    F.bit_xor("b_fingerprint").over(w)
                 )
-                .join(F.broadcast(snap_bfp), "repo_bucket")
-                .join(F.broadcast(base_bfp), "repo_bucket")
-                .filter(
-                    (F.col("fingerprint") == F.col("b_fp"))
-                    & (F.col("n_files") == F.col("b_fp_n"))
-                    & (F.col("bucket_fp") == F.col("b_bucket_fp"))
-                    & (F.col("bucket_n") == F.col("b_bucket_n"))
-                )
-                .select("repo_bucket", "lang", "n_files")
+                & F.sum("s_n_files").over(w).eqNullSafe(F.sum("b_n_files").over(w))
             )
-            changed = snap_hists.join(same, ["repo_bucket", "lang"], "left_anti")
-            # the baseline side must drop the same keys, else the
-            # full-outer join in drift_verdicts resurrects them as
-            # "missing partitions"
-            base_changed = baseline.join(same, ["repo_bucket", "lang"], "left_anti")
-            scored = drift_verdicts(base_changed, changed, cfg)
-            shortcut = same.select(
-                "repo_bucket",
-                "lang",
-                F.col("n_files").alias("n_files_base"),
-                F.col("n_files").alias("n_files_snap"),
-                F.lit(0.0).alias("score"),
-                F.lit(0.0).alias("pnorm_3"),
-                F.lit("PASS").alias("verdict"),
-                (F.col("n_files") < cfg.min_partition_rows).alias("low_confidence"),
-                F.lit(None).cast("array<double>").alias("driftmap"),
-            )
-            verdicts = scored.unionByName(shortcut)
+            joined = joined.withColumn("same_shortcut", row_same & bucket_same)
+            verdicts = drift_verdicts_joined(joined, cfg, same_col="same_shortcut")
         else:
-            verdicts = drift_verdicts(baseline, snap_hists, cfg)
+            verdicts = drift_verdicts_joined(joined, cfg)
 
         return {
             # verdict table is O(buckets x langs): single-partition

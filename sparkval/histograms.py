@@ -30,6 +30,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
@@ -86,11 +87,18 @@ def prepared_scan(corpus: DataFrame, n_buckets: int) -> DataFrame:
     """
     lang_low = F.lower(F.coalesce(F.col("lang"), F.lit("other")))
     lang_norm = F.when(lang_low.isin(*LANG_VOCAB), lang_low).otherwise(F.lit("other"))
+    bucket = F.pmod(F.crc32(F.col("repo").cast("binary")), F.lit(n_buckets)).cast("int")
+    lang_code = (
+        F.array_position(F.array(*[F.lit(l) for l in LANG_VOCAB]), lang_norm).cast("int")
+        - F.lit(1)
+    )
     return corpus.select(
-        F.pmod(F.crc32(F.col("repo").cast("binary")), F.lit(n_buckets))
-        .cast("int")
-        .alias("_b"),
+        bucket.alias("_b"),
         lang_norm.alias("_l"),
+        # composite numeric group key (bucket * n_langs + lang_code):
+        # lets the Arrow-side kernel group with np.unique instead of
+        # hashing strings row-by-row
+        (bucket * len(LANG_VOCAB) + lang_code).alias("_key"),
         # includes lang: a relabel with unchanged content must still
         # move the fingerprint (the lang-mix channel is bucket-wide)
         F.xxhash64(lang_norm, F.coalesce(F.col("content"), F.lit("\x00NULL")))
@@ -103,61 +111,85 @@ def prepared_scan(corpus: DataFrame, n_buckets: int) -> DataFrame:
 def partial_histograms(corpus: DataFrame, config: ValidationConfig) -> DataFrame:
     """Map-side partial histograms: one output row per (key, batch).
 
-    Per-row work (bucket, lang-norm, fingerprint, length, UTF-8 bytes)
-    runs JVM-side in prepared_scan; the pandas stage is pure numpy over
-    the Arrow batch: contents join into a single buffer per group,
-    bincount over uint8, xor-reduce of fingerprints — no per-row Python
-    function calls anywhere (north-rule requirement).
+    Per-row work (bucket, lang-norm, group key, fingerprint, length,
+    UTF-8 bytes) runs JVM-side in prepared_scan; the Python stage is a
+    mapInArrow kernel reading the record batch's buffers DIRECTLY:
+
+    - the binary column's data buffer is ONE contiguous allocation for
+      the whole batch — per-row views of it feed bincount with ZERO
+      copies and zero Python bytes objects (the old mapInPandas path
+      materialized every content as a bytes object, then paid another
+      full copy joining them into a blob: 2x the memory traffic of
+      the data itself, on the stage that is memory-bandwidth-bound);
+    - grouping is np.unique over the JVM-computed int key (no string
+      hashing), fingerprints fold with one segmented XOR, and length
+      histograms are one scatter-add per batch.
     """
-    n_buckets = config.n_repo_buckets
+    n_langs = len(LANG_VOCAB)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            out = []
-            for (b, lg), grp in pdf.groupby(["_b", "_l"], sort=False):
-                content = grp["_bytes"]
-                nulls = int(content.isna().sum())
-                present = content.dropna()
-                fp = int(
-                    np.bitwise_xor.reduce(
-                        grp["_fp"].to_numpy(dtype=np.int64).view(np.uint64)
-                    ).view(np.int64)
-                ) if len(grp) else 0
-                if len(present):
-                    blob = np.frombuffer(b"\x00".join(present.tolist()), dtype=np.uint8)
-                    # np.add.at instead of np.bincount: bincount's
-                    # first large call pays a multi-second lazy-dispatch
-                    # cost in this environment; add.at is equivalent
-                    # here (fixed 256-bin alphabet) and consistently fast
-                    bh = np.zeros(BYTE_BINS, dtype=np.int64)
-                    np.add.at(bh, blob, 1)
-                    # strip the join separators from the counts
-                    bh[0] -= len(present) - 1
-                    lens = grp["_len"].dropna().to_numpy(dtype=np.int64)
-                    lh = np.zeros(LEN_BINS, dtype=np.int64)
-                    np.add.at(lh, np.clip(np.log2(lens + 1).astype(np.int64), 0, LEN_BINS - 1), 1)
-                    total = int(lens.sum())
-                else:
-                    bh = np.zeros(BYTE_BINS, dtype=np.int64)
-                    lh = np.zeros(LEN_BINS, dtype=np.int64)
-                    total = 0
-                out.append(
-                    {
-                        "repo_bucket": int(b),
-                        "lang": lg,
-                        "n_files": int(len(grp)),
-                        "n_null_content": nulls,
-                        "total_bytes": total,
-                        "byte_hist": bh,
-                        "len_hist": lh,
-                        "fingerprint": fp,
-                    }
-                )
-            yield pd.DataFrame(out)
+            key = batch.column(0).to_numpy()
+            fp = batch.column(1).to_numpy().view(np.uint64)
+            ln = batch.column(2).fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+            barr = batch.column(3)
+            # offsets/data buffer views (no copy); binary() carries
+            # int32 offsets, large_binary() int64
+            off_dtype = np.int64 if pa.types.is_large_binary(barr.type) else np.int32
+            bufs = barr.buffers()
+            off = np.frombuffer(bufs[1], dtype=off_dtype)[barr.offset : barr.offset + n + 1]
+            data = (
+                np.frombuffer(bufs[2], dtype=np.uint8)
+                if bufs[2] is not None
+                else np.empty(0, dtype=np.uint8)
+            )
 
-    return prepared_scan(corpus, n_buckets).mapInPandas(gen, PARTIAL_SCHEMA)
+            ukeys, inv = np.unique(key, return_inverse=True)
+            G = len(ukeys)
+            n_files = np.bincount(inv, minlength=G).astype(np.int64)
+            nulls = np.bincount(inv[ln < 0], minlength=G).astype(np.int64)
+
+            # segmented XOR of row fingerprints per group
+            order = np.argsort(inv, kind="stable")
+            seg_starts = np.searchsorted(inv[order], np.arange(G))
+            fpx = np.bitwise_xor.reduceat(fp[order], seg_starts).view(np.int64)
+
+            pres = ln >= 0
+            lh = np.zeros((G, LEN_BINS), dtype=np.int64)
+            if pres.any():
+                lbin = np.clip(np.log2(ln[pres] + 1).astype(np.int64), 0, LEN_BINS - 1)
+                np.add.at(lh, (inv[pres], lbin), 1)
+            total = np.zeros(G, dtype=np.int64)
+            np.add.at(total, inv[pres], ln[pres])
+
+            bh = np.zeros((G, BYTE_BINS), dtype=np.int64)
+            for i in np.flatnonzero(pres):
+                s, e = off[i], off[i + 1]
+                if e > s:
+                    bh[inv[i]] += np.bincount(data[s:e], minlength=BYTE_BINS)
+
+            yield pa.record_batch(
+                {
+                    "repo_bucket": pa.array((ukeys // n_langs).astype(np.int32), pa.int32()),
+                    "lang": pa.array(
+                        [LANG_VOCAB[int(k) % n_langs] for k in ukeys], pa.string()
+                    ),
+                    "n_files": pa.array(n_files),
+                    "n_null_content": pa.array(nulls),
+                    "total_bytes": pa.array(total),
+                    "byte_hist": pa.array(list(bh), pa.list_(pa.int64())),
+                    "len_hist": pa.array(list(lh), pa.list_(pa.int64())),
+                    "fingerprint": pa.array(fpx),
+                }
+            )
+
+    prepped = prepared_scan(corpus, config.n_repo_buckets).select(
+        "_key", "_fp", "_len", "_bytes"
+    )
+    return prepped.mapInArrow(gen, PARTIAL_SCHEMA)
 
 
 def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
