@@ -20,7 +20,12 @@ task parallelism); only the semantics carry over. See SURVEY.md.
 """
 
 from sparkval.config import ValidationConfig
-from sparkval.engine import ValidationEngine
+from sparkval.engine import CancellationToken, ValidationCancelled, ValidationEngine
 
-__all__ = ["ValidationConfig", "ValidationEngine"]
+__all__ = [
+    "CancellationToken",
+    "ValidationCancelled",
+    "ValidationConfig",
+    "ValidationEngine",
+]
 __version__ = "0.1.0"

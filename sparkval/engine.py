@@ -15,8 +15,10 @@ Outputs per run:
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
+import threading
 import time
 from dataclasses import asdict
 
@@ -27,6 +29,50 @@ from sparkval.baseline import build_baseline
 from sparkval.config import ValidationConfig
 from sparkval.drift import drift_verdicts_joined, joined_hists, partition_histograms
 from sparkval.schema import check_corpus_schema
+
+
+class ValidationCancelled(RuntimeError):
+    """Raised by validate_with_stop when its token was cancelled — the
+    Cancelled(StopReason) analog (lib.rs:699-706)."""
+
+    def __init__(self, reason: str | None):
+        super().__init__(reason or "cancelled")
+        self.reason = reason
+
+
+class CancellationToken:
+    """Cooperative cancellation scoped to a Spark job group — the
+    enough::Stop analog (lib.rs:699-706). ``cancel()`` may be called
+    from any thread: every Spark job the guarded run has in flight is
+    cancelled (running tasks interrupted), and the run raises
+    ValidationCancelled. Where the reference polls its token at strip
+    boundaries (strip.rs:510-513), Spark's scheduler is the poller —
+    job-group cancellation reaches straight into running stages."""
+
+    _seq = itertools.count()
+
+    def __init__(self, spark: SparkSession, group: str | None = None):
+        self._sc = spark.sparkContext
+        self.group = group or f"sparkval-stop-{next(self._seq)}"
+        self.reason: str | None = None
+        self._cancelled = threading.Event()
+
+    def cancel(self, reason: str = "cancelled") -> None:
+        self.reason = reason
+        self._cancelled.set()
+        # cancelJobGroupAndFutureJobs (Spark 3.5+) also fences jobs the
+        # run hasn't submitted yet — plain cancelJobGroup only reaches
+        # jobs active at this instant, racing a cancel fired while the
+        # driver is still planning
+        jsc = getattr(self._sc, "_jsc", None)
+        if jsc is not None and hasattr(jsc.sc(), "cancelJobGroupAndFutureJobs"):
+            jsc.sc().cancelJobGroupAndFutureJobs(self.group)
+        else:  # pragma: no cover - older Spark
+            self._sc.cancelJobGroup(self.group)
+
+    @property
+    def cancelled(self) -> bool:
+        return self._cancelled.is_set()
 
 
 class ValidationEngine:
@@ -114,6 +160,59 @@ class ValidationEngine:
             ),
             "violations": violations,
         }
+
+    # -- cancellable validation ----------------------------------------------
+    def validate_with_stop(
+        self,
+        snapshot: DataFrame,
+        baseline: DataFrame,
+        stop: CancellationToken,
+        commits: DataFrame | None = None,
+        expected_manifest: DataFrame | None = None,
+        checkpoint_dir: str | None = None,
+    ) -> dict[str, DataFrame]:
+        """Cancellable twin of validate()/validate_resumable() — the
+        *_with_stop API family (lib.rs:699-759). Every Spark job is
+        forced INSIDE ``stop``'s job group on the calling thread, so
+        ``stop.cancel()`` from another thread aborts the run (running
+        tasks interrupted) and this method raises ValidationCancelled.
+
+        With ``checkpoint_dir`` the run is also resumable: partitions
+        completed before the cancel persist their markers, and a rerun
+        (with or without a stop) recomputes only the remainder — the
+        reference's cancel-at-strip-boundary + resume shape.
+
+        Returned DataFrames are materialized (localCheckpoint), so
+        consuming them later cannot outrun the job group.
+        """
+        if stop.cancelled:  # entry poll (lib.rs:707): cancelJobGroup
+            raise ValidationCancelled(stop.reason)  # only reaches live jobs
+        sc = snapshot.sparkSession.sparkContext
+        sc.setJobGroup(stop.group, "sparkval cancellable validation",
+                       interruptOnCancel=True)
+        try:
+            if checkpoint_dir is not None:
+                out = self.validate_resumable(
+                    snapshot, baseline, checkpoint_dir, commits, expected_manifest
+                )
+                return {
+                    "verdicts": out["verdicts"].localCheckpoint(eager=True),
+                    "violations": out["violations"].localCheckpoint(eager=True),
+                }
+            out = self.validate(snapshot, baseline, commits, expected_manifest)
+            return {
+                "verdicts": out["verdicts"].localCheckpoint(eager=True),
+                "violations": out["violations"].localCheckpoint(eager=True),
+            }
+        except ValidationCancelled:
+            raise
+        except Exception as e:
+            if stop.cancelled:
+                raise ValidationCancelled(stop.reason) from e
+            raise
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.interruptOnCancel", None)
 
     # -- resumable validation ------------------------------------------------
     def validate_resumable(
