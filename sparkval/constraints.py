@@ -86,20 +86,24 @@ def null_violations(
     """
     conds = [F.col(c).isNull() for c in required]
     bad = corpus.filter(F.greatest(*[c.cast("int") for c in conds]) == 1)
+    # bind the detail BEFORE blanking the key columns — computing it on
+    # the coalesced projection would never name a NULL key column
     detail = F.concat_ws(
         ",",
         F.array_compact(
             F.array(*[F.when(F.col(c).isNull(), F.lit(c)) for c in required])
         ),
     )
+    named = bad.withColumn("_detail", detail)
     return _as_violations(
-        bad.select(
+        named.select(
             *[F.coalesce(F.col(k), F.lit("")).alias(k) for k in NATURAL_KEY],
             "lang",
             "content",
+            "_detail",
         ),
         "null_required",
-        detail,
+        F.col("_detail"),
     )
 
 
@@ -151,15 +155,84 @@ def manifest_violations(corpus: DataFrame, expected: DataFrame) -> DataFrame:
 
 
 def all_violations(corpus: DataFrame, commits: DataFrame | None = None) -> DataFrame:
-    """Union of every row-level check, deterministically ordered.
+    """Every row-level check in ONE full-width corpus scan — the
+    reference's operator-fusion rewrite (SURVEY §4) applied to the
+    violation pass. The naive union of uniqueness + null + referential
+    scans the corpus once per check; here the duplicate-key set and the
+    commits dimension are broadcast onto a single probe scan, per-row
+    violation structs build in codegen, and one explode emits the
+    (possibly multiple) violations per row. At 100 TB that is two
+    fewer full passes over the data; the only extra pass left is the
+    narrow (3 key columns, pruned scan) duplicate-key aggregation.
 
-    Ordering by (check, repo, path, commit) makes the output diffable
-    against golden violation tables — the reference's golden-corpus
-    discipline (tests/reference_parity.rs) applied to row sets.
+    Row sets are EXACTLY those of the individual checks (tested), and
+    the output is deterministically ordered by (check, repo, path,
+    commit) so it diffs against golden violation tables — the
+    reference's golden-corpus discipline applied to row sets.
     """
-    out = uniqueness_violations(corpus).unionByName(null_violations(corpus))
+    required = ("repo", "path", "commit", "content")
+    dup_keys = (
+        corpus.groupBy(*NATURAL_KEY)
+        .agg(F.count(F.lit(1)).alias("_dup_count"))
+        .filter(F.col("_dup_count") > 1)
+    )
+    probe = corpus.join(F.broadcast(dup_keys), on=NATURAL_KEY, how="left")
+    checks = [
+        F.when(
+            F.col("_dup_count").isNotNull(),
+            F.struct(
+                F.lit("uniqueness").alias("check"),
+                F.concat(F.lit("key_count="), F.col("_dup_count")).alias("detail"),
+                F.lit(False).alias("blank_null_keys"),
+            ),
+        ),
+        F.when(
+            F.greatest(*[F.col(c).isNull().cast("int") for c in required]) == 1,
+            F.struct(
+                F.lit("null_required").alias("check"),
+                F.concat_ws(
+                    ",",
+                    F.array_compact(
+                        F.array(*[F.when(F.col(c).isNull(), F.lit(c)) for c in required])
+                    ),
+                ).alias("detail"),
+                F.lit(True).alias("blank_null_keys"),
+            ),
+        ),
+    ]
     if commits is not None:
-        out = out.unionByName(referential_violations(corpus, commits))
+        parents = (
+            commits.select("repo", "commit")
+            .dropDuplicates(["repo", "commit"])
+            .withColumn("_ref_ok", F.lit(True))
+        )
+        probe = probe.join(F.broadcast(parents), on=["repo", "commit"], how="left")
+        checks.append(
+            F.when(
+                F.col("_ref_ok").isNull(),
+                F.struct(
+                    F.lit("referential_commit_repo").alias("check"),
+                    F.lit("dangling commit").alias("detail"),
+                    F.lit(False).alias("blank_null_keys"),
+                ),
+            )
+        )
+    v = F.explode(F.array_compact(F.array(*checks))).alias("v")
+    exploded = probe.select(v, *NATURAL_KEY, content_sha256().alias("content_sha256"))
+    # null_violations blanks NULL key columns in its output rows; the
+    # other checks keep them raw — reproduce per emitted row
+    key_cols = [
+        F.when(F.col("v.blank_null_keys"), F.coalesce(F.col(k), F.lit("")))
+        .otherwise(F.col(k))
+        .alias(k)
+        for k in NATURAL_KEY
+    ]
+    out = exploded.select(
+        F.col("v.check").alias("check"),
+        *key_cols,
+        "content_sha256",
+        F.col("v.detail").alias("detail"),
+    )
     return deterministic_order(out, ["check", "repo", "path", "commit"])
 
 

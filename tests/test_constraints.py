@@ -56,6 +56,39 @@ def test_all_violations_union_and_order(spark, corpus_pair):
     assert key == sorted(key)
 
 
+def test_all_violations_fused_equals_union_of_checks(spark, corpus_pair):
+    """The single-scan fused formulation must emit EXACTLY the rows of
+    the three individual checks, and its plan must touch the corpus
+    source only twice (narrow key agg + one full-width probe) instead
+    of once per check."""
+    _, snap, commits = corpus_pair
+    # add null-violation rows so all three checks fire at once
+    nulls = spark.createDataFrame(
+        [("rX", None, "c9", "py", None), (None, "p9", "c9", "py", "body")],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    df = snap.unionByName(nulls)
+    fused = C.all_violations(df, commits).toPandas()
+    want = (
+        C.uniqueness_violations(df)
+        .unionByName(C.null_violations(df))
+        .unionByName(C.referential_violations(df, commits))
+        .toPandas()
+    )
+    cols = ["check", "repo", "path", "commit", "content_sha256", "detail"]
+    a = fused[cols].sort_values(cols).reset_index(drop=True).fillna("~")
+    b = want[cols].sort_values(cols).reset_index(drop=True).fillna("~")
+    assert a.equals(b), (len(a), len(b))
+
+    plan = C.all_violations(df, commits)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    n_scans = len(re.findall(r"Scan ExistingRDD|Scan parquet", plan))
+    # df = snap ∪ nulls -> 2 sources per corpus reference; 2 corpus
+    # references (key agg + probe) -> 4; the unfused union had 8+
+    assert n_scans <= 2 * 2, plan
+
+
 def test_sha256_invariant_matches_hashlib(spark, corpus_pair):
     import hashlib
 
