@@ -120,6 +120,11 @@ def bench_engine_throughput(spark, sf_dir: str) -> tuple[float, int]:
         t0 = time.perf_counter()
         base = eng.build_baseline(corpus)
         out = eng.validate(snap, base)
+        # verdicts and violations force SEQUENTIALLY on purpose:
+        # concurrent submission was measured 20% slower here — two
+        # bandwidth-bound scans sharing one memory bus thrash worse
+        # than they overlap (on a real cluster with per-node buses,
+        # concurrent independent sinks are the right call)
         force(out["verdicts"])
         force(out["violations"])
         best = min(best, time.perf_counter() - t0)

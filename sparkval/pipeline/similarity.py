@@ -147,17 +147,28 @@ def cosine_pairs_exact(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine for candidate (a, b) pairs with built-ins only:
-    zip_with dot product + aggregate norms (JVM, no UDF)."""
+    zip_with dot product + aggregate norms (JVM, no UDF).
+
+    Norms are hoisted to one pass over the EMBEDDING rows (O(n)) and
+    joined in, instead of recomputed inside every pair expression —
+    candidate pairs outnumber rows by the mean bucket size, so the
+    naive form did ~3x the vector work on the pair table."""
     def dot(x, y):
         return F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
                            F.lit(0.0), lambda acc, v: acc + v.cast("double"))
 
-    a = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    joined = candidates.select("a", "b").join(a, "a").join(b, "b")
-    cos = dot("va", "vb") / (
-        F.sqrt(dot("va", "va")) * F.sqrt(dot("vb", "vb"))
+    with_norm = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        F.sqrt(dot(vec_col, vec_col)).alias("_norm"),
     )
+    a = with_norm.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col("_norm").alias("na")
+    )
+    b = with_norm.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col("_norm").alias("nb")
+    )
+    joined = candidates.select("a", "b").join(a, "a").join(b, "b")
+    cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
     return joined.select("a", "b", F.round(cos, 9).alias("cosine"))
 
 
