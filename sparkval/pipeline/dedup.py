@@ -23,6 +23,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
@@ -47,6 +48,90 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return groups
 
 
+_FNV = np.uint64(1099511628211)
+
+
+def _segmented_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (standard segmented arange)."""
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(starts, counts)
+
+
+def _arrow_shingle_stream(batch: pa.RecordBatch, text_idx: int, k: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc rolling k-gram hashes IN DOCUMENT ORDER for a whole
+    record batch, computed over the string column's single contiguous
+    UTF-8 buffer: k vectorized horner passes over the raw bytes, then
+    one gather of each doc's valid window starts (windows straddling a
+    document boundary are simply never gathered). Zero per-doc Python
+    for any doc >= k bytes; shorter/null docs (rare) take the padded
+    single-shingle fallback of the scalar kernel.
+
+    Returns (hashes_flat, counts_per_doc) — hash values bit-identical
+    to _shingles(text, k, unique=False).
+    """
+    arr = batch.column(text_idx)
+    n = len(arr)
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    off = (
+        np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + n + 1]
+        .astype(np.int64)
+    )
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    lengths = off[1:] - off[:-1]
+
+    m = len(data) - k + 1
+    if m > 0:
+        h = np.zeros(m, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(k):
+                h = h * _FNV + data[i : i + m]
+    else:
+        h = np.empty(0, dtype=np.uint64)
+
+    win_counts = np.maximum(lengths - k + 1, 0)
+    fc = np.where(lengths >= k, win_counts, 1).astype(np.int64)
+    out = np.empty(int(fc.sum()), dtype=np.uint64)
+    out_starts = np.concatenate(([0], np.cumsum(fc)[:-1]))
+    long_mask = lengths >= k
+    lc = np.where(long_mask, win_counts, 0)
+    dest = _segmented_arange(lc) + np.repeat(out_starts, lc)
+    src = _segmented_arange(lc) + np.repeat(off[:-1], lc)
+    out[dest] = h[src]
+    for d in np.flatnonzero(~long_mask):  # short/null docs only
+        b = np.frombuffer(
+            bytes(data[off[d] : off[d + 1]]).ljust(k, b" "), dtype=np.uint8
+        ).astype(np.uint64)
+        v = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for i in range(k):
+                v = v * _FNV + b[i]
+        out[out_starts[d]] = v
+    return out, fc
+
+
+def _segmented_unique(flat: np.ndarray, counts: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-segment sorted-unique of a flat segmented array, fully
+    vectorized: lexsort by (segment, value), keep segment-firsts and
+    value-changes. Returns (flat_unique, counts_unique) — per segment
+    identical to np.unique of that segment."""
+    if len(flat) == 0:
+        return flat, counts * 0
+    seg = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    order = np.lexsort((flat, seg))
+    fs, ss = flat[order], seg[order]
+    keep = np.empty(len(fs), dtype=bool)
+    keep[0] = True
+    keep[1:] = (fs[1:] != fs[:-1]) | (ss[1:] != ss[:-1])
+    return fs[keep], np.bincount(ss[keep], minlength=len(counts)).astype(np.int64)
+
+
 def _shingles(text: str, k: int = 5, unique: bool = True) -> np.ndarray:
     """Character k-shingle hashes, vectorized via numpy byte tricks.
 
@@ -67,7 +152,11 @@ def _shingles(text: str, k: int = 5, unique: bool = True) -> np.ndarray:
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        k_shingle: int = 5) -> DataFrame:
-    """64-permutation MinHash signature per document (one pandas UDF)."""
+    """64-permutation MinHash signature per document — one mapInArrow
+    kernel over the raw string buffer: batch-wide rolling k-gram
+    hashes (_arrow_shingle_stream, no per-doc Python, no Python str
+    objects), segmented per-doc dedup, then per-doc minima with one
+    segmented reduce per permutation of the (a*x+b) mod p family."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
@@ -75,33 +164,29 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
         ]
     )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            # batch-vectorized: concatenate every doc's (deduped)
-            # shingle set, hash ALL (perm x shingle) pairs with the
-            # classic (a*x+b) mod p family, then take per-doc minima
-            # with one segmented reduce per permutation. The former
-            # per-doc loop spent its time on 64-row tiny-matrix
-            # overhead, not hashing — shingle sets are small after
-            # np.unique, so the flat batch is cheap even with mod p.
-            per_doc = [_shingles(t or "", k_shingle) for t in pdf[text_col]]
-            lengths = np.array([len(s) for s in per_doc])
-            flat = np.concatenate(per_doc) if per_doc else np.empty(0, np.uint64)
-            offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            ids = batch.column(0).to_numpy()
+            flat, counts = _arrow_shingle_stream(batch, 1, k_shingle)
+            uflat, ucounts = _segmented_unique(flat, counts)
+            offsets = np.concatenate(([0], np.cumsum(ucounts)[:-1]))
             with np.errstate(over="ignore"):
-                sig_mat = np.empty((_N_PERM, len(lengths)), dtype=np.uint64)
+                sig_mat = np.empty((_N_PERM, n), dtype=np.uint64)
                 for p in range(_N_PERM):
-                    hp = (flat * _PERM_A[p] + _PERM_B[p]) % _MINHASH_P
+                    hp = (uflat * _PERM_A[p] + _PERM_B[p]) % _MINHASH_P
                     sig_mat[p] = np.minimum.reduceat(hp, offsets)
-            sig_mat = sig_mat.astype(np.int64)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(),
-                 "signature": [sig_mat[:, j] for j in range(len(lengths))]}
+            sigs = sig_mat.T.astype(np.int64)
+            yield pa.record_batch(
+                {
+                    id_col: pa.array(ids, pa.int64()),
+                    "signature": pa.array(list(sigs), pa.list_(pa.int64())),
+                }
             )
 
-    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+    return df.select(id_col, text_col).mapInArrow(gen, out_schema)
 
 
 def minhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
@@ -179,8 +264,11 @@ def near_duplicates_minhash(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over shingle hashes (one pandas UDF, numpy bit
-    counting)."""
+    """64-bit SimHash per document — the same mapInArrow shingle
+    stream as MinHash, then per-doc bit counts via one add.reduceat
+    per bit plane over the doc-boundary offsets (no per-doc numpy
+    calls; peak extra memory is one int64 plane, not a (total, 64)
+    matrix)."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
@@ -188,32 +276,29 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
         ]
     )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         bitw = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            # batch-vectorized like minhash (flat concat + segmented
-            # reduce): concatenate every doc's shingle hashes once,
-            # then per-doc bit counts are one add.reduceat per bit
-            # plane over the doc-boundary offsets — no per-doc numpy
-            # calls, and peak extra memory is one bool plane
-            # (O(total_shingles) bytes), not a (total, 64) matrix.
-            per_doc = [_shingles(t or "") for t in pdf[text_col]]
-            lengths = np.array([len(s) for s in per_doc], dtype=np.int64)
-            flat = np.concatenate(per_doc) if per_doc else np.empty(0, np.uint64)
-            offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-            counts = np.empty((len(lengths), 64), dtype=np.int64)
+            ids = batch.column(0).to_numpy()
+            flat, fcounts = _arrow_shingle_stream(batch, 1, 5)
+            uflat, ucounts = _segmented_unique(flat, fcounts)
+            offsets = np.concatenate(([0], np.cumsum(ucounts)[:-1]))
+            counts = np.empty((n, 64), dtype=np.int64)
             for j in range(64):
                 # int64 plane: reduceat keeps the operand dtype, and an
                 # int8 plane would overflow at segments > 127 shingles
-                plane = ((flat & bitw[j]) != 0).astype(np.int64)
+                plane = ((uflat & bitw[j]) != 0).astype(np.int64)
                 counts[:, j] = np.add.reduceat(plane, offsets)
-            maj = counts * 2 > lengths[:, None]
+            maj = counts * 2 > ucounts[:, None]
             fps = (maj * bitw).sum(axis=1, dtype=np.uint64).astype(np.int64)
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "simhash": fps})
+            yield pa.record_batch(
+                {id_col: pa.array(ids, pa.int64()), "simhash": pa.array(fps)}
+            )
 
-    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+    return df.select(id_col, text_col).mapInArrow(gen, out_schema)
 
 
 def near_duplicates_simhash(df: DataFrame, text_col: str = "text",
@@ -293,16 +378,16 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "do
     paper's bound), which is exactly what keeps the downstream
     equi-join volume sane at web scale.
     """
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            # document-order hashes (unique=False): winnowing's window
-            # minimum is positional — sorted-unique input would
-            # degenerate selection to "almost every distinct hash"
-            per_doc = [_shingles(t or "", k=k, unique=False) for t in pdf[text_col]]
-            lengths = np.array([len(h) for h in per_doc], dtype=np.int64)
-            flat = np.concatenate(per_doc)
+            batch_ids = batch.column(0).to_numpy()
+            # document-order hashes (the unique=False stream):
+            # winnowing's window minimum is positional — sorted-unique
+            # input would degenerate selection to "almost every
+            # distinct hash"
+            flat, lengths = _arrow_shingle_stream(batch, 1, k)
             starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
             doc_idx = np.repeat(np.arange(len(lengths)), lengths)
             if len(flat) >= window:
@@ -325,15 +410,15 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "do
                 sel_pos = np.concatenate([sel_pos, short_pos])
             sel_pos = np.unique(sel_pos)
             sel_doc = doc_idx[sel_pos]
-            yield pd.DataFrame(
+            yield pa.record_batch(
                 {
-                    "doc_id": pdf[id_col].to_numpy()[sel_doc],
-                    "fingerprint": flat[sel_pos].astype(np.int64),
-                    "pos": (sel_pos - starts[sel_doc]).astype(np.int32),
+                    "doc_id": pa.array(batch_ids[sel_doc], pa.int64()),
+                    "fingerprint": pa.array(flat[sel_pos].astype(np.int64)),
+                    "pos": pa.array((sel_pos - starts[sel_doc]).astype(np.int32)),
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(gen, _WINNOW_SCHEMA)
+    return df.select(id_col, text_col).mapInArrow(gen, _WINNOW_SCHEMA)
 
 
 def winnow_overlap(fps: DataFrame, min_containment: float = 0.8,
