@@ -262,6 +262,36 @@ def q_winnow_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planted_containment(expected, found)
 
 
+def q_dedup_keep_canonical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup RETENTION (the step after group detection): over
+    documents ∪ byte-identical copies (doc_id + 200000), keep one
+    canonical doc per content group (lowest id) and pass uniques
+    through. Oracle: exactly the original doc_ids survive."""
+    from sparkval.pipeline.dedup import dedupe_keep_canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    return dedupe_keep_canonical(planted).select("doc_id")
+
+
+def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-keyed stratified sampling (training-mix
+    composition): per-lang keep rates, reproducible across engines —
+    the DuckDB oracle recomputes the SAME sha256-bucket selection."""
+    from sparkval.pipeline.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        "lang",
+        {"en": 500, "es": 750, "de": 125, "zh": 100},
+        default_permille=50,  # fr exercises the default
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_salted_repo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key-salted two-stage aggregation (north-rule skew handling)
     over a deliberately skewed corpus (one repo holds ~25% of rows):
@@ -625,6 +655,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts_documents": q_token_counts_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "exact_dup_groups_documents": q_exact_dup_groups_documents,
+    "dedup_keep_canonical_documents": q_dedup_keep_canonical_documents,
+    "stratified_sample_documents": q_stratified_sample_documents,
     "lang_id_documents": q_lang_id_documents,
     "verdict_set_compare": q_verdict_set_compare,
     "manifest_check_documents": q_manifest_check_documents,
@@ -709,6 +741,15 @@ ORACLE_SQL: dict[str, str] = {
     "exact_dup_groups_documents": """
         SELECT sha256(text) AS fp, count(*) AS n_dups
         FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+    "dedup_keep_canonical_documents": """
+        SELECT doc_id FROM documents
+    """,
+    "stratified_sample_documents": """
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(sha256(doc_id::VARCHAR), 1, 4))::BIGINT % 1000
+              < CASE lang WHEN 'en' THEN 500 WHEN 'es' THEN 750
+                          WHEN 'de' THEN 125 WHEN 'zh' THEN 100 ELSE 50 END
     """,
     "verdict_set_compare": """
         WITH a AS (

@@ -259,6 +259,24 @@ def near_duplicates_minhash(df: DataFrame, text_col: str = "text",
     return est.filter(F.col("jaccard_est") >= threshold)
 
 
+def dedupe_keep_canonical(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """The retention step of exact dedup: keep ONE canonical document
+    (lowest id) per byte-identical content group, pass uniques
+    through — i.e. the deduplicated corpus a training pipeline feeds
+    downstream, not just the duplicate-group report.
+
+    Scale shape: group on the 256-bit content hash to elect winners,
+    then a LEFT SEMI join back on (hash, id) — only (hash, id) pairs
+    shuffle, never content; at 10^12 rows the winners table is
+    ~distinct-contents sized, so the join stays a shuffled semi-join
+    with AQE handling any viral-content skew."""
+    h = F.sha2(F.col(text_col).cast("binary"), 256)
+    withfp = df.withColumn("_fp", h)
+    winners = withfp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return withfp.join(winners, ["_fp", id_col], "left_semi").drop("_fp")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

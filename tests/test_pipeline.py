@@ -76,6 +76,38 @@ def test_exact_duplicates(spark, dup_docs):
     assert got == {(0, 100), (1, 101)}
 
 
+def test_dedupe_keep_canonical(spark, dup_docs):
+    """Retention step: lowest id per exact-content group survives,
+    uniques (including near-dups with different bytes) pass through."""
+    kept = set(
+        r["doc_id"] for r in dedup.dedupe_keep_canonical(dup_docs).select("doc_id").collect()
+    )
+    assert kept == set(range(40)) | {102}  # 100/101 are exact copies of 0/1
+
+
+def test_deterministic_sampling_properties(spark, docs):
+    """Hash-keyed sampling: invariant under repartitioning, nested
+    across rates, stratified thresholds honored, rate within binomial
+    tolerance."""
+    from sparkval.pipeline import sampling
+
+    s20 = set(r["doc_id"] for r in sampling.deterministic_sample(docs, 200).collect())
+    s20_re = set(
+        r["doc_id"]
+        for r in sampling.deterministic_sample(docs.repartition(13), 200).collect()
+    )
+    assert s20 == s20_re  # partitioning-invariant (df.sample is not)
+    s50 = set(r["doc_id"] for r in sampling.deterministic_sample(docs, 500).collect())
+    assert s20 <= s50  # nested rates
+    n = docs.count()
+    assert abs(len(s50) / n - 0.5) < 0.1
+    strat = sampling.stratified_sample(docs, "lang", {"en": 1000}, default_permille=0)
+    got = strat.groupBy("lang").count().collect()
+    assert {r["lang"] for r in got} == {"en"}
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert got[0]["count"] == n_en  # permille=1000 keeps every row
+
+
 def test_minhash_finds_near_dups(spark, dup_docs):
     out = dedup.near_duplicates_minhash(dup_docs, threshold=0.6).toPandas()
     pairs = set(zip(out["a"], out["b"]))
