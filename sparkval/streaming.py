@@ -111,6 +111,7 @@ def stream_cumulative_drift(
     base_by_bucket = _baseline_by_bucket(baseline)
     good, bad = config.good_score, config.bad_score
     hf_asym, single_res = config.hf_asymmetry, config.single_resolution
+    xmul = config.xmul
 
     out_schema = T.StructType(
         [
@@ -145,9 +146,10 @@ def stream_cumulative_drift(
         for pdf in pdfs:
             present = pdf["_bytes"].dropna()
             if len(present):
-                blob = np.frombuffer(b"\x00".join(present.tolist()), dtype=np.uint8)
-                np.add.at(bh, blob, 1)
-                bh[0] -= len(present) - 1
+                # per-doc bincount over buffer views — no join-copy of
+                # the batch's content (same rule as partial_histograms)
+                for doc in present.tolist():
+                    bh += np.bincount(np.frombuffer(doc, dtype=np.uint8), minlength=256)
                 lens = pdf["_len"].dropna().to_numpy(dtype=np.int64)
                 np.add.at(lh, np.clip(np.log2(lens + 1).astype(np.int64), 0, 63), 1)
             for lg, cnt in pdf["_l"].value_counts().items():
@@ -162,7 +164,7 @@ def stream_cumulative_drift(
         snap = {"byte": bh.astype(np.float64), "len": lh.astype(np.float64),
                 "lang": gh.astype(np.float64) / max(gh.sum(), 1)}
         score, pnorm3, _ = kernels.drift_score(
-            base, snap, hf_asymmetry=hf_asym, single_resolution=single_res
+            base, snap, hf_asymmetry=hf_asym, xmul=xmul, single_resolution=single_res
         )
         verdict = "PASS" if score < good else ("WARN" if score < bad else "FAIL")
         yield pd.DataFrame(
