@@ -133,12 +133,17 @@ def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_exact_dup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup (hash-groupBy). The driver's documents table has no
-    byte-identical texts, so this asserts the EMPTY result matches."""
+    """Exact dedup (hash-groupBy) over documents ∪ byte-identical
+    copies: every text must form exactly one group of 2 (the driver's
+    table itself has no byte-identical pairs, so an empty-input
+    assertion would be weak evidence)."""
     from sparkval.pipeline.dedup import exact_duplicates
 
     docs = _t(spark, sf_dir, "documents")
-    return exact_duplicates(docs).select("fp", "n_dups")
+    planted = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    return exact_duplicates(planted).select("fp", "n_dups")
 
 
 def q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,8 +744,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
     """,
     "exact_dup_groups_documents": """
-        SELECT sha256(text) AS fp, count(*) AS n_dups
-        FROM documents GROUP BY 1 HAVING count(*) > 1
+        SELECT sha256(text) AS fp, 2::BIGINT AS n_dups FROM documents
     """,
     "dedup_keep_canonical_documents": """
         SELECT doc_id FROM documents
