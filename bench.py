@@ -85,7 +85,7 @@ def corpus_from_lineitem(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def bench_engine_throughput(spark, sf_dir: str) -> tuple[float, int]:
+def bench_engine_throughput(spark, sf_dir: str) -> tuple[float, float, int, dict]:
     """End-to-end engine run (baseline build + validate) over the
     lineitem-shaped corpus; returns (sec, files).
 
@@ -129,6 +129,22 @@ def bench_engine_throughput(spark, sf_dir: str) -> tuple[float, int]:
         force(out["violations"])
         best = min(best, time.perf_counter() - t0)
 
+    # WARM leg — the steady-state production shape (one baseline, many
+    # snapshots; the reference's precomputed-reference compare,
+    # precompute.rs:127-152): baseline persisted once OUTSIDE the
+    # timing, timed run = read baseline + validate + force. At 100 TB
+    # this is what every validation after the first costs.
+    base_path = f"{tmp}/baseline.parquet"
+    eng.build_baseline(corpus).write.mode("overwrite").parquet(base_path)
+    best_warm = float("inf")
+    for _ in range(max(ENGINE_REPS, 2)):
+        t0 = time.perf_counter()
+        base = spark.read.parquet(base_path)
+        out = eng.validate(snap, base)
+        force(out["verdicts"])
+        force(out["violations"])
+        best_warm = min(best_warm, time.perf_counter() - t0)
+
     # per-stage breakdown (scan vs merge vs kernel+join): lets scaling
     # analysis separate the memory-bandwidth-bound scan from fixed
     # stage latency. Each leg forced in isolation.
@@ -144,7 +160,7 @@ def bench_engine_throughput(spark, sf_dir: str) -> tuple[float, int]:
     force(partition_histograms(snap, cfg))
     stages["hists_merged"] = round(time.perf_counter() - t0, 3)
     stages["merge_only_est"] = round(stages["hists_merged"] - stages["scan_partials"], 3)
-    return best, n_files, stages
+    return best, best_warm, n_files, stages
 
 
 def warmup(spark) -> None:
@@ -170,6 +186,31 @@ def warmup(spark) -> None:
 
     force(spark.range(0, CPUS * 100, 1, CPUS).mapInPandas(echo, schema))
 
+    # engine-path warmup on a TOY corpus (~4k rows, all cores): first
+    # execution of the validate plans pays sparkval+numpy imports in
+    # every python worker plus whole-stage/Arrow codegen — measured
+    # ~5-6 s at local[32] on this box, identical at any data volume.
+    # A 100 TB run amortizes it to nothing; a single timed rep at sf0.1
+    # would otherwise charge it all to the 4N leg (more workers = more
+    # concurrent imports), skewing the N->4N efficiency the north rule
+    # grades. Data volume here is 0.1% of the timed corpus.
+    from sparkval import ValidationConfig, ValidationEngine
+
+    toy = spark.range(0, 4000, 1, CPUS).select(
+        F.concat(F.lit("w"), (F.col("id") % 7).cast("string")).alias("repo"),
+        F.concat_ws("/", F.lit("f"), F.col("id")).alias("path"),
+        F.sha2(F.col("id").cast("string"), 256).substr(1, 12).alias("commit"),
+        F.element_at(
+            F.array(F.lit("python"), F.lit("rust"), F.lit("go")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+        F.repeat(F.concat_ws(" ", F.lit("tok"), F.col("id")), 8).alias("content"),
+    )
+    weng = ValidationEngine(ValidationConfig(short_circuit_identical=False))
+    wout = weng.validate(toy, weng.build_baseline(toy))
+    force(wout["verdicts"])
+    force(wout["violations"])
+
 
 def _steal_ticks() -> int:
     """Host CPU steal (ticks) — this sandbox is a shared VM and bursts
@@ -192,7 +233,7 @@ def main() -> None:
 
     # engine leg FIRST (the headline metric), on a freshly-warmed
     # session with nothing cached
-    eng_sec, n_files, eng_stages = bench_engine_throughput(spark, SF_DIR)
+    eng_sec, eng_warm_sec, n_files, eng_stages = bench_engine_throughput(spark, SF_DIR)
     spark.catalog.clearCache()
 
     # best-of-2: first run still pays per-plan codegen; the repeat is
@@ -211,6 +252,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     per_query["engine_validate_lineitem_corpus"] = round(eng_sec, 3)
+    per_query["engine_validate_warm_baseline"] = round(eng_warm_sec, 3)
 
     total = round(sum(per_query.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -228,6 +270,7 @@ def main() -> None:
                 "host_steal_ticks": _steal_ticks() - steal0,
                 "engine_files": n_files,
                 "engine_files_per_sec": round(n_files / eng_sec, 1),
+                "engine_warm_files_per_sec": round(n_files / eng_warm_sec, 1),
                 "engine_stage_sec": eng_stages,
             }
         )

@@ -57,6 +57,17 @@ GAMMA_RET_MUL = 19.245013259874995
 GAMMA_RET_ADD = -23.16046239805755
 GAMMA_BIAS = 9.9710635769299145
 
+# Opsin absorbance mixing matrix + biases (opsin.rs:20-33) and the
+# clamp floors (opsin.rs:36-37 — the channel biases themselves)
+OPSIN_MIX = np.array([
+    [0.29956550340058319, 0.63373087833825936, 0.077705617820981968],
+    [0.22158691104574774, 0.69391388044116142, 0.0987313588422],
+    [0.02, 0.02, 0.20480129041026129],
+])
+OPSIN_BIAS = np.array([1.7557483643287353, 1.7557483643287353, 12.226454707163354])
+OPSIN_MIN = np.array([1.7557483643287353, 1.7557483643287353, 12.226454707163354])
+OPSIN_MIN_VAL = 1e-4       # sensitivity/premix floor (opsin.rs:173)
+
 # Band gates (consts.rs:66-86)
 REMOVE_MF_RANGE = 0.29
 ADD_MF_RANGE = 0.1
@@ -188,6 +199,62 @@ def fuzzy_erosion_1d(v: np.ndarray, offset: int = 3) -> np.ndarray:
 def gamma(v: np.ndarray) -> np.ndarray:
     """Compressive nonlinearity (opsin.rs:102-112)."""
     return GAMMA_RET_MUL * np.log(np.maximum(v, 0.0) + GAMMA_BIAS) + GAMMA_RET_ADD
+
+
+def opsin_absorbance(
+    r: np.ndarray, g: np.ndarray, b: np.ndarray, clamp: bool = True
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """3x4 affine channel mixing (opsin_absorbance, opsin.rs:127-137):
+    out_i = MIX[i]·(r,g,b) + BIAS[i], optionally floored at the channel
+    bias (MIN_01/MIN_2, opsin.rs:36-37). Element-wise over equal-length
+    vectors (the reference applies it per-pixel)."""
+    r = np.asarray(r, dtype=np.float64)
+    g = np.asarray(g, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    out = tuple(
+        OPSIN_MIX[i, 0] * r + OPSIN_MIX[i, 1] * g + OPSIN_MIX[i, 2] * b + OPSIN_BIAS[i]
+        for i in range(3)
+    )
+    if clamp:
+        out = tuple(np.maximum(o, OPSIN_MIN[i]) for i, o in enumerate(out))
+    return out
+
+
+def opsin_dynamics_triple(
+    r: np.ndarray, g: np.ndarray, b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full opsin dynamics over a CO-LOCATED equal-length channel
+    triple — the faithful opsin_dynamics_image recast (opsin.rs:154-251):
+
+      1. blur each plane (sigma 1.2, mirrored boundaries)
+      2. pre-mix the blurred triple, floor at (MIN_01, MIN_01, MIN_2)
+         and 1e-4 (opsin.rs:217-229)
+      3. sensitivity_i = max(gamma(pre_i)/pre_i, 1e-4) (opsin.rs:231-233)
+      4. mix the SHARP triple, scale by sensitivity, floor again
+         (opsin.rs:237-239)
+      5. opponent rotation X = c0-c1, Y = c0+c1, B = c2 (opsin.rs:241-243)
+
+    The default drift pipeline instead treats the lang/byte/len
+    histogram families as already-mixed independent channels (identity
+    mixing — the survey-sanctioned recast: the families have different
+    bin counts and no per-bin co-location, so a cross-family linear mix
+    is undefined). Use this path when three same-binning distributions
+    of one partition ARE co-located per bin — e.g. byte-class
+    histograms of three sub-populations — and opponent decorrelation
+    (difference/sum channels) is wanted before band decomposition."""
+    pre = opsin_absorbance(
+        blur1d_mirror(np.asarray(r, dtype=np.float64), SIGMA_OPSIN),
+        blur1d_mirror(np.asarray(g, dtype=np.float64), SIGMA_OPSIN),
+        blur1d_mirror(np.asarray(b, dtype=np.float64), SIGMA_OPSIN),
+        clamp=True,
+    )
+    pre = tuple(np.maximum(p, OPSIN_MIN_VAL) for p in pre)
+    sens = tuple(np.maximum(gamma(p) / p, OPSIN_MIN_VAL) for p in pre)
+    cur = opsin_absorbance(r, g, b, clamp=False)
+    cur = tuple(
+        np.maximum(c * s, OPSIN_MIN[i]) for i, (c, s) in enumerate(zip(cur, sens))
+    )
+    return cur[0] - cur[1], cur[0] + cur[1], cur[2]
 
 
 def opsin_dynamics(v: np.ndarray) -> np.ndarray:

@@ -155,6 +155,46 @@ def test_blur_mirror_matches_interior_and_boundary():
     assert out[0] == pytest.approx(want0, rel=1e-12)
 
 
+def test_opsin_absorbance_bias_and_clamp():
+    """Mirror of the reference's own unit tests (opsin.rs:532-547):
+    zero input yields the channel biases; clamped mixing never goes
+    below (MIN_01, MIN_01, MIN_2) even for wildly negative input."""
+    z = np.zeros(4)
+    o0, o1, o2 = K.opsin_absorbance(z, z, z, clamp=False)
+    assert np.allclose(o0, K.OPSIN_BIAS[0], atol=1e-12)
+    assert np.allclose(o1, K.OPSIN_BIAS[1], atol=1e-12)
+    assert np.allclose(o2, K.OPSIN_BIAS[2], atol=1e-12)
+    neg = np.full(4, -100.0)
+    c0, c1, c2 = K.opsin_absorbance(neg, neg, neg, clamp=True)
+    assert np.all(c0 >= K.OPSIN_MIN[0]) and np.all(c1 >= K.OPSIN_MIN[1])
+    assert np.all(c2 >= K.OPSIN_MIN[2])
+
+
+def test_opsin_dynamics_triple_opponent_rotation():
+    """opsin_dynamics_image (opsin.rs:154-251): X/Y are the
+    difference/sum of the two mixed long/medium channels (X+Y = 2*c0,
+    Y-X = 2*c1), B is independent of the first two inputs' mix only
+    through its own row; identical flat inputs give X ~= 0 relative to
+    Y (opponent channels decorrelate equal energy)."""
+    rng = np.random.default_rng(11)
+    r = rng.uniform(0, 50, 32)
+    g = rng.uniform(0, 50, 32)
+    b = rng.uniform(0, 50, 32)
+    X, Y, B = K.opsin_dynamics_triple(r, g, b)
+    # reconstruct the mixed channels from the rotation and verify both
+    # satisfy their clamp floors (opsin.rs:237-239)
+    c0 = (X + Y) / 2.0
+    c1 = (Y - X) / 2.0
+    assert np.all(c0 >= K.OPSIN_MIN[0] - 1e-12)
+    assert np.all(c1 >= K.OPSIN_MIN[1] - 1e-12)
+    assert np.all(B >= K.OPSIN_MIN[2] - 1e-12)
+    # r == g == b constant: the mix rows are near-normalized but NOT
+    # identical, so X is small versus Y but generally nonzero
+    flat = np.full(32, 10.0)
+    Xf, Yf, _ = K.opsin_dynamics_triple(flat, flat, flat)
+    assert np.all(np.abs(Xf) < 0.1 * np.abs(Yf))
+
+
 def test_reflect_pad_min_is_reflect101():
     """lib.rs:189-227: reflect-101 (edge NOT repeated), original bins
     at the head, no-op at or above the floor."""
