@@ -281,6 +281,32 @@ def q_dedup_keep_canonical_documents(spark: SparkSession, sf_dir: str) -> DataFr
     return dedupe_keep_canonical(planted).select("doc_id")
 
 
+def q_dup_components_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate GROUPS from pairwise candidate edges — the
+    pairs->groups step LSH dedup needs before retention (A~B, B~C must
+    group A,B,C even though A~C never collided). Planted chain graph:
+    edges between consecutive row_number ranks inside blocks of 5
+    (diameter 4 — forces >= 4 label-propagation rounds); component =
+    min doc_id of the block, which the oracle states in closed form."""
+    from pyspark.sql import Window
+
+    from sparkval.pipeline.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id").withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id")).cast("long")
+    )
+    blk = F.floor((F.col("rn") - 1) / 5)
+    d = d.withColumn("blk", blk)
+    nxt = d.select(
+        F.col("doc_id").alias("b"), F.col("rn").alias("rn2"), F.col("blk").alias("blk2")
+    )
+    pairs = d.join(
+        nxt, (F.col("rn2") == F.col("rn") + 1) & (F.col("blk2") == F.col("blk"))
+    ).select(F.col("doc_id").alias("a"), "b")
+    return connected_components(pairs, "a", "b").select("node", "component")
+
+
 def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-keyed stratified sampling (training-mix
     composition): per-lang keep rates, reproducible across engines —
@@ -661,6 +687,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_documents": q_fingerprint_documents,
     "exact_dup_groups_documents": q_exact_dup_groups_documents,
     "dedup_keep_canonical_documents": q_dedup_keep_canonical_documents,
+    "dup_components_documents": q_dup_components_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
     "lang_id_documents": q_lang_id_documents,
     "verdict_set_compare": q_verdict_set_compare,
@@ -748,6 +775,17 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "dedup_keep_canonical_documents": """
         SELECT doc_id FROM documents
+    """,
+    "dup_components_documents": """
+        WITH d AS (
+            SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        blocks AS (SELECT doc_id, (rn - 1) // 5 AS blk FROM d)
+        SELECT doc_id AS node,
+               MIN(doc_id) OVER (PARTITION BY blk) AS component
+        FROM blocks
+        QUALIFY COUNT(*) OVER (PARTITION BY blk) > 1
     """,
     "stratified_sample_documents": """
         SELECT doc_id, lang FROM documents

@@ -87,7 +87,9 @@ def corpus_from_lineitem(spark, sf_dir: str) -> DataFrame:
 
 def bench_engine_throughput(spark, sf_dir: str) -> tuple[float, float, int, dict]:
     """End-to-end engine run (baseline build + validate) over the
-    lineitem-shaped corpus; returns (sec, files).
+    lineitem-shaped corpus; returns (cold_sec, warm_sec, files, stages)
+    — cold = baseline build + validate, warm = validate against a
+    persisted baseline.
 
     The corpus is materialized to parquet first and input prep is NOT
     timed — matching the reference's benchmark discipline

@@ -22,6 +22,7 @@ import time
 
 from sparkval.config import ValidationConfig
 from sparkval.engine import ValidationEngine
+from sparkval.io import read_corpus
 from sparkval.session import get_spark
 
 
@@ -62,17 +63,18 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.time()
 
     if args.cmd == "build-baseline":
-        corpus = spark.read.parquet(args.corpus)
+        corpus = read_corpus(spark, args.corpus)
         engine.build_baseline(corpus).write.mode("overwrite").parquet(args.out)
         if args.json:
             print(json.dumps({"cmd": "build-baseline", "out": args.out,
                               "elapsed_sec": time.time() - t0}))
         return 0
 
-    corpus = spark.read.parquet(args.corpus)
-    baseline = spark.read.parquet(args.baseline)
-    commits = spark.read.parquet(args.commits) if args.commits else None
-    manifest = spark.read.parquet(args.manifest) if args.manifest else None
+    # every table arg accepts iceberg:<catalog.table> or a parquet path
+    corpus = read_corpus(spark, args.corpus)
+    baseline = read_corpus(spark, args.baseline)
+    commits = read_corpus(spark, args.commits) if args.commits else None
+    manifest = read_corpus(spark, args.manifest) if args.manifest else None
 
     if args.checkpoint:
         result = engine.validate_resumable(

@@ -277,6 +277,69 @@ def dedupe_keep_canonical(df: DataFrame, text_col: str = "text",
     return withfp.join(winners, ["_fp", id_col], "left_semi").drop("_fp")
 
 
+def connected_components(pairs: DataFrame, src: str = "a", dst: str = "b",
+                         max_iter: int = 25) -> DataFrame:
+    """Pairs -> transitive duplicate GROUPS: (node, component) with
+    component = the smallest node id reachable from node.
+
+    The missing link between candidate generation and retention: LSH
+    (minhash/simhash/cosine) emits PAIRS, but "keep one canonical doc
+    per duplicate cluster" needs the transitive closure — A~B and B~C
+    must land A, B, C in one group even when A~C never collided.
+
+    Scale shape (min-label propagation, the GraphX/GraphFrames CC
+    formulation): labels start at node id; each round every node takes
+    the min label among itself and its neighbours — one edge⋈label join
+    plus one shuffled groupBy per round, nothing driver-side, edges
+    never collected.
+    Round count is the graph DIAMETER; near-dup clusters are LSH-bucket
+    cliques or short chains (diameter ~1-4), so 100 TB runs converge in
+    a handful of rounds. ``max_iter`` guards pathological chains (a
+    diameter-D path needs D rounds; raise it or pre-contract with
+    exact-dedup first). Each round localCheckpoints the label table —
+    O(nodes) rows — so the plan doesn't grow with iterations.
+
+    Convergence is detected by counting label changes (one count()
+    action per round — O(log) actions total, the standard price of
+    iterative algorithms on Spark).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # candidate label for v: min label among its neighbours u
+        cand = (
+            edges.join(labels, edges["u"] == labels["node"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("component").alias("cand"))
+        )
+        merged = (
+            labels.join(cand, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("cand", "component")).alias("new_component"),
+                "component",
+            )
+        )
+        changed = merged.filter(F.col("new_component") != F.col("component")).count()
+        labels = (
+            merged.select("node", F.col("new_component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        if changed == 0:
+            break
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

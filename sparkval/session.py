@@ -30,12 +30,22 @@ def get_spark(
     ``parallelism`` sets local[N]; the scaling bench runs the identical
     job at local[8] and local[32] to evidence the N->4N throughput
     scaling criterion (BASELINE.json north_rule).
+
+    Under spark-submit with an external master (tools/submit.sh:
+    ``--master yarn|k8s://...``) the submitted master wins — local[N]
+    is only the fallback when nothing chose one, so the same code path
+    serves the sandbox and a 1000-executor cluster.
     """
     cpus = parallelism or DEFAULT_CPUS
     shuffle = shuffle_partitions or max(cpus, 8)
+    builder = SparkSession.builder.appName(app_name)
+    # spark-submit launches the python driver against an existing JVM
+    # gateway (PYSPARK_GATEWAY_PORT set) that already carries --master;
+    # only force local[N] when this process owns session creation
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -116,3 +116,36 @@ def test_xmul_monotone_lang_channel(v, x):
     lo = K.drift_score(hb, hs, xmul=x)[0]
     hi = K.drift_score(hb, hs, xmul=x * 2.0)[0]
     assert hi >= lo - 1e-12
+
+
+@_settings
+@given(_pos_vec, _pos_vec, _pos_vec)
+def test_opsin_absorbance_affine_and_ordered(r, g, b):
+    """Mixing is affine (mix(v)+mix(0) relation via linearity of the
+    matrix part) and monotone: raising any input raises every output
+    (all matrix coefficients are positive, opsin.rs:20-33)."""
+    n = min(len(r), len(g), len(b))
+    r, g, b = r[:n], g[:n], b[:n]
+    o = K.opsin_absorbance(r, g, b, clamp=False)
+    o_shift = K.opsin_absorbance(r + 1.0, g, b, clamp=False)
+    for i in range(3):
+        assert np.all(o_shift[i] >= o[i])
+    # linearity of the matrix part: mix(2v) - bias == 2*(mix(v) - bias)
+    o2 = K.opsin_absorbance(2 * r, 2 * g, 2 * b, clamp=False)
+    for i in range(3):
+        assert np.allclose(o2[i] - K.OPSIN_BIAS[i],
+                           2 * (o[i] - K.OPSIN_BIAS[i]), rtol=1e-9, atol=1e-9)
+
+
+@_settings
+@given(_pos_vec)
+def test_opsin_dynamics_triple_finite_and_floored(v):
+    """Full triple dynamics never produces NaN/inf and the mixed
+    channels respect their clamp floors for arbitrary non-negative
+    input (opsin.rs:237-239)."""
+    X, Y, B = K.opsin_dynamics_triple(v, v[::-1].copy(), np.sqrt(v))
+    for out in (X, Y, B):
+        assert np.all(np.isfinite(out))
+    assert np.all((X + Y) / 2 >= K.OPSIN_MIN[0] - 1e-9)
+    assert np.all((Y - X) / 2 >= K.OPSIN_MIN[1] - 1e-9)
+    assert np.all(B >= K.OPSIN_MIN[2] - 1e-9)

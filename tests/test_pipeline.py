@@ -312,3 +312,51 @@ def test_winnow_fingerprints_position_independent(spark):
     s1 = set(fps[fps["doc_id"] == 1]["fingerprint"])
     s2 = set(fps[fps["doc_id"] == 2]["fingerprint"])
     assert len(s1 & s2) >= 5
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random sparse graph: min-label propagation must agree with a
+    driver-side union-find oracle (same component = same min node)."""
+    import random
+
+    rng = random.Random(7)
+    n = 120
+    edges = sorted({
+        tuple(sorted((rng.randrange(n), rng.randrange(n))))
+        for _ in range(90)
+        if True
+    })
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in edges:
+        for v in (a, b):
+            want[v] = find(v)
+
+    pairs = spark.createDataFrame(edges, ["a", "b"])
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_chain_needs_transitivity(spark):
+    """A diameter-7 path collapses to one component — the case pairwise
+    LSH output alone cannot express."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(7)], ["a", "b"])
+    out = dedup.connected_components(pairs).toPandas()
+    assert set(out["component"]) == {0}
+    assert set(out["node"]) == set(range(8))
