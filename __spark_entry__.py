@@ -498,6 +498,29 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_ivf_topk_full_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with nprobe = n_centroids (probe EVERY cell): exercises
+    the whole indexed path — centroid assignment, partitioned layout,
+    per-cell scoring, cross-cell top-k merge — under a condition where
+    the result must equal brute force EXACTLY, which makes the
+    brute-force SQL a true oracle for the machinery. Pruning
+    selectivity (nprobe < cells) stays covered by the recall pytest and
+    the rows-only ivf_topk_embeddings query."""
+    import hashlib as _h
+    import os
+
+    from sparkval.pipeline.similarity import ivf_topk_indexed, write_ivf_index
+
+    embs = _t(spark, sf_dir, "embeddings")
+    index_path = f"/tmp/sparkval_ivf_{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if not os.path.exists(f"{index_path}/_centroids.parquet"):
+        write_ivf_index(embs, index_path, n_centroids=16)
+    qrows = embs.filter(F.col("vec_id").isin(_ANN_QUERY_IDS)).collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    out = ivf_topk_indexed(spark, index_path, queries, k=5, nprobe=16)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
 def q_cosine_near_dups_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-amplified LSH near-dup pairs verified by exact cosine >= 0.9,
     over embeddings ∪ planted scaled copies (vec_id + 100000). Oracle:
@@ -707,6 +730,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "ivf_topk_embeddings": q_ivf_topk_embeddings,
+    "ivf_topk_full_probe_embeddings": q_ivf_topk_full_probe_embeddings,
     "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
     "drift_identity_documents": q_drift_identity_documents,
     "drift_shifted_documents": q_drift_shifted_documents,
@@ -811,6 +835,24 @@ ORACLE_SQL: dict[str, str] = {
         )
     """,
     "ann_topk_embeddings": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id IN (0, 7, 42)
+        ), scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos_raw
+            FROM q CROSS JOIN embeddings e
+        ), ranked AS (
+            SELECT query_id, vec_id, cos_raw,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, vec_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, round(cos_raw, 6) AS cosine, rank
+        FROM ranked WHERE rank <= 5
+    """,
+    # full-probe IVF must equal brute force exactly -> same oracle
+    "ivf_topk_full_probe_embeddings": """
         WITH q AS (
             SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
             FROM embeddings WHERE vec_id IN (0, 7, 42)
