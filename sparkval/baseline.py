@@ -67,12 +67,14 @@ def with_precomputed_bands(hists: DataFrame, config: ValidationConfig) -> DataFr
     from sparkval import kernels
 
     single_res = config.single_resolution
+    blur_impl = "iir" if config.iir_blur else "fir"
     schema = T.StructType(
         list(hists.schema.fields)
         + [T.StructField(c, T.ArrayType(T.DoubleType()), True) for c in _PRE_COLS]
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernels.DEFAULT_BLUR_IMPL = blur_impl  # applied worker-side
         for pdf in batches:
             if pdf.empty:
                 continue

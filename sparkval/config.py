@@ -55,6 +55,11 @@ class ValidationConfig:
     # kernel for partitions whose content fingerprint set is unchanged.
     short_circuit_identical: bool = True
     salt_buckets: int = 8  # salting fan-out for hot-repo skew
+    # O(len) recursive-Gaussian band blurs (the reference's iir-blur
+    # cargo feature, blur.rs:870-879): ~0.1-5% score deviation vs the
+    # exact FIR path. Build the baseline and validate with the SAME
+    # setting — precomputed bands bake the blur in.
+    iir_blur: bool = False
 
     def validate(self) -> None:
         """Reject nonsensical parameters (analog of lib.rs:495-518)."""

@@ -125,11 +125,15 @@ def drift_verdicts_joined(
     hf_asym = config.hf_asymmetry
     xmul = config.xmul
     single_res = config.single_resolution
+    blur_impl = "iir" if config.iir_blur else "fir"
     keep_map = config.compute_driftmap
     good, bad = config.good_score, config.bad_score
     min_rows = config.min_partition_rows
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # feature flag travels in the closure and is applied inside the
+        # WORKER process (a driver-side module global would not ship)
+        kernels.DEFAULT_BLUR_IMPL = blur_impl
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):

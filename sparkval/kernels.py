@@ -164,6 +164,88 @@ def blur1d(v: np.ndarray, sigma: float) -> np.ndarray:
     return num / den
 
 
+def iir_coeffs(sigma: float) -> tuple[int, np.ndarray, np.ndarray]:
+    """Recursive-Gaussian section weights (Charalampidis, "Recursive
+    Implementation of the Gaussian Filter Using Truncated Cosine
+    Functions", IEEE TSP 2016) — the derivation the reference's
+    iir-blur feature uses (blur_iir.rs:42-117). All math in f64.
+
+    Returns (radius N, mul_in[3], mul_prev[3]) for the three parallel
+    2-pole sections k = 1, 3, 5.
+    """
+    s = float(sigma)
+    radius = round(3.2795 * s + 0.2546)                      # eq. (57)
+    w = np.array([1.0, 3.0, 5.0]) * (np.pi / (2.0 * radius))  # Table I
+    p = np.array([1.0, -1.0, 1.0]) / np.tan(0.5 * w)          # eq. (37)
+    r = np.array([1.0, -1.0, 1.0]) * p * p / np.sin(w)        # eq. (44)
+    rho = np.exp(-0.5 * s * s * w * w) / radius               # eq. (50)
+    d_13 = p[0] * r[1] - r[0] * p[1]
+    d_35 = p[1] * r[2] - r[1] * p[2]
+    d_51 = p[2] * r[0] - r[2] * p[0]
+    zeta_15 = d_35 / d_13                                     # eq. (52)
+    zeta_35 = d_51 / d_13
+    a = np.array([p, r, [zeta_15, zeta_35, 1.0]])
+    g = np.array([1.0, radius * radius - s * s,
+                  zeta_15 * rho[0] + zeta_35 * rho[1] + rho[2]])
+    beta = np.linalg.solve(a, g)                              # eq. (56)
+    mul_in = -beta * np.cos(w * (radius + 1.0))
+    mul_prev = -2.0 * np.cos(w)
+    return int(radius), mul_in, mul_prev
+
+
+def blur1d_iir(v: np.ndarray, sigma: float) -> np.ndarray:
+    """O(len) recursive Gaussian — the iir-blur feature path
+    (blur_iir.rs:175-227): three 2-pole sections driven by the
+    zero-padded symmetric tap x[n-N-1] + x[n+N-1]; output = section
+    sum. Zero-padding is mathematically required (the DC pole sits at
+    the edge of stability), so edges attenuate — NOT bit-equal to the
+    FIR path, same as the reference (interior parity tested).
+
+    Accepts a vector or a (rows, bins) matrix: the recurrence is
+    sequential over bins but vectorized across rows, which is the
+    shape the drift kernel calls it in (O(buckets x langs) rows).
+    """
+    big_n, mi, mp = iir_coeffs(sigma)
+    x = np.asarray(v, dtype=np.float64)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None, :]
+    rows, width = x.shape
+    out = np.zeros_like(x)
+    prev = np.zeros((3, rows))
+    prev2 = np.zeros((3, rows))
+    zero = np.zeros(rows)
+    for n in range(-big_n + 1, width):
+        left = n - big_n - 1
+        right = n + big_n - 1
+        lv = x[:, left] if 0 <= left < width else zero
+        rv = x[:, right] if 0 <= right < width else zero
+        s = lv + rv
+        cur = s[None, :] * mi[:, None] - (mp[:, None] * prev + prev2)
+        prev2, prev = prev, cur
+        if n >= 0:
+            out[:, n] = cur.sum(axis=0)
+    return out[0] if squeeze else out
+
+
+#: Blur implementation switch — the reference's `iir-blur` cargo
+#: feature (blur.rs:870-879) as a module flag: "fir" (default, exact
+#: FIR with clamp-to-edge renorm) or "iir" (O(len) recursive path,
+#: ~0.1-5% score deviation, engages only when the IIR warm-up fits,
+#: i.e. len > 2*radius+1 — tiny histograms stay FIR like the
+#: reference's small-image fallback).
+DEFAULT_BLUR_IMPL = "fir"
+
+
+def blur1d_dispatch(v: np.ndarray, sigma: float) -> np.ndarray:
+    """gaussian_blur's feature dispatch (blur.rs:870-879)."""
+    if DEFAULT_BLUR_IMPL == "iir":
+        big_n = round(3.2795 * float(sigma) + 0.2546)
+        if len(v) > 2 * big_n + 1:
+            return blur1d_iir(v, sigma)
+    return blur1d(v, sigma)
+
+
 def blur1d_mirror(v: np.ndarray, sigma: float) -> np.ndarray:
     """Mirrored-boundary blur with normalized taps — the opsin
     pre-blur (blur_mirrored_5x5, blur.rs:1240-1258: x<0 -> -x-1, i.e.
@@ -302,17 +384,17 @@ def separate_frequencies(v: np.ndarray, full_bands: bool = True) -> dict[str, np
     Gates and clamps per band mirror psycho.rs:351-514. When
     ``full_bands`` is False the channel stops at MF (the B-channel
     rule, psycho.rs:25-27)."""
-    lf = blur1d(v, SIGMA_LF)
+    lf = blur1d_dispatch(v, SIGMA_LF)
     mf = v - lf
     if not full_bands:
         mf = remove_range_around_zero(mf, REMOVE_MF_RANGE)
         z = np.zeros_like(v)
         return {"lf": lf, "mf": mf, "hf": z, "uhf": z}
-    hf = mf - blur1d(mf, SIGMA_HF)
+    hf = mf - blur1d_dispatch(mf, SIGMA_HF)
     mf = amplify_range_around_zero(
         remove_range_around_zero(mf, REMOVE_MF_RANGE), ADD_MF_RANGE
     )
-    uhf = hf - blur1d(hf, SIGMA_UHF)
+    uhf = hf - blur1d_dispatch(hf, SIGMA_UHF)
     hf = maximum_clamp(
         amplify_range_around_zero(
             remove_range_around_zero(hf, REMOVE_HF_RANGE), ADD_HF_RANGE
@@ -423,7 +505,7 @@ def compute_mask(bands0: dict[str, np.ndarray], bands1: dict[str, np.ndarray]) -
         mu * (np.abs(bands0["uhf"]) + np.abs(bands1["uhf"]))
         + mh * (np.abs(bands0["hf"]) + np.abs(bands1["hf"]))
     )
-    smooth = blur1d(act * MASK_MUL + MASK_BIAS, SIGMA_MASK)
+    smooth = blur1d_dispatch(act * MASK_MUL + MASK_BIAS, SIGMA_MASK)
     eroded = np.maximum(fuzzy_erosion_1d(smooth) - MASK_BIAS, 0.0) / MASK_MUL
     mask_ac = _mask_curve(eroded, MASK_Y_OFFSET, MASK_Y_SCALER, MASK_Y_MUL)
     mask_dc = _mask_curve(eroded, MASK_DC_Y_OFFSET, MASK_DC_Y_SCALER, MASK_DC_Y_MUL)

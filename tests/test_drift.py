@@ -219,3 +219,26 @@ def test_resume_parity(spark, engine, baseline_df, tmp_path):
     for idx in want.index:
         if idx[1] not in partial_langs:
             assert merged.loc[idx, "score"] == want.loc[idx, "score"], idx
+
+
+def test_iir_blur_flag_scores_close_and_identity_zero(spark, baseline_df):
+    """config.iir_blur must reach the WORKER kernels (a driver-side
+    module global would not ship with the pickled closure): scores stay
+    within the documented 0.1-5% envelope of the FIR path and identity
+    is still exactly 0."""
+    df, pdf = baseline_df
+    snap = spark.createDataFrame(fx.distort(pdf, "shift_3"))
+
+    def scores(cfg):
+        eng = ValidationEngine(cfg)
+        out = eng.validate(snap, eng.build_baseline(df))["verdicts"].toPandas()
+        return out.set_index(["repo_bucket", "lang"])["score"].sort_index()
+
+    fir = scores(ValidationConfig(short_circuit_identical=False))
+    iir = scores(ValidationConfig(short_circuit_identical=False, iir_blur=True))
+    assert (fir > 0).any()
+    assert np.allclose(iir.to_numpy(), fir.to_numpy(), rtol=0.05)
+
+    eng = ValidationEngine(ValidationConfig(iir_blur=True))
+    ident = eng.validate(df, eng.build_baseline(df))["verdicts"].toPandas()
+    assert (ident["score"] == 0.0).all()

@@ -367,3 +367,46 @@ def test_pnorm_slice_arbitrary_p():
     # monotone in p for this nonnegative map (higher p -> closer to max)
     assert K.pnorm_slice(dm, 1.0) <= K.pnorm_slice(dm, 3.0) <= np.max(dm) + 1e-12
     assert K.pnorm_slice(np.array([]), 3.0) == 0.0
+
+
+def test_iir_blur_interior_parity_and_dc_gain():
+    """blur_iir vs FIR (blur_iir.rs contract): interior agreement at
+    the paper's accuracy (~1e-3 relative), exact unit DC gain, and the
+    documented edge deviation (zero-pad vs clamp) confined to the
+    warm-up region."""
+    rng = np.random.default_rng(9)
+    v = np.cumsum(rng.uniform(-1, 1, 256)) + 50.0
+    for sigma in (K.SIGMA_UHF, K.SIGMA_HF, K.SIGMA_LF):
+        fir = K.blur1d(v, sigma)
+        iir = K.blur1d_iir(v, sigma)
+        n, _, _ = K.iir_coeffs(sigma)
+        mid = slice(3 * n, len(v) - 3 * n)
+        rel = np.max(np.abs(fir[mid] - iir[mid]) / (np.abs(fir[mid]) + 1e-9))
+        assert rel < 5e-3, (sigma, rel)
+        imp = np.zeros(2 * len(v) + 1)
+        imp[len(v)] = 1.0
+        assert K.blur1d_iir(imp, sigma).sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_iir_blur_matrix_matches_rows():
+    rng = np.random.default_rng(10)
+    m = rng.uniform(0, 10, (6, 96))
+    got = K.blur1d_iir(m, K.SIGMA_HF)
+    want = np.stack([K.blur1d_iir(m[i], K.SIGMA_HF) for i in range(6)])
+    assert np.allclose(got, want, atol=1e-12)
+
+
+def test_iir_feature_flag_keeps_scores_close():
+    """Flipping the iir-blur feature must keep drift scores within the
+    reference's documented 0.1-5% envelope on the fixture zoo, with
+    identity still exactly zero (the dispatch changes approximation,
+    not semantics)."""
+    fir_score = case_score("random_mid__shift_3", n_rows=1200)
+    try:
+        K.DEFAULT_BLUR_IMPL = "iir"
+        iir_score = case_score("random_mid__shift_3", n_rows=1200)
+        ident = case_score("uniform_python__identity", n_rows=600)
+    finally:
+        K.DEFAULT_BLUR_IMPL = "fir"
+    assert ident[0] == pytest.approx(0.0, abs=1e-12)
+    assert iir_score[0] == pytest.approx(fir_score[0], rel=0.05)
