@@ -153,3 +153,38 @@ def test_bucketed_table_uniqueness_is_shuffle_free(spark, corpus_pair, tmp_path)
         assert dup.count() == want
     finally:
         spark.sql("DROP TABLE IF EXISTS corpus_bucketed")
+
+
+def test_histogram_shuffle_volume_bounded_under_hot_repo_skew(spark):
+    """Hot-repo skew evidence for the ENGINE path (north-star: explicit
+    skew handling): with 90% of all files in ONE repo, the scan's
+    shuffle row count must stay O(input_partitions x present keys) —
+    map-side partials absorb the skew, so no reducer ever receives
+    O(files) rows for the hot key."""
+    import pandas as pd
+
+    from sparkval import fixtures as fx
+    from sparkval.config import ValidationConfig
+    from sparkval.histograms import partial_histograms
+
+    pdf = fx.make_corpus("random_mid", 3000)
+    pdf = pdf.copy()
+    pdf.loc[pdf.index[: int(len(pdf) * 0.9)], "repo"] = "hot_repo"
+    assert (pdf["repo"] == "hot_repo").mean() >= 0.9
+    n_input_parts = 6
+    df = spark.createDataFrame(pdf).repartition(n_input_parts)
+
+    cfg = ValidationConfig()
+    partials = partial_histograms(df, cfg)
+    n_keys = partials.select("repo_bucket", "lang").distinct().count()
+    # each input partition emits at most one partial per present key:
+    # 3000 skewed files collapse to <= parts x keys shuffle rows
+    assert partials.count() <= n_input_parts * n_keys
+    # and the hot key's reducer receives at most n_input_parts rows
+    hot = (
+        partials.groupBy("repo_bucket", "lang")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .first()["m"]
+    )
+    assert hot <= n_input_parts
