@@ -162,6 +162,10 @@ def bench_engine_throughput(spark, sf_dir: str) -> tuple[float, float, int, dict
     force(partition_histograms(snap, cfg))
     stages["hists_merged"] = round(time.perf_counter() - t0, 3)
     stages["merge_only_est"] = round(stages["hists_merged"] - stages["scan_partials"], 3)
+
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)  # ~1 GB per run otherwise
     return best, best_warm, n_files, stages
 
 
