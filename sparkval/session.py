@@ -50,6 +50,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # referential checks against dims too big to broadcast fall
+        # back to shuffled anti-joins; the runtime bloom filter prunes
+        # the probe side at the scan before that shuffle (explicit so
+        # the 100 TB plan does not depend on a version default)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # keep Arrow batches ~1-10 MB: with 32 concurrent python
         # workers, fat (40 MB+) batches collapse the JVM->worker pipe
