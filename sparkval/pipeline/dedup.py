@@ -150,6 +150,21 @@ def _shingles(text: str, k: int = 5, unique: bool = True) -> np.ndarray:
     return np.unique(h) if unique else h
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Small-input fast path for the signature kernels: a tiny table
+    stored as one parquet file arrives as 1-2 scan partitions and
+    starves all but 2 cores through the CPU-bound signature UDF
+    (measured: 3.0 s -> 0.4 s for 5k docs at local[32]). Repartition
+    ONLY when the input has fewer partitions than the cluster has
+    slots — at 100 TB the table always has >> slots partitions, this
+    never fires, and content never shuffles."""
+    spark = df.sparkSession
+    slots = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < slots:
+        return df.repartition(slots)
+    return df
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        k_shingle: int = 5) -> DataFrame:
     """64-permutation MinHash signature per document — one mapInArrow
@@ -186,7 +201,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
                 }
             )
 
-    return df.select(id_col, text_col).mapInArrow(gen, out_schema)
+    return _spread_small_input(df.select(id_col, text_col)).mapInArrow(gen, out_schema)
 
 
 def minhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
@@ -379,7 +394,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
                 {id_col: pa.array(ids, pa.int64()), "simhash": pa.array(fps)}
             )
 
-    return df.select(id_col, text_col).mapInArrow(gen, out_schema)
+    return _spread_small_input(df.select(id_col, text_col)).mapInArrow(gen, out_schema)
 
 
 def near_duplicates_simhash(df: DataFrame, text_col: str = "text",
@@ -499,7 +514,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "do
                 }
             )
 
-    return df.select(id_col, text_col).mapInArrow(gen, _WINNOW_SCHEMA)
+    return _spread_small_input(df.select(id_col, text_col)).mapInArrow(gen, _WINNOW_SCHEMA)
 
 
 def winnow_overlap(fps: DataFrame, min_containment: float = 0.8,
