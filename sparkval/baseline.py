@@ -27,8 +27,12 @@ from sparkval.histograms import repo_bucket_py
 
 
 def _bucket_col(n_buckets: int) -> F.Column:
-    """JVM-side crc32-based bucket, bit-equal to histograms.repo_bucket_py."""
-    return F.pmod(F.crc32(F.col("repo").cast("binary")), F.lit(n_buckets)).cast("int")
+    """JVM-side crc32-based bucket, bit-equal to histograms.repo_bucket_py
+    (NULL repos map through the same sentinel, never a NULL bucket)."""
+    from sparkval.histograms import NULL_REPO_SENTINEL
+
+    repo_nn = F.coalesce(F.col("repo"), F.lit(NULL_REPO_SENTINEL))
+    return F.pmod(F.crc32(repo_nn.cast("binary")), F.lit(n_buckets)).cast("int")
 
 
 def build_baseline(

@@ -20,6 +20,7 @@ import json
 import sys
 import time
 
+from sparkval.baseline import load_baseline, save_baseline
 from sparkval.config import ValidationConfig
 from sparkval.engine import ValidationEngine
 from sparkval.io import read_corpus
@@ -64,7 +65,19 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "build-baseline":
         corpus = read_corpus(spark, args.corpus)
-        engine.build_baseline(corpus).write.mode("overwrite").parquet(args.out)
+        if args.out.startswith("iceberg:"):
+            # no filesystem sidecar channel for a table URI; validate's
+            # loader will treat the missing sidecar as algo-unknown and
+            # disable the short-circuit loudly rather than silently
+            engine.build_baseline(corpus).writeTo(
+                args.out[len("iceberg:"):]
+            ).createOrReplace()
+        else:
+            # save_baseline (not a bare parquet write): the
+            # _sparkval_meta.json sidecar records FP_ALGO so a future
+            # fingerprint-function change is detected at load instead of
+            # silently never short-circuiting (ADVICE round 2)
+            save_baseline(engine.build_baseline(corpus), args.out)
         if args.json:
             print(json.dumps({"cmd": "build-baseline", "out": args.out,
                               "elapsed_sec": time.time() - t0}))
@@ -72,7 +85,15 @@ def main(argv: list[str] | None = None) -> int:
 
     # every table arg accepts iceberg:<catalog.table> or a parquet path
     corpus = read_corpus(spark, args.corpus)
-    baseline = read_corpus(spark, args.baseline)
+    # parquet baselines go through load_baseline: the FP_ALGO sidecar
+    # check runs (and drops stale fingerprints with a warning) instead
+    # of being bypassed by a raw read. iceberg: sources have no sidecar
+    # channel and keep read_corpus (fingerprints unversioned -> the
+    # engine still behaves correctly, just without the guard).
+    if args.baseline.startswith("iceberg:"):
+        baseline = read_corpus(spark, args.baseline)
+    else:
+        baseline = load_baseline(spark, args.baseline)
     commits = read_corpus(spark, args.commits) if args.commits else None
     manifest = read_corpus(spark, args.manifest) if args.manifest else None
 

@@ -22,6 +22,7 @@ relational equi-joins keyed by (repo, path, commit).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 NATURAL_KEY = ["repo", "path", "commit"]
 
@@ -249,9 +250,24 @@ def deterministic_order(
     ``max_rows`` bounds the single task against the pathological case
     (e.g. validating against the wrong manifest makes violations
     O(corpus)): output truncates at the cap rather than funnelling the
-    corpus through one task. Callers that must emit every row of a
-    huge violation set pass None and write partitioned-unsorted.
+    corpus through one task. The capped path is ``orderBy(...keys +
+    atomic tiebreakers).limit(k)`` — Spark plans TakeOrderedAndProject
+    (per-partition top-k, merged; no range-partitioner sampling pass,
+    so the upstream lineage still executes once) — which makes the
+    retained subset the DETERMINISTIC first ``max_rows`` rows of the
+    total order, run to run, instead of an arbitrary flapping sample
+    (ADVICE round 2). Truncation is therefore unambiguous to callers:
+    exactly ``max_rows`` rows back means the deterministic prefix of
+    an over-cap set. Callers that must emit every row of a huge
+    violation set pass None and write partitioned-unsorted.
     """
     if max_rows is not None:
-        df = df.limit(max_rows)
+        # tiebreakers: every atomic (orderable, cheap) column not
+        # already a key, in name order — total order => stable prefix
+        ties = sorted(
+            f.name
+            for f in df.schema.fields
+            if f.name not in keys and isinstance(f.dataType, T.AtomicType)
+        )
+        return df.orderBy(*keys, *ties).limit(max_rows)
     return df.repartition(1).sortWithinPartitions(*keys)

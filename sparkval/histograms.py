@@ -61,12 +61,22 @@ PARTIAL_SCHEMA = T.StructType(
 )
 
 
-def repo_bucket_py(repo: str, n_buckets: int) -> int:
+#: Sentinel standing in for a NULL repo when bucketing. NULL repos are
+#: still *reported* by constraints.null_violations; the histogram scan
+#: must tolerate them (crc32(NULL) would NULL the group key and crash
+#: the Arrow kernel), so they hash into a deterministic bucket instead.
+NULL_REPO_SENTINEL = "\x00NULL_REPO"
+
+
+def repo_bucket_py(repo: str | None, n_buckets: int) -> int:
     """Deterministic repo->bucket hash, identical in every context.
 
     crc32 rather than Spark's hash() so pandas-side and JVM-side
-    bucket assignments can never diverge.
+    bucket assignments can never diverge. NULL repos map through the
+    same sentinel prepared_scan uses.
     """
+    if repo is None:
+        repo = NULL_REPO_SENTINEL
     return zlib.crc32(repo.encode("utf-8")) % n_buckets
 
 
@@ -87,7 +97,12 @@ def prepared_scan(corpus: DataFrame, n_buckets: int) -> DataFrame:
     """
     lang_low = F.lower(F.coalesce(F.col("lang"), F.lit("other")))
     lang_norm = F.when(lang_low.isin(*LANG_VOCAB), lang_low).otherwise(F.lit("other"))
-    bucket = F.pmod(F.crc32(F.col("repo").cast("binary")), F.lit(n_buckets)).cast("int")
+    # coalesce BEFORE crc32: crc32(NULL) is NULL, which would NULL the
+    # composite _key and abort the whole mapInArrow scan on the first
+    # corpus with a NULL repo (tolerate-and-report, never fatal —
+    # null_violations is where NULL keys get flagged)
+    repo_nn = F.coalesce(F.col("repo"), F.lit(NULL_REPO_SENTINEL))
+    bucket = F.pmod(F.crc32(repo_nn.cast("binary")), F.lit(n_buckets)).cast("int")
     lang_code = (
         F.array_position(F.array(*[F.lit(l) for l in LANG_VOCAB]), lang_norm).cast("int")
         - F.lit(1)

@@ -285,8 +285,18 @@ def dedupe_keep_canonical(df: DataFrame, text_col: str = "text",
     then a LEFT SEMI join back on (hash, id) — only (hash, id) pairs
     shuffle, never content; at 10^12 rows the winners table is
     ~distinct-contents sized, so the join stays a shuffled semi-join
-    with AQE handling any viral-content skew."""
-    h = F.sha2(F.col(text_col).cast("binary"), 256)
+    with AQE handling any viral-content skew.
+
+    NULL content is NOT a duplicate group: sha2(NULL) is NULL, which
+    would (a) lump every NULL doc into one group and (b) drop even its
+    elected winner at the equi-join (NULL never equi-matches) — silent
+    data loss. NULL docs instead fingerprint to a per-row sentinel
+    keyed by their id, so each is its own group and passes through
+    untouched, in the same single scan."""
+    h = F.when(
+        F.col(text_col).isNull(),
+        F.concat(F.lit("\x00NULL:"), F.col(id_col).cast("string")),
+    ).otherwise(F.sha2(F.col(text_col).cast("binary"), 256))
     withfp = df.withColumn("_fp", h)
     winners = withfp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     return withfp.join(winners, ["_fp", id_col], "left_semi").drop("_fp")
