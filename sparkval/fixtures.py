@@ -305,6 +305,27 @@ def distort(corpus: pd.DataFrame, distortion: str, seed: int = SEED) -> pd.DataF
     return df
 
 
+def corpus_hists(pdf: pd.DataFrame) -> dict[str, np.ndarray]:
+    """Whole-corpus distribution triple (byte/len/lang) — the pure-
+    numpy local analog of the Spark histogram build, used by the
+    golden-corpus harness and stage-wise kernel tests as the
+    single-machine oracle (the role C++ butteraugli_main played for
+    the reference's reference_data.rs)."""
+    present = pdf["content"].dropna()
+    bh = np.zeros(256)
+    for c in present:
+        bh += np.bincount(
+            np.frombuffer(c.encode("utf-8", "replace"), dtype=np.uint8), minlength=256
+        )
+    lens = present.str.len().to_numpy()
+    lh = np.bincount(
+        np.clip(np.log2(lens + 1).astype(int), 0, 63), minlength=64
+    ).astype(float)
+    vc = pdf["lang"].value_counts()
+    lg = np.array([float(vc.get(l, 0)) for l in LANG_VOCAB])
+    return {"byte": bh, "len": lh, "lang": lg}
+
+
 def make_case(case: str, n_rows: int = 2000, seed: int = SEED):
     """Regenerate (baseline, snapshot, commits) from a case name.
 
