@@ -698,6 +698,81 @@ def q_driftmap_violations_documents(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_dedupe_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused end-to-end near-dup dedup (LSH pairs -> connected
+    components -> keep-canonical) over planted clusters with
+    closed-form canonicals: documents are regrouped into blocks of 5
+    consecutive doc_id ranks; each block's text is 24 block-keyed hex
+    tokens (xxhash64 -> cross-block shingle overlap ~0) plus a tiny
+    per-member suffix (within-block Jaccard ~0.93-0.95, so every
+    member pair clears threshold 0.7 with per-pair LSH miss
+    probability < 1e-9). The dedup must therefore keep EXACTLY the
+    min doc_id of every block — which the oracle states in closed
+    form from row_number arithmetic alone."""
+    from pyspark.sql import Window
+
+    from sparkval.pipeline.dedup import dedupe_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id").withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id")).cast("long")
+    )
+    blk = F.floor((F.col("rn") - 1) / 5)
+    member = ((F.col("rn") - 1) % 5).cast("string")
+    toks = [F.hex(F.xxhash64(blk, F.lit(j))) for j in range(24)]
+    planted = d.select(
+        "doc_id", F.concat_ws(" ", *toks, F.concat(F.lit("m"), member)).alias("text")
+    )
+    kept = dedupe_near_duplicates(planted, threshold=0.7)
+    return kept.select("doc_id")
+
+
+def q_stream_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift (sparkval.streaming.stream_validate: foreachBatch
+    over an availableNow file source) reduced to its batch-equivalence
+    invariant — the strip==full parity discipline (strip.rs:38-45)
+    applied to Structured Streaming: the streamed verdict set must
+    EXACTLY equal the batch verdict set over the same shifted corpus
+    (n_mismatch = 0 via exceptAll both ways, bit-equal scores since
+    both paths run the same integer-exact histogram merge + kernel),
+    and the vowel-shift distortion must fail every partition with all
+    documents accounted for."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from sparkval import ValidationConfig, ValidationEngine
+    from sparkval.drift import drift_verdicts, partition_histograms
+    from sparkval.streaming import stream_validate
+
+    corpus = _docs_as_corpus(spark, sf_dir)
+    shifted = corpus.withColumn("content", F.translate("content", "aeiou", "xqzvw"))
+    cfg = ValidationConfig()
+    eng = ValidationEngine(cfg)
+    base = eng.build_baseline(corpus)
+    base.persist().count()
+
+    tmp = tempfile.mkdtemp(prefix="sparkval_stream_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/verdicts", f"{tmp}/ckpt"
+    shifted.write.parquet(src)
+    stream = spark.readStream.schema(shifted.schema).parquet(src)
+    q = stream_validate(stream, base, cfg, out, ckpt, trigger_once=True)
+    q.awaitTermination(300)
+
+    cols = ["repo_bucket", "lang", "score", "verdict", "n_files_snap"]
+    sv = spark.read.parquet(out).select(*cols)
+    bv = drift_verdicts(base, partition_histograms(shifted, cfg), cfg).select(*cols)
+    n_mismatch = sv.exceptAll(bv).count() + bv.exceptAll(sv).count()
+    res = sv.agg(
+        F.lit(n_mismatch).cast("long").alias("n_mismatch"),
+        F.min(F.col("verdict") == "FAIL").alias("all_failed"),
+        F.sum("n_files_snap").alias("n_files_total"),
+    )
+    base.unpersist()
+    return res
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -736,6 +811,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_shifted_documents": q_drift_shifted_documents,
     "drift_topk_partitions": q_drift_topk_partitions,
     "driftmap_violations_documents": q_driftmap_violations_documents,
+    "dedupe_near_dups_documents": q_dedupe_near_dups_documents,
+    "stream_drift_documents": q_stream_drift_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1063,6 +1140,17 @@ ORACLE_SQL: dict[str, str] = {
     "driftmap_violations_documents": """
         SELECT 'byte' AS channels_with_drift,
                true AS bin_e_flagged, true AS bin_x01_flagged
+    """,
+    "stream_drift_documents": """
+        SELECT 0::BIGINT AS n_mismatch, true AS all_failed,
+               (SELECT count(*) FROM documents) AS n_files_total
+    """,
+    "dedupe_near_dups_documents": """
+        WITH d AS (
+            SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+            FROM documents
+        )
+        SELECT MIN(doc_id) AS doc_id FROM d GROUP BY (rn - 1) // 5
     """,
     # ivf_topk_embeddings is the one remaining rows-only check:
     # IVF is approximate BY DESIGN (results depend on the trained

@@ -360,3 +360,57 @@ def test_connected_components_chain_needs_transitivity(spark):
     out = dedup.connected_components(pairs).toPandas()
     assert set(out["component"]) == {0}
     assert set(out["node"]) == set(range(8))
+
+
+def _cluster_tok(cluster: str, j: int, version: int = 0) -> str:
+    import hashlib
+
+    return hashlib.md5(f"{cluster}/{j}/{version}".encode()).hexdigest()[:12]
+
+
+def test_dedupe_near_duplicates_chain_clique_exact_unique(spark):
+    """End-to-end fused dedup over all four cluster topologies:
+    a 5-clique of near-identical docs, a 5-chain whose ENDS are below
+    threshold (transitivity required), a byte-identical exact pair
+    (contracted by the exact_first pass), and a unique passthrough.
+    Canonical = min doc_id per cluster, closed form."""
+    from sparkval.pipeline.dedup import dedupe_near_duplicates
+
+    rows = []
+    base = [_cluster_tok("clique", j) for j in range(24)]
+    for m in range(5):
+        rows.append((10 + m, " ".join(base) + f" m{m}"))
+    # chain: doc i flips tokens [0, 3i) to version 1 -> adjacent J~0.82
+    # (per-pair LSH miss ~7e-5), ends J~0.43 < threshold (transitive
+    # closure is what groups them; a lucky end-to-end hit is harmless —
+    # it lands inside the same component)
+    for i in range(5):
+        toks = [_cluster_tok("chain", j, 1 if j < 3 * i else 0) for j in range(30)]
+        rows.append((20 + i, " ".join(toks)))
+    exact = " ".join(_cluster_tok("exact", j) for j in range(24))
+    rows.append((30, exact))
+    rows.append((31, exact))
+    rows.append((40, " ".join(_cluster_tok("uniq", j) for j in range(24))))
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = dedupe_near_duplicates(df, threshold=0.5)
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == [10, 20, 30, 40]
+
+
+def test_minhash_sweep_leaves_no_cached_tables(spark):
+    """Unpersist discipline (round-2 verdict nit): after a
+    near_duplicates_minhash sweep materializes, the signature cache
+    must be gone — repeated sweeps in a long-lived session must not
+    accrete cached plans."""
+    import pandas as pd
+
+    spark.catalog.clearCache()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [f"document number {i} with some shared words" for i in range(40)],
+        }
+    )
+    out = dedup.near_duplicates_minhash(spark.createDataFrame(pdf), threshold=0.5)
+    out.count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
