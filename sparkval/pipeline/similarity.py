@@ -175,8 +175,20 @@ def cosine_pairs_exact(
 def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
     """Tiny deterministic k-means on a driver-side sample (normalized
     rows, cosine == dot). At 100 TB the sample is still ~1e5 rows —
-    training is a driver-side detail; only assignment distributes."""
-    centroids = sample[np.linspace(0, len(sample) - 1, k, dtype=np.int64)].copy()
+    training is a driver-side detail; only assignment distributes.
+
+    Init is deterministic farthest-point (k-means++ with argmax
+    instead of sampling): each next seed is the sample row least
+    similar to every seed chosen so far, so k well-separated clusters
+    always receive one seed each — k tight planted clusters can never
+    collapse into k-1 inverted lists (contract-tested)."""
+    k = min(k, len(sample))
+    chosen = np.zeros(k, dtype=np.int64)
+    nearest = sample @ sample[0]
+    for c in range(1, k):
+        chosen[c] = int(np.argmin(nearest))
+        nearest = np.maximum(nearest, sample @ sample[chosen[c]])
+    centroids = sample[chosen].copy()
     for _ in range(iters):
         assign = np.argmax(sample @ centroids.T, axis=1)
         for c in range(k):
@@ -345,11 +357,15 @@ def ivf_topk(
     """Index-free IVF approximate top-k: coarse-quantize, then score
     each query only against its ``nprobe`` nearest lists.
 
-    NOTE the scan still reads 100% of the rows here (assignment
-    happens inside the UDF) — it saves distance computations, not
-    I/O. For the scan-pruning variant that reads only probed
-    partitions, build the layout once with write_ivf_index and query
-    via ivf_topk_indexed.
+    .. deprecated:: round 3
+        Prefer ``write_ivf_index`` + ``ivf_topk_indexed`` for anything
+        beyond one-off exploration. The scan here still reads 100% of
+        the rows (assignment happens inside the UDF) — it saves
+        distance computations, not I/O, so at corpus scale it costs a
+        full pass per query batch that the partitioned layout avoids
+        entirely. The two formulations are contract-tested equal on the
+        same trained centroids (test_ivf_index_full_probe_contract);
+        this one remains for index-build-cost-dominated ad-hoc use.
     """
     spark = embeddings.sparkSession
     centroids = train_centroids(embeddings, n_centroids, id_col, vec_col, train_sample)

@@ -242,3 +242,53 @@ def test_iir_blur_flag_scores_close_and_identity_zero(spark, baseline_df):
     eng = ValidationEngine(ValidationConfig(iir_blur=True))
     ident = eng.validate(df, eng.build_baseline(df))["verdicts"].toPandas()
     assert (ident["score"] == 0.0).all()
+
+
+def test_bucket_headroom_4096(spark):
+    """n_repo_buckets headroom (round-2 verdict ask): the two
+    O(buckets x langs) assumptions — the kernel stage's per-row
+    itertuples batch (drift.py) and deterministic_order's
+    single-partition sort (constraints.py) — must hold at 4096 buckets
+    (~37k verdict rows), two orders of magnitude past the default 16.
+    Hist tables are synthesized directly (id arithmetic) so the test
+    exercises exactly the scoring + ordering stages, not a giant scan."""
+    from pyspark.sql import functions as F
+
+    from sparkval import constraints as C
+    from sparkval.config import LANG_VOCAB, ValidationConfig
+    from sparkval.drift import drift_verdicts_joined, joined_hists
+
+    n_buckets = 4096
+    n_rows = n_buckets * len(LANG_VOCAB)
+    langs = F.array(*[F.lit(l) for l in LANG_VOCAB])
+
+    def hist_table(byte_mul: int):
+        return spark.range(n_rows).select(
+            (F.col("id") % n_buckets).cast("int").alias("repo_bucket"),
+            F.element_at(langs, (F.col("id") / n_buckets).cast("int") + 1).alias("lang"),
+            F.lit(100).cast("long").alias("n_files"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(255)),
+                lambda x: ((F.col("id") * 31 + x * byte_mul) % 97 + 1).cast("long"),
+            ).alias("byte_hist"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda x: ((F.col("id") * 17 + x) % 41 + 1).cast("long"),
+            ).alias("len_hist"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(len(LANG_VOCAB) - 1)),
+                lambda x: F.lit(1.0 / len(LANG_VOCAB)),
+            ).alias("lang_hist"),
+        )
+
+    cfg = ValidationConfig(n_repo_buckets=n_buckets)
+    joined = joined_hists(hist_table(1), hist_table(3))
+    verdicts = C.deterministic_order(
+        drift_verdicts_joined(joined, cfg), ["repo_bucket", "lang"]
+    )
+    pdf = verdicts.toPandas()
+    assert len(pdf) == n_rows
+    assert pdf["score"].notna().all() and (pdf["score"] > 0).all()
+    # total order held through the single-partition sort
+    keys = list(zip(pdf["repo_bucket"], pdf["lang"]))
+    assert keys == sorted(keys)
