@@ -111,7 +111,23 @@ class ValidationEngine:
                 ["check", "repo", "path", "commit"],
             )
 
-        snap_hists = partition_histograms(snapshot, cfg)
+        verdicts = self._score_hists(baseline, partition_histograms(snapshot, cfg))
+
+        return {
+            # verdict table is O(buckets x langs): single-partition
+            # sort, not a global orderBy (whose range-partition sampling
+            # pass would re-execute the whole snapshot scan lineage)
+            "verdicts": constraints.deterministic_order(
+                verdicts, ["repo_bucket", "lang"]
+            ),
+            "violations": violations,
+        }
+
+    def _score_hists(self, baseline: DataFrame, snap_hists: DataFrame) -> DataFrame:
+        """Join a snapshot hist table against the baseline and score it
+        (shared by validate() and the strip walker — any path that
+        produced the same hist table gets bit-identical verdicts)."""
+        cfg = self.config
         joined = joined_hists(baseline, snap_hists)
         if cfg.short_circuit_identical and "b_fingerprint" in joined.columns:
             # Identical partitions score 0 by definition
@@ -147,19 +163,115 @@ class ValidationEngine:
                 & F.sum("s_n_files").over(w).eqNullSafe(F.sum("b_n_files").over(w))
             )
             joined = joined.withColumn("same_shortcut", row_same & bucket_same)
-            verdicts = drift_verdicts_joined(joined, cfg, same_col="same_shortcut")
-        else:
-            verdicts = drift_verdicts_joined(joined, cfg)
+            return drift_verdicts_joined(joined, cfg, same_col="same_shortcut")
+        return drift_verdicts_joined(joined, cfg)
 
-        return {
-            # verdict table is O(buckets x langs): single-partition
-            # sort, not a global orderBy (whose range-partition sampling
-            # pass would re-execute the whole snapshot scan lineage)
-            "verdicts": constraints.deterministic_order(
-                verdicts, ["repo_bucket", "lang"]
-            ),
-            "violations": violations,
-        }
+    # -- strip-mode validation ----------------------------------------------
+    def validate_strips(
+        self,
+        snapshot_path: str,
+        baseline: DataFrame,
+        checkpoint_dir: str,
+        stop: CancellationToken | None = None,
+        n_strips: int = 16,
+        on_strip=None,
+    ) -> dict[str, DataFrame]:
+        """Strip-walker validation — butteraugli_strip
+        (strip.rs:227-455, walker strip.rs:491-581) recast to the one
+        resource that matters at 100 TB: the input scan.
+
+        The snapshot table's parquet files are split into ``n_strips``
+        contiguous strips. Each strip is scanned ONCE and its partial
+        histograms (the StripReducer partial-agg state,
+        strip.rs:126-209 — a mergeable monoid, so any strip grouping
+        yields bit-identical final histograms) are committed to
+        ``checkpoint_dir`` as their own atomic write job. The
+        cancellation token is polled at strip boundaries
+        (strip.rs:510-513) and fences mid-strip jobs via the job
+        group; a cancelled strip's write never commits. A resumed run
+        skips committed strips ENTIRELY — including their scan — so
+        resume cost is proportional to the remaining input fraction
+        (measured in BENCH.md), unlike marker-table resume whose
+        lineage still rescans everything.
+
+        Finalize = merge all strips' partials + the single kernel+join
+        stage; verdicts are identical to validate() (parity-tested).
+        Row-level violation checks are a separate full-scan concern —
+        run validate()/all_violations for those (the reference's strip
+        API likewise returns only score/pnorm, strip.rs:601-905).
+
+        ``on_strip(i, n, skipped)`` is an optional progress hook (the
+        per-strip progress callback a monitoring UI would attach).
+        """
+        import hashlib
+
+        from sparkval.histograms import partial_histograms
+
+        spark = baseline.sparkSession
+        if stop is not None and stop.cancelled:
+            raise ValidationCancelled(stop.reason)
+        sc = spark.sparkContext
+
+        probe = spark.read.parquet(snapshot_path)
+        check_corpus_schema(probe)
+        files = sorted(probe.inputFiles())
+        if not files:
+            raise ValueError(f"no parquet files under {snapshot_path}")
+        n_strips = max(1, min(n_strips, len(files)))
+        bounds = [
+            (len(files) * i // n_strips, len(files) * (i + 1) // n_strips)
+            for i in range(n_strips)
+        ]
+
+        if stop is not None:
+            sc.setJobGroup(stop.group, "sparkval strip validation",
+                           interruptOnCancel=True)
+        try:
+            for i, (lo, hi) in enumerate(bounds):
+                strip_files = files[lo:hi]
+                sid = hashlib.sha1("\n".join(strip_files).encode()).hexdigest()[:16]
+                strip_dir = os.path.join(checkpoint_dir, "partials", f"strip={sid}")
+                done = os.path.exists(os.path.join(strip_dir, "_SUCCESS"))
+                if on_strip is not None:
+                    on_strip(i, n_strips, done)
+                if done:
+                    continue
+                if stop is not None and stop.cancelled:  # strip boundary poll
+                    raise ValidationCancelled(stop.reason)
+                partials = partial_histograms(
+                    spark.read.schema(probe.schema).parquet(*strip_files),
+                    self.config,
+                )
+                # one write job per strip: the parquet commit protocol
+                # makes the strip atomic (a cancelled job commits nothing)
+                partials.write.mode("overwrite").parquet(strip_dir)
+
+            if stop is not None and stop.cancelled:
+                raise ValidationCancelled(stop.reason)
+            all_partials = spark.read.parquet(
+                os.path.join(checkpoint_dir, "partials")
+            )
+            from sparkval.histograms import PARTIAL_SCHEMA, merge_histograms_with_lang
+
+            snap_hists = merge_histograms_with_lang(
+                all_partials.select(*[f.name for f in PARTIAL_SCHEMA.fields])
+            )
+            verdicts = constraints.deterministic_order(
+                self._score_hists(baseline, snap_hists), ["repo_bucket", "lang"]
+            )
+            if stop is not None:
+                verdicts = verdicts.localCheckpoint(eager=True)
+            return {"verdicts": verdicts}
+        except ValidationCancelled:
+            raise
+        except Exception as e:
+            if stop is not None and stop.cancelled:
+                raise ValidationCancelled(stop.reason) from e
+            raise
+        finally:
+            if stop is not None:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+                sc.setLocalProperty("spark.job.interruptOnCancel", None)
 
     # -- cancellable validation ----------------------------------------------
     def validate_with_stop(

@@ -101,3 +101,70 @@ def test_cancel_then_resume_completes(spark, tmp_path):
     a = resumed[cols].sort_values(["repo_bucket", "lang"]).reset_index(drop=True)
     b = full[cols].sort_values(["repo_bucket", "lang"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def _strip_corpus_path(spark, tmp_path, n_files=12, n=6000):
+    path = str(tmp_path / "snap.parquet")
+    _slow_corpus(spark, n=n, repeat=2).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def test_strip_walker_parity_with_batch(spark, tmp_path):
+    """validate_strips == validate(), exactly: partial histograms are
+    a mergeable integer monoid, so any strip grouping produces
+    bit-identical hist tables and therefore bit-identical scores (the
+    strip_parity discipline, strip.rs:38-45 / tests/strip_parity.rs)."""
+    eng = ValidationEngine(ValidationConfig(short_circuit_identical=False))
+    path = _strip_corpus_path(spark, tmp_path)
+    snap = spark.read.parquet(path)
+    base = eng.build_baseline(_slow_corpus(spark, n=6000, repeat=2))
+
+    strip_v = eng.validate_strips(
+        path, base, str(tmp_path / "ck1"), n_strips=5
+    )["verdicts"].toPandas()
+    full_v = eng.validate(snap, base)["verdicts"].toPandas()
+    cols = ["repo_bucket", "lang", "score", "pnorm_3", "verdict"]
+    a = strip_v[cols].sort_values(["repo_bucket", "lang"]).reset_index(drop=True)
+    b = full_v[cols].sort_values(["repo_bucket", "lang"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_strip_walker_cancel_resume_skips_committed_strips(spark, tmp_path):
+    """Cancel at a strip boundary (strip.rs:510-513) -> committed
+    strips persist; the resumed run skips them (scan included) and the
+    final verdicts equal an uncancelled run."""
+    eng = ValidationEngine(ValidationConfig(short_circuit_identical=False))
+    path = _strip_corpus_path(spark, tmp_path)
+    snap = spark.read.parquet(path)
+    base = eng.build_baseline(_slow_corpus(spark, n=6000, repeat=2))
+    ckpt = str(tmp_path / "ck2")
+
+    stop = CancellationToken(spark)
+    seen = []
+
+    def cancel_at_half(i, n, skipped):
+        seen.append((i, skipped))
+        if i == 3:  # boundary poll catches it before strip 3 runs
+            stop.cancel("halfway")
+
+    with pytest.raises(ValidationCancelled):
+        eng.validate_strips(path, base, ckpt, stop=stop, n_strips=6,
+                            on_strip=cancel_at_half)
+    done_first = [i for i, sk in seen if not sk]
+    assert 0 in done_first and 3 in done_first and len(done_first) >= 4
+
+    # resume: already-committed strips are reported skipped=True
+    seen2 = []
+    out = eng.validate_strips(
+        path, base, ckpt, n_strips=6,
+        on_strip=lambda i, n, sk: seen2.append((i, sk)),
+    )["verdicts"].toPandas()
+    skipped = [i for i, sk in seen2 if sk]
+    assert len(skipped) >= 3  # strips 0..2 committed before the cancel
+    full_v = eng.validate(snap, base)["verdicts"].toPandas()
+    cols = ["repo_bucket", "lang", "score", "verdict"]
+    a = out[cols].sort_values(["repo_bucket", "lang"]).reset_index(drop=True)
+    b = full_v[cols].sort_values(["repo_bucket", "lang"]).reset_index(drop=True)
+    assert a.equals(b)
