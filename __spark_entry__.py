@@ -727,6 +727,89 @@ def q_dedupe_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def q_strip_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip-walker validation (ValidationEngine.validate_strips:
+    per-strip committed partial histograms over the input files,
+    butteraugli_strip's walker recast to the scan) reduced to the
+    strip==full invariant (strip.rs:38-45 / tests/strip_parity.rs):
+    verdicts from a 4-strip walk must EXACTLY equal batch validate()
+    — the partial-histogram monoid makes them bit-identical — and the
+    vowel shift must fail every partition."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from sparkval import ValidationConfig, ValidationEngine
+
+    corpus = _docs_as_corpus(spark, sf_dir)
+    shifted = corpus.withColumn("content", F.translate("content", "aeiou", "xqzvw"))
+    eng = ValidationEngine(ValidationConfig())
+    base = eng.build_baseline(corpus)
+    base.persist().count()
+
+    tmp = tempfile.mkdtemp(prefix="sparkval_strip_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    snap_path = f"{tmp}/snapshot.parquet"
+    shifted.repartition(8).write.parquet(snap_path)
+
+    strip_v = eng.validate_strips(snap_path, base, f"{tmp}/ck", n_strips=4)["verdicts"]
+    batch_v = eng.validate(spark.read.parquet(snap_path), base)["verdicts"]
+    cols = ["repo_bucket", "lang", "score", "pnorm_3", "verdict", "n_files_snap"]
+    sv, bv = strip_v.select(*cols), batch_v.select(*cols)
+    n_mismatch = sv.exceptAll(bv).count() + bv.exceptAll(sv).count()
+    res = sv.agg(
+        F.lit(n_mismatch).cast("long").alias("n_mismatch"),
+        F.min(F.col("verdict") == "FAIL").alias("all_failed"),
+        F.sum("n_files_snap").alias("n_files_total"),
+    )
+    base.unpersist()
+    return res
+
+
+def q_lineage_metrics_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The run-metrics lineage surface (CLI JSON output + batch
+    summary, butteraugli-cli main.rs:156-194,624-660) under planted
+    violations, reduced to its closed-form invariants: 3 duplicated
+    natural keys -> 6 uniqueness rows, 2 nullified contents -> 2
+    null_required rows, files_validated counts every row including the
+    planted ones, and the verdict counts partition the partition set."""
+    from sparkval import ValidationConfig, ValidationEngine
+
+    corpus = _docs_as_corpus(spark, sf_dir)
+    dups = corpus.filter(F.col("path").isin("doc/20", "doc/21", "doc/22"))
+    nulled = corpus.withColumn(
+        "content",
+        F.when(F.col("path").isin("doc/10", "doc/11"), F.lit(None)).otherwise(
+            F.col("content")
+        ),
+    )
+    snap = nulled.unionByName(dups)
+    eng = ValidationEngine(ValidationConfig())
+    base = eng.build_baseline(corpus)
+    out = eng.validate(snap, base)
+    import time as _time
+
+    m = eng.run_metrics(out["verdicts"], out["violations"], _time.time())
+    vc = m["verdict_counts"]
+    row = {
+        "files_validated": int(m["files_validated"]),
+        "n_uniqueness": int(m["violations_by_check"].get("uniqueness", 0)),
+        "n_null_required": int(m["violations_by_check"].get("null_required", 0)),
+        "n_referential": int(m["violations_by_check"].get("referential_commit_repo", 0)),
+        "counts_consistent": bool(
+            vc["PASS"] + vc["WARN"] + vc["FAIL"] == m["partitions"] > 0
+        ),
+    }
+    return spark.createDataFrame(
+        [row],
+        "files_validated: long, n_uniqueness: long, n_null_required: long, "
+        "n_referential: long, counts_consistent: boolean",
+    ).select(
+        "files_validated", "n_uniqueness", "n_null_required", "n_referential",
+        "counts_consistent",
+    )
+
+
 def q_stream_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming drift (sparkval.streaming.stream_validate: foreachBatch
     over an availableNow file source) reduced to its batch-equivalence
@@ -812,6 +895,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_topk_partitions": q_drift_topk_partitions,
     "driftmap_violations_documents": q_driftmap_violations_documents,
     "dedupe_near_dups_documents": q_dedupe_near_dups_documents,
+    "strip_validate_documents": q_strip_validate_documents,
+    "lineage_metrics_documents": q_lineage_metrics_documents,
     "stream_drift_documents": q_stream_drift_documents,
 }
 
@@ -1151,6 +1236,15 @@ ORACLE_SQL: dict[str, str] = {
             FROM documents
         )
         SELECT MIN(doc_id) AS doc_id FROM d GROUP BY (rn - 1) // 5
+    """,
+    "strip_validate_documents": """
+        SELECT 0::BIGINT AS n_mismatch, true AS all_failed,
+               (SELECT count(*) FROM documents) AS n_files_total
+    """,
+    "lineage_metrics_documents": """
+        SELECT (SELECT count(*) FROM documents) + 3 AS files_validated,
+               6::BIGINT AS n_uniqueness, 2::BIGINT AS n_null_required,
+               0::BIGINT AS n_referential, true AS counts_consistent
     """,
     # ivf_topk_embeddings is the one remaining rows-only check:
     # IVF is approximate BY DESIGN (results depend on the trained
