@@ -462,3 +462,19 @@ def test_minhash_sweep_leaves_no_cached_tables(spark):
     out = dedup.near_duplicates_minhash(spark.createDataFrame(pdf), threshold=0.5)
     out.count()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_dedupe_near_duplicates_simhash_method(spark):
+    """The fused dedup with the SimHash candidate generator: exact
+    copies (hamming 0 -> pigeonhole-guaranteed recall) plus a unique
+    doc; canonical = min id per cluster."""
+    from sparkval.pipeline.dedup import dedupe_near_duplicates
+
+    t1 = " ".join(_cluster_tok("s1", j) for j in range(24))
+    t2 = " ".join(_cluster_tok("s2", j) for j in range(24))
+    rows = [(1, t1), (2, t1 + " x"), (5, t1), (9, t2)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # exact_first contracts (1, 5); simhash links 2 to the survivor 1
+    # (one-token suffix on a 24-token doc stays within hamming 3)
+    kept = dedupe_near_duplicates(df, method="simhash", max_hamming=3)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 9]
