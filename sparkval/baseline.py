@@ -121,6 +121,31 @@ def estimated_baseline_bytes(
     return config.n_repo_buckets * n_langs * per_row
 
 
+def compact_baseline(baseline: DataFrame, keep_fingerprints: bool = True) -> DataFrame:
+    """Shrink a baseline to its minimal compare-able form — the
+    shrink_to_fit / drop_strip_source analog (precompute.rs:733-824):
+    drops the precomputed band columns (the warm-path cache, ~3x the
+    row size) and optionally the fingerprints (disabling the
+    identical-input short-circuit). Validation against a compacted
+    baseline recomputes the baseline-side decomposition per run —
+    bit-identical scores, just slower (the cold path)."""
+    drop = [c for c in _PRE_COLS if c in baseline.columns]
+    if not keep_fingerprints and "fingerprint" in baseline.columns:
+        drop.append("fingerprint")
+    return baseline.drop(*drop)
+
+
+def baseline_bytes(path: str) -> int:
+    """ACTUAL on-disk size of a persisted baseline (the memory_bytes /
+    precompute_bytes analog, precompute.rs:733-824) — the measured
+    companion to the estimated_baseline_bytes upper bound."""
+    total = 0
+    for root, _, files in os.walk(path):
+        for fn in files:
+            total += os.path.getsize(os.path.join(root, fn))
+    return total
+
+
 def save_baseline(baseline: DataFrame, path: str) -> None:
     """Persist the baseline plus a metadata sidecar recording the
     fingerprint algorithm version (ADVICE: a baseline persisted under

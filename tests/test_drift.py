@@ -292,3 +292,35 @@ def test_bucket_headroom_4096(spark):
     # total order held through the single-partition sort
     keys = list(zip(pdf["repo_bucket"], pdf["lang"]))
     assert keys == sorted(keys)
+
+
+def test_compact_baseline_bit_identical_scores(spark, tmp_path):
+    """compact_baseline (shrink_to_fit/drop_strip_source analog) drops
+    the warm-path cache columns; validating against the compacted
+    baseline must produce bit-identical verdicts via the cold path,
+    and the persisted compacted form must actually be smaller."""
+    from sparkval import fixtures as fx
+    from sparkval.baseline import baseline_bytes, compact_baseline, save_baseline
+    from sparkval.config import ValidationConfig
+    from sparkval.engine import ValidationEngine
+
+    eng = ValidationEngine(ValidationConfig(short_circuit_identical=False))
+    base_pdf = fx.make_corpus("random_mid", 500)
+    snap = spark.createDataFrame(fx.distort(base_pdf, "quantize_3"))
+    full = eng.build_baseline(spark.createDataFrame(base_pdf))
+    compacted = compact_baseline(full)
+    assert not any(c.startswith("pre_") for c in compacted.columns)
+    assert "fingerprint" in compacted.columns
+
+    a = eng.validate(snap, full)["verdicts"].toPandas()
+    b = eng.validate(snap, compacted)["verdicts"].toPandas()
+    cols = ["repo_bucket", "lang", "score", "pnorm_3", "verdict"]
+    key = ["repo_bucket", "lang"]
+    assert a[cols].sort_values(key).reset_index(drop=True).equals(
+        b[cols].sort_values(key).reset_index(drop=True)
+    )
+
+    p_full, p_small = str(tmp_path / "bf"), str(tmp_path / "bc")
+    save_baseline(full, p_full)
+    save_baseline(compacted, p_small)
+    assert baseline_bytes(p_small) < baseline_bytes(p_full)
