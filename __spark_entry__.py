@@ -856,6 +856,72 @@ def q_lineage_metrics_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cumulative_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator
+    (sparkval.streaming.stream_cumulative_drift, applyInPandasWithState:
+    running per-bucket histograms as typed group state — the strip
+    walker's StripReducer as a stream) reduced to its state-correctness
+    invariant: accumulating the corpus over 4 micro-batches
+    (maxFilesPerTrigger=1) must land EXACTLY where a single-batch run
+    lands — the histogram monoid is associative, so the final per-bucket
+    scores are bit-equal (n_mismatch = 0) — and the vowel shift fails
+    every bucket with every document counted."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from sparkval import ValidationConfig, ValidationEngine
+    from sparkval.streaming import stream_cumulative_drift
+
+    corpus = _docs_as_corpus(spark, sf_dir)
+    shifted = corpus.withColumn("content", F.translate("content", "aeiou", "xqzvw"))
+    cfg = ValidationConfig()
+    base = ValidationEngine(cfg).build_baseline(corpus)
+    base.persist().count()
+
+    tmp = tempfile.mkdtemp(prefix="sparkval_cum_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    src = f"{tmp}/src"
+    shifted.repartition(4).write.parquet(src)
+
+    def run(name: str, max_files: int | None):
+        reader = spark.readStream.schema(shifted.schema)
+        if max_files is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        stream = reader.parquet(src)
+        q = (
+            stream_cumulative_drift(stream, base, cfg)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ck_{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # last emission per bucket = the cumulative final state
+        w = Window.partitionBy("repo_bucket").orderBy(F.desc("files_seen"))
+        return (
+            spark.table(name)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("repo_bucket", "files_seen", "score", "verdict")
+        )
+
+    multi = run("cum_multi", 1)    # 4 micro-batches, state carried across
+    single = run("cum_single", None)  # everything in one batch
+    n_mismatch = multi.exceptAll(single).count() + single.exceptAll(multi).count()
+    res = multi.agg(
+        F.lit(n_mismatch).cast("long").alias("n_mismatch"),
+        F.min(F.col("verdict") == "FAIL").alias("all_failed"),
+        F.sum("files_seen").alias("n_files_total"),
+    )
+    base.unpersist()
+    return res
+
+
 def q_stream_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming drift (sparkval.streaming.stream_validate: foreachBatch
     over an availableNow file source) reduced to its batch-equivalence
@@ -945,6 +1011,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "strip_validate_documents": q_strip_validate_documents,
     "lineage_metrics_documents": q_lineage_metrics_documents,
     "stream_drift_documents": q_stream_drift_documents,
+    "stream_cumulative_drift_documents": q_stream_cumulative_drift_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1291,6 +1358,10 @@ ORACLE_SQL: dict[str, str] = {
     "tdigest_lengths_documents": """
         SELECT true AS has_groups, true AS all_monotone,
                true AS within_15pct_of_exact,
+               (SELECT count(*) FROM documents) AS n_files_total
+    """,
+    "stream_cumulative_drift_documents": """
+        SELECT 0::BIGINT AS n_mismatch, true AS all_failed,
                (SELECT count(*) FROM documents) AS n_files_total
     """,
     "lineage_metrics_documents": """
