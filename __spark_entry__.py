@@ -856,6 +856,57 @@ def q_lineage_metrics_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_windowed_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregation
+    (sparkval.streaming.windowed_lang_counts) run as a REAL
+    multi-micro-batch stream (maxFilesPerTrigger=1, availableNow,
+    complete mode) — with a DIRECT value oracle, not an invariant:
+    the final per-(window, event_type) counts must equal DuckDB's
+    batch date_trunc GROUP BY on the same events table (complete mode
+    keeps all window state, so end-of-stream equals batch; the
+    watermark only bounds state on unbounded streams)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from sparkval.streaming import windowed_lang_counts
+
+    # events.ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP —
+    # cast once at the source (session tz is UTC, so formatting is
+    # unchanged and the oracle's naive date_trunc matches)
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkval_win_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    src = f"{tmp}/events"
+    ev.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = windowed_lang_counts(
+        stream, ts_col="ts", lang_col="event_type", window="1 hour",
+        watermark="2 hours",
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sparkval_win_ev")
+        .option("checkpointLocation", f"{tmp}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("sparkval_win_ev").select(
+        F.date_format("window_start", _TS_FMT).alias("window_start"),
+        "event_type",
+        F.col("n").alias("n_events"),
+    )
+
+
 def q_stream_cumulative_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom stateful streaming operator
     (sparkval.streaming.stream_cumulative_drift, applyInPandasWithState:
@@ -1012,6 +1063,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineage_metrics_documents": q_lineage_metrics_documents,
     "stream_drift_documents": q_stream_drift_documents,
     "stream_cumulative_drift_documents": q_stream_cumulative_drift_documents,
+    "stream_windowed_counts_events": q_stream_windowed_counts_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1363,6 +1415,11 @@ ORACLE_SQL: dict[str, str] = {
     "stream_cumulative_drift_documents": """
         SELECT 0::BIGINT AS n_mismatch, true AS all_failed,
                (SELECT count(*) FROM documents) AS n_files_total
+    """,
+    "stream_windowed_counts_events": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2
     """,
     "lineage_metrics_documents": """
         SELECT (SELECT count(*) FROM documents) + 3 AS files_validated,
