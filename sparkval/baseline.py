@@ -72,9 +72,14 @@ def with_precomputed_bands(hists: DataFrame, config: ValidationConfig) -> DataFr
 
     single_res = config.single_resolution
     blur_impl = "iir" if config.iir_blur else "fir"
+    intensity_factor = config.intensity_factor
+    intensity_target = config.intensity_target
     schema = T.StructType(
         list(hists.schema.fields)
         + [T.StructField(c, T.ArrayType(T.DoubleType()), True) for c in _PRE_COLS]
+        # bands bake the intensity scale in; record it so validate can
+        # refuse to reuse bands built under a different target
+        + [T.StructField("pre_intensity", T.DoubleType(), True)]
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -90,11 +95,13 @@ def with_precomputed_bands(hists: DataFrame, config: ValidationConfig) -> DataFr
                     pre = kernels.precompute_channel_bands(
                         np.asarray(row[src], dtype=np.float64), ch,
                         single_resolution=single_res,
+                        intensity_factor=intensity_factor,
                     )
                     packed[col].append(kernels.pack_bands(pre))
             out = pdf.copy()
             for c in _PRE_COLS:
                 out[c] = packed[c]
+            out["pre_intensity"] = intensity_target
             yield out
 
     return hists.mapInPandas(gen, schema)
@@ -129,7 +136,7 @@ def compact_baseline(baseline: DataFrame, keep_fingerprints: bool = True) -> Dat
     identical-input short-circuit). Validation against a compacted
     baseline recomputes the baseline-side decomposition per run —
     bit-identical scores, just slower (the cold path)."""
-    drop = [c for c in _PRE_COLS if c in baseline.columns]
+    drop = [c for c in (*_PRE_COLS, "pre_intensity") if c in baseline.columns]
     if not keep_fingerprints and "fingerprint" in baseline.columns:
         drop.append("fingerprint")
     return baseline.drop(*drop)

@@ -30,6 +30,7 @@ from sparkval.session import get_spark
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--parallelism", type=int, default=None)
     p.add_argument("--hf-asymmetry", type=float, default=1.0)
+    p.add_argument("--intensity-target", type=float, default=80.0)
     p.add_argument("--single-resolution", action="store_true")
     p.add_argument("--json", action="store_true", help="one-line JSON output")
 
@@ -57,7 +58,9 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
     config = ValidationConfig(
-        hf_asymmetry=args.hf_asymmetry, single_resolution=args.single_resolution
+        hf_asymmetry=args.hf_asymmetry,
+        intensity_target=args.intensity_target,
+        single_resolution=args.single_resolution,
     )
     spark = get_spark("sparkval-cli", parallelism=args.parallelism)
     engine = ValidationEngine(config)

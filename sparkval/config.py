@@ -37,6 +37,14 @@ class ValidationConfig:
 
     hf_asymmetry: float = 1.0
     xmul: float = 1.0
+    # ButteraugliParams.intensity_target analog (lib.rs:43-57,
+    # opsin.rs:208-213): nits corresponding to full intensity; scales
+    # the normalized histogram mass before the opsin gamma pass as
+    # factor = intensity_target / 80.0. 80.0 (the SDR default) is the
+    # calibrated identity scale the golden corpus pins; raising it
+    # makes the compressive gamma treat the same mass as brighter
+    # (HDR-display analog), shifting band sensitivities.
+    intensity_target: float = 80.0
     # Skip the half-resolution (bin-halved) pass — ~25% cheaper,
     # loses the ~15%-weight coarse component (lib.rs:466-481).
     single_resolution: bool = False
@@ -61,12 +69,20 @@ class ValidationConfig:
     # setting — precomputed bands bake the blur in.
     iir_blur: bool = False
 
+    @property
+    def intensity_factor(self) -> float:
+        return self.intensity_target / 80.0
+
     def validate(self) -> None:
         """Reject nonsensical parameters (analog of lib.rs:495-518)."""
         if not (0.0 < self.hf_asymmetry < 100.0):
             raise ValueError(f"hf_asymmetry out of range: {self.hf_asymmetry}")
         if not (0.0 < self.xmul < 1000.0):
             raise ValueError(f"xmul out of range: {self.xmul}")
+        if not (0.0 < self.intensity_target <= 10000.0):
+            raise ValueError(
+                f"intensity_target out of range: {self.intensity_target}"
+            )
         if self.good_score <= 0 or self.bad_score <= self.good_score:
             raise ValueError(
                 f"need 0 < good_score < bad_score, got {self.good_score}, {self.bad_score}"

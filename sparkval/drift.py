@@ -85,6 +85,16 @@ def joined_hists(base_hists: DataFrame, snap_hists: DataFrame) -> DataFrame:
         if has_pre
         else []
     )
+    if has_pre:
+        # bands are only reusable at the intensity_target they were
+        # built with; pre-versioning baselines (no pre_intensity
+        # column) read as NULL -> the scorer falls back to the cold
+        # path rather than trusting bands of unknown provenance
+        pre_cols.append(
+            F.col("pre_intensity").alias("b_pre_intensity")
+            if "pre_intensity" in base_hists.columns
+            else F.lit(None).cast("double").alias("b_pre_intensity")
+        )
     fp_b = (
         [F.col("fingerprint").alias("b_fingerprint")]
         if "fingerprint" in base_hists.columns
@@ -124,6 +134,8 @@ def drift_verdicts_joined(
 
     hf_asym = config.hf_asymmetry
     xmul = config.xmul
+    intensity = config.intensity_factor
+    intensity_target = config.intensity_target
     single_res = config.single_resolution
     blur_impl = "iir" if config.iir_blur else "fir"
     keep_map = config.compute_driftmap
@@ -165,7 +177,16 @@ def drift_verdicts_joined(
                     "lang": _vec(row.s_lang, len(LANG_VOCAB)),
                 }
                 pre = None
-                if has_pre and row.b_pre_byte is not None:
+                # precomputed bands bake in the intensity_target they
+                # were built with (self-describing b_pre_intensity
+                # column) — a mismatched run falls back to the cold
+                # path for correctness instead of reusing stale bands
+                if (
+                    has_pre
+                    and row.b_pre_byte is not None
+                    and pd.notna(row.b_pre_intensity)
+                    and abs(float(row.b_pre_intensity) - intensity_target) < 1e-9
+                ):
                     pre = {
                         ch: kernels.unpack_bands(getattr(row, f"b_pre_{ch}"), n)
                         for ch, n in (("byte", BYTE_BINS), ("len", LEN_BINS),
@@ -174,6 +195,7 @@ def drift_verdicts_joined(
                 score, pnorm3, dm = kernels.drift_score(
                     base, snap, hf_asymmetry=hf_asym, xmul=xmul,
                     single_resolution=single_res, precomputed=pre,
+                    intensity_factor=intensity,
                 )
                 verdict = (
                     VERDICT_PASS if score < good else VERDICT_WARN if score < bad else VERDICT_FAIL

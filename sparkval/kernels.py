@@ -561,7 +561,8 @@ def normalize_hist(counts: np.ndarray) -> np.ndarray:
 
 
 def precompute_channel_bands(c0: np.ndarray, channel: str,
-                             single_resolution: bool = False) -> dict:
+                             single_resolution: bool = False,
+                             intensity_factor: float = 1.0) -> dict:
     """Reference-side precompute (ButteraugliReference,
     precompute.rs:127-152): decompose the baseline once, reuse across
     every snapshot comparison. Returns {'full': bands, 'half': bands?}
@@ -569,12 +570,14 @@ def precompute_channel_bands(c0: np.ndarray, channel: str,
     warm path is bit-identical to the cold path."""
     spec = CHANNELS[channel]
     c0 = reflect_pad_min(np.asarray(c0, dtype=np.float64))
-    out = {"full": separate_frequencies(opsin_dynamics(normalize_hist(c0)),
-                                        full_bands=spec["full"])}
+    out = {"full": separate_frequencies(
+        opsin_dynamics(normalize_hist(c0) * intensity_factor),
+        full_bands=spec["full"])}
     if not single_resolution and len(c0) >= 16:
         ch = downsample_2x(c0)
-        out["half"] = separate_frequencies(opsin_dynamics(normalize_hist(ch)),
-                                           full_bands=spec["full"])
+        out["half"] = separate_frequencies(
+            opsin_dynamics(normalize_hist(ch) * intensity_factor),
+            full_bands=spec["full"])
     return out
 
 
@@ -605,12 +608,20 @@ def unpack_bands(flat: np.ndarray, n_bins: int) -> dict:
 def channel_driftmap(c0: np.ndarray, c1: np.ndarray, channel: str,
                      hf_asymmetry: float = 1.0,
                      xmul: float = 1.0,
-                     pre_b0: dict[str, np.ndarray] | None = None) -> np.ndarray:
+                     pre_b0: dict[str, np.ndarray] | None = None,
+                     intensity_factor: float = 1.0) -> np.ndarray:
     """Single-resolution drift map for one distribution family
     (the recast of compute_diffmap_single_resolution_linear,
     diff.rs:627-658). ``pre_b0`` supplies precomputed baseline bands
     (the warm path, compute_diffmap_with_precomputed,
     precompute.rs:1235+) — results are bit-identical either way.
+
+    ``intensity_factor`` scales the normalized intensity BEFORE the
+    opsin sensitivity pass — the ButteraugliParams.intensity_target
+    analog (lib.rs:43-57; applied as `value * intensity_target` ahead
+    of the gamma nonlinearity, opsin.rs:208-213). factor =
+    intensity_target / 80.0, so the 80-nit SDR default is exactly the
+    calibrated identity scale the golden corpus pins.
 
     ``xmul`` scales the X-channel combine weights exactly as the
     reference does (WMUL X entries x xmul, diff.rs:405-472 /
@@ -626,9 +637,9 @@ def channel_driftmap(c0: np.ndarray, c1: np.ndarray, channel: str,
         spec = dict(spec)
         for wk in ("w_malta_uhf", "w_malta_hf", "w_ac", "w_dc"):
             spec[wk] = spec[wk] * xmul
-    v1 = opsin_dynamics(normalize_hist(c1))
+    v1 = opsin_dynamics(normalize_hist(c1) * intensity_factor)
     if pre_b0 is None:
-        v0 = opsin_dynamics(normalize_hist(c0))
+        v0 = opsin_dynamics(normalize_hist(c0) * intensity_factor)
         b0 = separate_frequencies(v0, full_bands=spec["full"])
     else:
         b0 = pre_b0
@@ -673,18 +684,21 @@ def channel_driftmap_multires(c0: np.ndarray, c1: np.ndarray, channel: str,
                               hf_asymmetry: float = 1.0,
                               xmul: float = 1.0,
                               single_resolution: bool = False,
-                              pre: dict | None = None) -> np.ndarray:
+                              pre: dict | None = None,
+                              intensity_factor: float = 1.0) -> np.ndarray:
     """Full + half-resolution pass (diff.rs:666-695). The half-res
     pass is skipped for vectors under 16 bins (the >=15px gate,
     diff.rs:673) or when single_resolution is set (lib.rs:466-481).
     ``pre`` is the precompute_channel_bands output for the warm path."""
     full = channel_driftmap(c0, c1, channel, hf_asymmetry, xmul,
-                            pre_b0=pre["full"] if pre else None)
+                            pre_b0=pre["full"] if pre else None,
+                            intensity_factor=intensity_factor)
     if single_resolution or len(c0) < 16:
         return full
     coarse = channel_driftmap(
         downsample_2x(c0), downsample_2x(c1), channel, hf_asymmetry, xmul,
         pre_b0=pre.get("half") if pre else None,
+        intensity_factor=intensity_factor,
     )
     return add_supersampled_2x(full, coarse)
 
@@ -717,6 +731,7 @@ def drift_score(
     xmul: float = 1.0,
     single_resolution: bool = False,
     precomputed: dict[str, dict] | None = None,
+    intensity_factor: float = 1.0,
 ) -> tuple[float, float, np.ndarray]:
     """Top-level drift query for one partition: three distribution
     families in, (score, pnorm_3, driftmap) out — the recast of
@@ -736,6 +751,7 @@ def drift_score(
             xmul=xmul,
             single_resolution=single_resolution,
             pre=(precomputed or {}).get(ch),
+            intensity_factor=intensity_factor,
         )
     # cross-channel suppression (psycho.rs:192-207): the secondary
     # channels are attenuated where the byte channel already drifts at

@@ -112,6 +112,7 @@ def stream_cumulative_drift(
     good, bad = config.good_score, config.bad_score
     hf_asym, single_res = config.hf_asymmetry, config.single_resolution
     xmul = config.xmul
+    intensity = config.intensity_factor
 
     out_schema = T.StructType(
         [
@@ -164,7 +165,8 @@ def stream_cumulative_drift(
         snap = {"byte": bh.astype(np.float64), "len": lh.astype(np.float64),
                 "lang": gh.astype(np.float64) / max(gh.sum(), 1)}
         score, pnorm3, _ = kernels.drift_score(
-            base, snap, hf_asymmetry=hf_asym, xmul=xmul, single_resolution=single_res
+            base, snap, hf_asymmetry=hf_asym, xmul=xmul,
+            single_resolution=single_res, intensity_factor=intensity,
         )
         verdict = "PASS" if score < good else ("WARN" if score < bad else "FAIL")
         yield pd.DataFrame(

@@ -324,3 +324,75 @@ def test_compact_baseline_bit_identical_scores(spark, tmp_path):
     save_baseline(full, p_full)
     save_baseline(compacted, p_small)
     assert baseline_bytes(p_small) < baseline_bytes(p_full)
+
+
+def test_intensity_target_semantics(spark):
+    """ButteraugliParams.intensity_target analog (lib.rs:43-57):
+    identity stays exactly zero at any target; a distorted snapshot's
+    score MOVES when the target moves (the gamma operates at a
+    different point of its curve); the default 80.0 is the calibrated
+    identity scale (bit-equal to pre-param behavior, which the golden
+    corpus pins); warm precomputed bands built at a non-default target
+    reproduce the cold path bit-identically."""
+    import numpy as np
+
+    from sparkval import fixtures as fx
+    from sparkval import kernels as K
+    from sparkval.config import ValidationConfig
+    from sparkval.engine import ValidationEngine
+
+    b, s, _ = fx.make_case("random_mid__quantize_3", n_rows=600)
+    hb, hs = fx.corpus_hists(b), fx.corpus_hists(s)
+    s80 = K.drift_score(hb, hs, intensity_factor=1.0)[0]
+    s250 = K.drift_score(hb, hs, intensity_factor=250.0 / 80.0)[0]
+    assert s250 > 0 and abs(s250 - s80) / s80 > 0.01
+    assert K.drift_score(hb, hb, intensity_factor=250.0 / 80.0)[0] == 0.0
+
+    # Spark warm-path parity at target 250: precomputed bands (which
+    # bake the factor in) == cold path, exactly
+    cfg = ValidationConfig(intensity_target=250.0, short_circuit_identical=False)
+    eng = ValidationEngine(cfg)
+    base_df = spark.createDataFrame(b)
+    snap_df = spark.createDataFrame(s)
+    warm = eng.validate(snap_df, eng.build_baseline(base_df))["verdicts"].toPandas()
+    cold = eng.validate(
+        snap_df, eng.build_baseline(base_df, precompute_bands=False)
+    )["verdicts"].toPandas()
+    key = ["repo_bucket", "lang"]
+    a = warm.sort_values(key)["score"].to_numpy()
+    c = cold.sort_values(key)["score"].to_numpy()
+    assert np.array_equal(a, c)
+
+
+def test_intensity_mismatched_bands_fall_back_to_cold_path(spark):
+    """A baseline whose precomputed bands were built at target 80 must
+    NOT be reused by a target-250 run: the scorer detects the
+    self-describing pre_intensity mismatch and recomputes baseline
+    bands cold — scores equal a pure target-250 run, not the stale
+    target-80 warm ones."""
+    import numpy as np
+
+    from sparkval import fixtures as fx
+    from sparkval.config import ValidationConfig
+    from sparkval.engine import ValidationEngine
+
+    b, s, _ = fx.make_case("random_mid__quantize_3", n_rows=600)
+    base_df = spark.createDataFrame(b)
+    snap_df = spark.createDataFrame(s)
+
+    base80 = ValidationEngine(
+        ValidationConfig(short_circuit_identical=False)
+    ).build_baseline(base_df)
+
+    eng250 = ValidationEngine(
+        ValidationConfig(intensity_target=250.0, short_circuit_identical=False)
+    )
+    got = eng250.validate(snap_df, base80)["verdicts"].toPandas()
+    want = eng250.validate(
+        snap_df, eng250.build_baseline(base_df, precompute_bands=False)
+    )["verdicts"].toPandas()
+    key = ["repo_bucket", "lang"]
+    assert np.array_equal(
+        got.sort_values(key)["score"].to_numpy(),
+        want.sort_values(key)["score"].to_numpy(),
+    )
