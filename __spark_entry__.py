@@ -219,11 +219,19 @@ def q_minhash_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     corrupted copies: shingle -> 64-perm minhash -> banded LSH ->
     signature-estimated Jaccard >= 0.5. Oracle: planted-pair
     containment (miss probability per pair < 1e-7 at J~0.9 with
-    16 bands x 4 rows; estimated-vs-exact Jaccard is pytest-checked)."""
+    16 bands x 4 rows; estimated-vs-exact Jaccard is pytest-checked).
+
+    ``materialize=False``: this entry is a one-shot plan — the driver
+    (and bench.py, which clearCache()s between legs) runs exactly one
+    action over it, so the long-lived-session checkpoint+unpersist
+    hygiene would only add a forced materialization to the timed path
+    (the round-3 bench regression)."""
     from sparkval.pipeline.dedup import near_duplicates_minhash
 
     docs = _t(spark, sf_dir, "documents")
-    found = near_duplicates_minhash(_planted_near_dups(docs), threshold=0.5)
+    found = near_duplicates_minhash(
+        _planted_near_dups(docs), threshold=0.5, materialize=False
+    )
     expected = docs.select(
         F.col("doc_id").alias("a"), (F.col("doc_id") + 100000).alias("b")
     )
@@ -480,22 +488,78 @@ def q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 against a centroid-PARTITIONED index (built once
     under /tmp, reused): the nprobe=4-of-16 probe is a partition
-    filter, so the scan opens only probed directories. Approximate by
-    design — rows-only check; recall vs brute force and the pruned
-    scan are asserted in tests."""
+    filter, so the scan opens only probed directories. IVF is
+    approximate BY DESIGN, so the oracle pins invariants, not result
+    values (the t-digest discipline, round-3 verdict #1): recall@5 vs
+    the exact brute-force top-5 (itself a fully-oracled query) must
+    meet a fixed bound, every query must return exactly k rows, and
+    IVF cosines can never EXCEED the exact kth-best (IVF searches a
+    subset). Reduced to booleans so the row is value-hash comparable."""
     import hashlib as _h
     import os
 
-    from sparkval.pipeline.similarity import ivf_topk_indexed, write_ivf_index
+    from sparkval.pipeline.similarity import (
+        brute_force_topk,
+        ivf_probe_lists,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
 
     embs = _t(spark, sf_dir, "embeddings")
-    index_path = f"/tmp/sparkval_ivf_{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
+    # path is versioned: a stale index from an older engine build
+    # (different quantizer init / layout) must never feed this row
+    index_path = f"/tmp/sparkval_ivf_v4_{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
     if not os.path.exists(f"{index_path}/_centroids.parquet"):
         write_ivf_index(embs, index_path, n_centroids=16)
     qrows = embs.filter(F.col("vec_id").isin(_ANN_QUERY_IDS)).collect()
     queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
-    out = ivf_topk_indexed(spark, index_path, queries, k=5, nprobe=4)
-    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    k, nprobe = 5, 8
+    ivf = ivf_topk_indexed(spark, index_path, queries, k=k, nprobe=nprobe)
+
+    # Invariant 1 (EXACT, data-independent): IVF over probed cells ==
+    # brute force over exactly those cells' rows — pins assignment,
+    # partition-pruned scan, per-cell scoring, and cross-cell merge.
+    # Both paths share tie-break (cosine desc, vec_id asc) and the
+    # same normalized-float64 matmul, so equality is deterministic.
+    probes = ivf_probe_lists(index_path, queries, nprobe)
+    idx = spark.read.parquet(index_path)
+    subset_parts = [
+        brute_force_topk(
+            idx.filter(F.col("centroid").isin(probes[qid])).select("vec_id", "embedding"),
+            [(qid, vec)],
+            k=k,
+        )
+        for qid, vec in queries
+    ]
+    subset_exact = subset_parts[0]
+    for p in subset_parts[1:]:
+        subset_exact = subset_exact.unionByName(p)
+    sym_diff = (
+        ivf.exceptAll(subset_exact).count() + subset_exact.exceptAll(ivf).count()
+    )
+
+    # Invariant 2 (statistical): recall@5 vs the GLOBAL brute force
+    # (itself a fully-oracled query) — measured 0.80 at sf0.01 / 0.93
+    # at sf0.001 with nprobe=8/16 on the (deliberately unclustered)
+    # synthetic embeddings; bound 0.6 leaves margin while still
+    # catching a broken quantizer or dropped cells.
+    exact = brute_force_topk(embs, queries, k=k)
+    hits = exact.join(
+        ivf.select("query_id", "vec_id", F.lit(1).alias("_hit")),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits")
+    )
+    ivf_counts = ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    j = per_q.join(ivf_counts, "query_id").withColumn("_sym_diff", F.lit(sym_diff))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.min(F.col("n_rows") == k).alias("each_query_k_rows"),
+        F.min(F.col("_sym_diff") == 0).alias("probed_subset_exact"),
+        ((F.sum("n_hits") / F.sum("n_rows")) >= 0.6).alias("recall_ok"),
+    )
 
 
 def q_ivf_topk_full_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,7 +576,7 @@ def q_ivf_topk_full_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFr
     from sparkval.pipeline.similarity import ivf_topk_indexed, write_ivf_index
 
     embs = _t(spark, sf_dir, "embeddings")
-    index_path = f"/tmp/sparkval_ivf_{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
+    index_path = f"/tmp/sparkval_ivf_v4_{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
     if not os.path.exists(f"{index_path}/_centroids.parquet"):
         write_ivf_index(embs, index_path, n_centroids=16)
     qrows = embs.filter(F.col("vec_id").isin(_ANN_QUERY_IDS)).collect()
@@ -1426,10 +1490,14 @@ ORACLE_SQL: dict[str, str] = {
                6::BIGINT AS n_uniqueness, 2::BIGINT AS n_null_required,
                0::BIGINT AS n_referential, true AS counts_consistent
     """,
-    # ivf_topk_embeddings is the one remaining rows-only check:
-    # IVF is approximate BY DESIGN (results depend on the trained
-    # coarse quantizer), so no SQL invariant pins its output; recall
-    # vs brute force and partition pruning are asserted in pytest.
+    # IVF is approximate by design, so the query reduces itself to
+    # SQL-expressible invariants (recall@5 vs the fully-oracled brute
+    # force, k rows per query, subset-search cosine envelope) and the
+    # oracle is the constant-true row — the t-digest pattern.
+    "ivf_topk_embeddings": """
+        SELECT 3::BIGINT AS n_queries, true AS each_query_k_rows,
+               true AS probed_subset_exact, true AS recall_ok
+    """,
 }
 
 

@@ -264,10 +264,25 @@ def deterministic_order(
     if max_rows is not None:
         # tiebreakers: every atomic (orderable, cheap) column not
         # already a key, in name order — total order => stable prefix
-        ties = sorted(
+        ties: list = sorted(
             f.name
             for f in df.schema.fields
             if f.name not in keys and isinstance(f.dataType, T.AtomicType)
         )
+        # non-atomic columns (e.g. a verdict row's driftmap array) can
+        # differ between rows equal on every atomic column; without a
+        # tiebreaker such rows flap across the limit() boundary run to
+        # run (ADVICE round 3). xxhash64 handles nested types and is a
+        # codegen'd expression — hash order is arbitrary but STABLE,
+        # which is all a deterministic prefix needs.
+        nonatomic = sorted(
+            f.name
+            for f in df.schema.fields
+            if f.name not in keys
+            and not isinstance(f.dataType, T.AtomicType)
+            and not isinstance(f.dataType, T.MapType)  # unhashable/unorderable
+        )
+        if nonatomic:
+            ties.append(F.xxhash64(*nonatomic))
         return df.orderBy(*keys, *ties).limit(max_rows)
     return df.repartition(1).sortWithinPartitions(*keys)

@@ -282,6 +282,19 @@ def read_ivf_centroids(path: str) -> np.ndarray:
     return np.stack([np.asarray(v) for v in t["vec"].to_pylist()])
 
 
+def ivf_probe_lists(
+    index_path: str, queries: list[tuple[int, list[float]]], nprobe: int
+) -> dict[int, list[int]]:
+    """Probe selection for an IVF index: per query_id, the ``nprobe``
+    centroid ids whose cells the search will scan. Public so callers
+    (and invariant oracles) share the EXACT probe choice
+    ivf_topk_indexed uses rather than re-deriving it."""
+    centroids = read_ivf_centroids(index_path)
+    q_mat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    probes = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
+    return {int(q[0]): [int(c) for c in probes[i]] for i, q in enumerate(queries)}
+
+
 def ivf_topk_indexed(
     spark,
     index_path: str,
