@@ -53,6 +53,9 @@ def build_baseline(
     hists = partition_histograms(corpus, config)
     if precompute_bands:
         hists = with_precomputed_bands(hists, config)
+    # driver-side breadcrumb for save_baseline's sidecar: records which
+    # band-affecting config the bands were baked under
+    hists._sparkval_build_config = config
     return hists
 
 
@@ -142,46 +145,90 @@ def compact_baseline(baseline: DataFrame, keep_fingerprints: bool = True) -> Dat
     return baseline.drop(*drop)
 
 
-def baseline_bytes(path: str) -> int:
+def baseline_bytes(spark_or_path, path: str | None = None) -> int:
     """ACTUAL on-disk size of a persisted baseline (the memory_bytes /
     precompute_bytes analog, precompute.rs:733-824) — the measured
-    companion to the estimated_baseline_bytes upper bound."""
-    total = 0
-    for root, _, files in os.walk(path):
-        for fn in files:
-            total += os.path.getsize(os.path.join(root, fn))
-    return total
+    companion to the estimated_baseline_bytes upper bound.
+
+    Resolved through the Hadoop FileSystem API so it measures S3/HDFS
+    baselines too (round-3 verdict #2: os.walk sees nothing there).
+    Call as ``baseline_bytes(spark, path)``; the legacy
+    ``baseline_bytes(path)`` single-argument local form still works.
+    """
+    if path is None:  # legacy local-path form
+        p = spark_or_path
+        total = 0
+        for root, _, files in os.walk(p):
+            for fn in files:
+                total += os.path.getsize(os.path.join(root, fn))
+        return total
+    from sparkval.io import fs_tree_bytes
+
+    return fs_tree_bytes(spark_or_path, path)
+
+
+#: config fields baked into precomputed bands — a mismatch between the
+#: build-time and load-time values makes warm bands unusable (the
+#: engine falls back to the cold path at runtime; the sidecar makes the
+#: mismatch VISIBLE to the operator instead of just slower)
+_BAND_CONFIG_FIELDS = (
+    "intensity_target", "intensity_factor", "single_resolution", "iir_blur",
+    "n_repo_buckets",
+)
 
 
 def save_baseline(baseline: DataFrame, path: str) -> None:
     """Persist the baseline plus a metadata sidecar recording the
-    fingerprint algorithm version (ADVICE: a baseline persisted under
-    an older fingerprint function must not silently never-match)."""
+    fingerprint algorithm version (ADVICE round 2: a baseline persisted
+    under an older fingerprint function must not silently never-match)
+    and the band-affecting build config (round-3 verdict #8: a
+    fingerprint-less baseline had no record of its intensity_target, so
+    a mismatched-config load fell back to the cold path without ever
+    telling the operator why). Sidecar write goes through the Hadoop
+    FileSystem API — works on file://, hdfs://, s3a://."""
     import json
 
+    from sparkval.io import fs_write_text, uri_join
+
+    spark = baseline.sparkSession
     baseline.write.mode("overwrite").parquet(path)
     from sparkval.histograms import FP_ALGO
 
-    with open(os.path.join(path, "_sparkval_meta.json"), "w") as f:
-        json.dump({"fp_algo": FP_ALGO}, f)
+    build_config = None
+    cfg = getattr(baseline, "_sparkval_build_config", None)
+    if cfg is not None:
+        build_config = {f: getattr(cfg, f) for f in _BAND_CONFIG_FIELDS}
+    fs_write_text(
+        spark,
+        uri_join(path, "_sparkval_meta.json"),
+        json.dumps({"fp_algo": FP_ALGO, "build_config": build_config}),
+    )
 
 
-def load_baseline(spark: SparkSession, path: str) -> DataFrame:
+def load_baseline(
+    spark: SparkSession, path: str, config: ValidationConfig | None = None
+) -> DataFrame:
     """Load a persisted baseline. If its fingerprint-algorithm version
     differs from the current engine's (or predates versioning), warn
     and DROP the fingerprint column: the identical-input short-circuit
-    is then explicitly disabled instead of silently never firing."""
+    is then explicitly disabled instead of silently never firing.
+
+    With ``config`` (the engine config the caller will validate under),
+    also diff it against the sidecar's recorded build config and warn
+    on any band-affecting mismatch — the warm precomputed bands will be
+    rejected at runtime (pre_intensity provenance check) and every
+    compare pays the cold path; that cost should be visible at LOAD
+    time, not discovered in a profiler."""
     import json
     import warnings
 
     from sparkval.histograms import FP_ALGO
+    from sparkval.io import fs_read_text, uri_join
 
     df = spark.read.parquet(path)
-    meta_path = os.path.join(path, "_sparkval_meta.json")
-    saved_algo = None
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            saved_algo = json.load(f).get("fp_algo")
+    raw = fs_read_text(spark, uri_join(path, "_sparkval_meta.json"))
+    meta = json.loads(raw) if raw else {}
+    saved_algo = meta.get("fp_algo")
     if saved_algo != FP_ALGO and "fingerprint" in df.columns:
         warnings.warn(
             f"baseline at {path} carries fingerprint algo {saved_algo!r} "
@@ -191,4 +238,29 @@ def load_baseline(spark: SparkSession, path: str) -> DataFrame:
             stacklevel=2,
         )
         df = df.drop("fingerprint")
+    if config is not None:
+        saved_cfg = meta.get("build_config")
+        if saved_cfg is None:
+            if any(c in df.columns for c in _PRE_COLS):
+                warnings.warn(
+                    f"baseline at {path} predates build-config sidecars; "
+                    "cannot verify its precomputed bands match this engine "
+                    "config — mismatches fall back to the cold path at "
+                    "runtime. Re-save the baseline to record its config.",
+                    stacklevel=2,
+                )
+        else:
+            diffs = {
+                f: (saved_cfg.get(f), getattr(config, f))
+                for f in _BAND_CONFIG_FIELDS
+                if saved_cfg.get(f) != getattr(config, f)
+            }
+            if diffs:
+                warnings.warn(
+                    f"baseline at {path} was built under a different config "
+                    f"({diffs}); its precomputed bands will be rejected and "
+                    "every compare runs the cold path. Rebuild the baseline "
+                    "under the current config to restore the warm path.",
+                    stacklevel=2,
+                )
     return df

@@ -96,7 +96,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.baseline.startswith("iceberg:"):
         baseline = read_corpus(spark, args.baseline)
     else:
-        baseline = load_baseline(spark, args.baseline)
+        # config=: the build-config sidecar diff warns at LOAD time
+        # when the warm bands were baked under a different config
+        baseline = load_baseline(spark, args.baseline, config=engine.config)
     commits = read_corpus(spark, args.commits) if args.commits else None
     manifest = read_corpus(spark, args.manifest) if args.manifest else None
 

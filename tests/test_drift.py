@@ -70,8 +70,13 @@ def test_baseline_fingerprint_version_contract(spark, engine, baseline_df, tmp_p
     again = load_baseline(spark, path)
     assert "fingerprint" in again.columns
 
-    with open(f"{path}/_sparkval_meta.json", "w") as f:
-        json.dump({"fp_algo": "blake2b-legacy"}, f)
+    # overwrite through the FS API (a raw open() would leave the local
+    # checksum filesystem's .crc shadow stale and fail the next read)
+    from sparkval.io import fs_write_text
+
+    fs_write_text(
+        spark, f"{path}/_sparkval_meta.json", json.dumps({"fp_algo": "blake2b-legacy"})
+    )
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         stale = load_baseline(spark, path)

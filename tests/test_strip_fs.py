@@ -1,0 +1,135 @@
+"""Object-store-safe strip commits + stale-strip isolation + baseline
+build-config sidecar (round-3 verdict #2/#8 and ADVICE medium).
+
+The sandbox has no S3/HDFS, but every probe now routes through the
+Hadoop FileSystem API — exercised here with file:/// URIs, which take
+the same jvm code path (scheme-resolved FileSystem) instead of
+driver-local os.path. On s3a:// the identical calls resolve to the
+S3A filesystem.
+"""
+
+import warnings
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sparkval import (
+    CancellationToken,
+    ValidationCancelled,
+    ValidationConfig,
+    ValidationEngine,
+)
+
+
+def _corpus(spark, n=3000):
+    return spark.range(0, n).select(
+        F.concat(F.lit("r"), (F.col("id") % 9).cast("string")).alias("repo"),
+        F.col("id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.sha2(F.col("id").cast("string"), 256).alias("content"),
+    )
+
+
+def test_strip_walker_uri_checkpoint_cancel_resume(spark, tmp_path):
+    """checkpoint_dir AND snapshot_path as file:/// URIs: commit
+    probes, per-strip writes, and the finalize merge all resolve
+    through the FileSystem API; cancel-at-boundary + resume behaves
+    exactly as with bare local paths."""
+    eng = ValidationEngine(ValidationConfig(short_circuit_identical=False))
+    corpus = _corpus(spark)
+    path = f"file://{tmp_path}/snap.parquet"
+    corpus.repartition(6).write.parquet(path)
+    base = eng.build_baseline(corpus)
+    ckpt = f"file://{tmp_path}/ck_uri"
+
+    stop = CancellationToken(spark)
+    with pytest.raises(ValidationCancelled):
+        eng.validate_strips(
+            path, base, ckpt, stop=stop, n_strips=6,
+            on_strip=lambda i, n, sk: stop.cancel("half") if i == 3 else None,
+        )
+    # three strips committed under the URI dir, visible through the FS API
+    from sparkval.io import fs_exists, uri_join
+
+    assert fs_exists(spark, uri_join(ckpt, "partials"))
+
+    seen = []
+    out = eng.validate_strips(
+        path, base, ckpt, n_strips=6,
+        on_strip=lambda i, n, sk: seen.append(sk),
+    )
+    assert seen == [True, True, True, False, False, False]
+
+    full = eng.validate(spark.read.parquet(path), base)["verdicts"].toPandas()
+    got = out["verdicts"].toPandas()
+    cols = ["repo_bucket", "lang", "score", "verdict"]
+    a = got[cols].sort_values(["repo_bucket", "lang"]).reset_index(drop=True)
+    b = full[cols].sort_values(["repo_bucket", "lang"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_strip_walker_ignores_stale_strips_from_other_layout(spark, tmp_path):
+    """ADVICE (medium): a reused checkpoint dir holding committed
+    strips from a DIFFERENT n_strips layout must not double-count
+    histogram mass — the finalize merge prunes to this run's strip id
+    set. Without the filter this test's scores double."""
+    eng = ValidationEngine(ValidationConfig(short_circuit_identical=False))
+    corpus = _corpus(spark)
+    path = str(tmp_path / "snap.parquet")
+    corpus.repartition(6).write.parquet(path)
+    base = eng.build_baseline(corpus)
+    ckpt = str(tmp_path / "ck_stale")
+
+    # full 3-strip run commits 3 strips covering the WHOLE corpus
+    eng.validate_strips(path, base, ckpt, n_strips=3)["verdicts"].count()
+    # rerun with 6 strips into the SAME dir: sids differ, so the 3
+    # stale strips also cover the corpus — unfiltered merge = 2x mass
+    out = eng.validate_strips(path, base, ckpt, n_strips=6)["verdicts"].toPandas()
+
+    full = eng.validate(spark.read.parquet(path), base)["verdicts"].toPandas()
+    cols = ["repo_bucket", "lang", "score", "n_files_snap", "verdict"]
+    a = out[cols].sort_values(["repo_bucket", "lang"]).reset_index(drop=True)
+    b = full[cols].sort_values(["repo_bucket", "lang"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_baseline_sidecar_records_build_config_and_warns(spark, tmp_path):
+    from sparkval.baseline import load_baseline, save_baseline
+
+    cfg = ValidationConfig(intensity_target=120.0)
+    eng = ValidationEngine(cfg)
+    base = eng.build_baseline(_corpus(spark, n=400))
+    p = str(tmp_path / "base.parquet")
+    save_baseline(base, p)
+
+    # same config: no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        load_baseline(spark, p, config=cfg)
+
+    # band-affecting mismatch: warned at load time, naming the field
+    with pytest.warns(UserWarning, match="intensity_target"):
+        load_baseline(spark, p, config=ValidationConfig(intensity_target=80.0))
+
+    # no config passed: legacy behavior, silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        load_baseline(spark, p)
+
+
+def test_baseline_bytes_fs_form_matches_local_walk(spark, tmp_path):
+    from sparkval.baseline import baseline_bytes, save_baseline
+
+    eng = ValidationEngine(ValidationConfig())
+    base = eng.build_baseline(_corpus(spark, n=400))
+    p = str(tmp_path / "bb.parquet")
+    save_baseline(base, p)
+    legacy = baseline_bytes(p)
+    via_fs = baseline_bytes(spark, p)
+    via_uri = baseline_bytes(spark, f"file://{p}")
+    # the FS form excludes local-fs .crc checksum shadows (FS metadata,
+    # not baseline data) that os.walk counts — so fs <= legacy, close
+    assert via_fs == via_uri > 0
+    assert via_fs <= legacy <= via_fs * 1.05
