@@ -844,7 +844,11 @@ def q_strip_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     strip==full invariant (strip.rs:38-45 / tests/strip_parity.rs):
     verdicts from a 4-strip walk must EXACTLY equal batch validate()
     — the partial-histogram monoid makes them bit-identical — and the
-    vowel shift must fail every partition."""
+    vowel shift must fail every partition. Round 4: strip mode is a
+    FULL validate (include_violations=True commits narrow per-row
+    check partials alongside the histograms); violation parity with
+    batch validate() is asserted in the same row (n_vio_mismatch,
+    planted duplicate keys included)."""
     import atexit
     import shutil
     import tempfile
@@ -853,6 +857,10 @@ def q_strip_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _docs_as_corpus(spark, sf_dir)
     shifted = corpus.withColumn("content", F.translate("content", "aeiou", "xqzvw"))
+    # plant 3 duplicated keys so the violation leg has cross-strip work
+    shifted = shifted.unionByName(
+        shifted.filter(F.col("path").isin("doc/20", "doc/21", "doc/22"))
+    )
     eng = ValidationEngine(ValidationConfig())
     base = eng.build_baseline(corpus)
     base.persist().count()
@@ -860,17 +868,28 @@ def q_strip_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="sparkval_strip_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     snap_path = f"{tmp}/snapshot.parquet"
-    shifted.repartition(8).write.parquet(snap_path)
+    shifted.repartition(8, "path").write.parquet(snap_path)
 
-    strip_v = eng.validate_strips(snap_path, base, f"{tmp}/ck", n_strips=4)["verdicts"]
-    batch_v = eng.validate(spark.read.parquet(snap_path), base)["verdicts"]
+    out = eng.validate_strips(
+        snap_path, base, f"{tmp}/ck", n_strips=4, include_violations=True
+    )
+    strip_v = out["verdicts"]
+    batch = eng.validate(spark.read.parquet(snap_path), base)
+    batch_v = batch["verdicts"]
     cols = ["repo_bucket", "lang", "score", "pnorm_3", "verdict", "n_files_snap"]
     sv, bv = strip_v.select(*cols), batch_v.select(*cols)
     n_mismatch = sv.exceptAll(bv).count() + bv.exceptAll(sv).count()
+    vcols = ["check", "repo", "path", "commit", "content_sha256", "detail"]
+    svio, bvio = out["violations"].select(*vcols), batch["violations"].select(*vcols)
+    n_vio_mismatch = svio.exceptAll(bvio).count() + bvio.exceptAll(svio).count()
+    n_vio = svio.count()
     res = sv.agg(
         F.lit(n_mismatch).cast("long").alias("n_mismatch"),
         F.min(F.col("verdict") == "FAIL").alias("all_failed"),
         F.sum("n_files_snap").alias("n_files_total"),
+        F.lit(n_vio_mismatch).cast("long").alias("n_vio_mismatch"),
+        # 3 duplicated keys -> 6 uniqueness violation rows, closed form
+        F.lit(n_vio == 6).alias("planted_vio_count_ok"),
     )
     base.unpersist()
     return res
@@ -1469,7 +1488,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "strip_validate_documents": """
         SELECT 0::BIGINT AS n_mismatch, true AS all_failed,
-               (SELECT count(*) FROM documents) AS n_files_total
+               (SELECT count(*) + 3 FROM documents) AS n_files_total,
+               0::BIGINT AS n_vio_mismatch, true AS planted_vio_count_ok
     """,
     "tdigest_lengths_documents": """
         SELECT true AS has_groups, true AS all_monotone,

@@ -119,6 +119,123 @@ def content_manifest(corpus: DataFrame) -> DataFrame:
     return corpus.select(*NATURAL_KEY, content_sha256().alias("content_sha256"))
 
 
+def row_check_partials(corpus: DataFrame) -> DataFrame:
+    """Per-row check partials for strip-mode validation: the NARROW
+    (~100 B/row) projection from which every row-level violation can
+    be finalized WITHOUT rescanning content — (key, content_sha256,
+    null_detail). All codegen expressions; the content column is read
+    once here and never again.
+
+    This is the row-level analog of the histogram partial monoid: each
+    strip commits its slice, and the finalize in
+    ``violations_from_row_partials`` runs only narrow joins/aggs over
+    the union — uniqueness counts become global exactly because the
+    committed slices partition the corpus.
+    """
+    required = ("repo", "path", "commit", "content")
+    any_null = F.greatest(*[F.col(c).isNull().cast("int") for c in required]) == 1
+    null_detail = F.when(
+        any_null,
+        F.concat_ws(
+            ",",
+            F.array_compact(
+                F.array(*[F.when(F.col(c).isNull(), F.lit(c)) for c in required])
+            ),
+        ),
+    )
+    return corpus.select(
+        *NATURAL_KEY,
+        content_sha256().alias("content_sha256"),
+        null_detail.alias("null_detail"),
+    )
+
+
+def violations_from_row_partials(
+    partials: DataFrame,
+    commits: DataFrame | None = None,
+    expected: DataFrame | None = None,
+) -> DataFrame:
+    """Finalize row-level violations from committed per-row partials
+    (strip mode). Produces EXACTLY the all_violations row set (parity
+    tested) plus, when ``expected`` is given, the manifest check —
+    using only the narrow partial columns:
+
+    - uniqueness: global key counts over the merged partials (the
+      strips partition the corpus, so the counts are exact), join-back
+      for per-duplicate-row violation rows;
+    - null_required: the precomputed per-row null_detail, key columns
+      blanked as in null_violations;
+    - referential: broadcast anti-join against the commits dimension;
+    - row_invariant_sha256: full-outer key join against the expected
+      manifest (shas already computed at strip time).
+
+    Content never appears here: at 100 TB the finalize shuffles
+    ~100 B/row worst-case, and AQE broadcasts the (rare) duplicate-key
+    set."""
+    dup_keys = (
+        partials.groupBy(*NATURAL_KEY)
+        .agg(F.count(F.lit(1)).alias("_dup_count"))
+        .filter(F.col("_dup_count") > 1)
+    )
+    dups = partials.join(F.broadcast(dup_keys), on=NATURAL_KEY, how="inner")
+    uniq = dups.select(
+        F.lit("uniqueness").alias("check"),
+        *NATURAL_KEY,
+        "content_sha256",
+        F.concat(F.lit("key_count="), F.col("_dup_count")).cast("string").alias("detail"),
+    )
+
+    nulls = partials.filter(F.col("null_detail").isNotNull()).select(
+        F.lit("null_required").alias("check"),
+        *[F.coalesce(F.col(k), F.lit("")).alias(k) for k in NATURAL_KEY],
+        "content_sha256",
+        F.col("null_detail").cast("string").alias("detail"),
+    )
+    out = uniq.unionByName(nulls)
+
+    if commits is not None:
+        parents = commits.select("repo", "commit").dropDuplicates(["repo", "commit"])
+        orphans = partials.join(
+            F.broadcast(parents), on=["repo", "commit"], how="left_anti"
+        )
+        out = out.unionByName(
+            orphans.select(
+                F.lit("referential_commit_repo").alias("check"),
+                *NATURAL_KEY,
+                "content_sha256",
+                F.lit("dangling commit").cast("string").alias("detail"),
+            )
+        )
+
+    if expected is not None:
+        ours = partials.select(
+            *NATURAL_KEY, "content_sha256"
+        ).withColumn("_in_snap", F.lit(True))
+        theirs = expected.select(
+            *NATURAL_KEY, F.col("content_sha256").alias("expected_sha256")
+        ).withColumn("_in_ref", F.lit(True))
+        j = ours.join(theirs, on=NATURAL_KEY, how="full_outer")
+        detail = (
+            F.when(F.col("_in_snap").isNull(), F.lit("missing_in_snapshot"))
+            .when(F.col("_in_ref").isNull(), F.lit("unexpected_in_snapshot"))
+            .when(
+                ~F.col("content_sha256").eqNullSafe(F.col("expected_sha256")),
+                F.lit("content_hash_mismatch"),
+            )
+        )
+        bad = j.withColumn("detail", detail).filter(F.col("detail").isNotNull())
+        out = out.unionByName(
+            bad.select(
+                F.lit("row_invariant_sha256").alias("check"),
+                *NATURAL_KEY,
+                F.coalesce("content_sha256", "expected_sha256").alias("content_sha256"),
+                F.col("detail").cast("string").alias("detail"),
+            )
+        )
+
+    return deterministic_order(out, ["check", "repo", "path", "commit"])
+
+
 def manifest_violations(corpus: DataFrame, expected: DataFrame) -> DataFrame:
     """Row-invariant check against a reference manifest.
 

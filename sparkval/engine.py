@@ -174,6 +174,9 @@ class ValidationEngine:
         stop: CancellationToken | None = None,
         n_strips: int = 16,
         on_strip=None,
+        commits: DataFrame | None = None,
+        expected_manifest: DataFrame | None = None,
+        include_violations: bool = False,
     ) -> dict[str, DataFrame]:
         """Strip-walker validation — butteraugli_strip
         (strip.rs:227-455, walker strip.rs:491-581) recast to the one
@@ -212,9 +215,21 @@ class ValidationEngine:
 
         Finalize = merge all strips' partials + the single kernel+join
         stage; verdicts are identical to validate() (parity-tested).
-        Row-level violation checks are a separate full-scan concern —
-        run validate()/all_violations for those (the reference's strip
-        API likewise returns only score/pnorm, strip.rs:601-905).
+
+        ``include_violations=True`` makes strip mode a FULL validate
+        (beyond the reference, whose strip API returns only
+        score/pnorm, strip.rs:601-905): each strip additionally
+        commits a NARROW per-row check-partial table (key, sha256,
+        null-detail — ~100 B/row, constraints.row_check_partials) in a
+        second pass over the strip, and the finalize derives ALL
+        row-level violations (uniqueness with exact global counts,
+        null_required, referential vs ``commits``, sha256 manifest vs
+        ``expected_manifest``) from the merged partials with
+        narrow-only joins — content is never rescanned after the strip
+        commits. Total content I/O equals batch validate() (which also
+        scans twice: violations probe + histograms); resume skips both
+        passes of a committed strip. A strip counts committed only
+        when BOTH its writes have _SUCCESS markers.
 
         ``on_strip(i, n, skipped)`` is an optional progress hook (the
         per-strip progress callback a monitoring UI would attach).
@@ -252,20 +267,26 @@ class ValidationEngine:
                 strip_files = files[lo:hi]
                 sid = sids[i]
                 strip_dir = uri_join(checkpoint_dir, "partials", f"strip={sid}")
-                done = fs_exists(spark, uri_join(strip_dir, "_SUCCESS"))
+                rows_dir = uri_join(checkpoint_dir, "row_partials", f"strip={sid}")
+                done = fs_exists(spark, uri_join(strip_dir, "_SUCCESS")) and (
+                    not include_violations
+                    or fs_exists(spark, uri_join(rows_dir, "_SUCCESS"))
+                )
                 if on_strip is not None:
                     on_strip(i, n_strips, done)
                 if done:
                     continue
                 if stop is not None and stop.cancelled:  # strip boundary poll
                     raise ValidationCancelled(stop.reason)
-                partials = partial_histograms(
-                    spark.read.schema(probe.schema).parquet(*strip_files),
-                    self.config,
-                )
+                strip_df = spark.read.schema(probe.schema).parquet(*strip_files)
+                partials = partial_histograms(strip_df, self.config)
                 # one write job per strip: the parquet commit protocol
                 # makes the strip atomic (a cancelled job commits nothing)
                 partials.write.mode("overwrite").parquet(strip_dir)
+                if include_violations:
+                    constraints.row_check_partials(strip_df).write.mode(
+                        "overwrite"
+                    ).parquet(rows_dir)
 
             if stop is not None and stop.cancelled:
                 raise ValidationCancelled(stop.reason)
@@ -285,7 +306,22 @@ class ValidationEngine:
             )
             if stop is not None:
                 verdicts = verdicts.localCheckpoint(eager=True)
-            return {"verdicts": verdicts}
+            out = {"verdicts": verdicts}
+            if include_violations:
+                row_partials = spark.read.parquet(
+                    uri_join(checkpoint_dir, "row_partials")
+                ).filter(F.col("strip").isin(sids))
+                violations = constraints.violations_from_row_partials(
+                    row_partials.select(
+                        "repo", "path", "commit", "content_sha256", "null_detail"
+                    ),
+                    commits,
+                    expected_manifest,
+                )
+                if stop is not None:
+                    violations = violations.localCheckpoint(eager=True)
+                out["violations"] = violations
+            return out
         except ValidationCancelled:
             raise
         except Exception as e:

@@ -133,3 +133,44 @@ def test_baseline_bytes_fs_form_matches_local_walk(spark, tmp_path):
     # not baseline data) that os.walk counts — so fs <= legacy, close
     assert via_fs == via_uri > 0
     assert via_fs <= legacy <= via_fs * 1.05
+
+
+def test_strip_mode_violations_parity_with_batch(spark, tmp_path):
+    """include_violations=True makes strip mode a FULL validate: the
+    row-level violation set (uniqueness + null_required + referential +
+    sha256 manifest) finalized from committed per-row partials must
+    equal validate()'s, exactly — including global uniqueness counts
+    for keys whose duplicates land in DIFFERENT strips."""
+    from sparkval import fixtures as fx
+    from sparkval.constraints import content_manifest
+
+    base_pd, _, commits_pd = fx.make_case("random_mid__identity", n_rows=900)
+    snap_pd = fx.distort(
+        fx.distort(fx.distort(base_pd, "dangle_4"), "dup_6"), "nullify_2"
+    )
+    snap = spark.createDataFrame(snap_pd)
+    commits = spark.createDataFrame(commits_pd)
+    # expected manifest = the BASELINE's rows -> missing/unexpected/
+    # mismatch rows all exercised (dup'd + nulled + dangled snapshot)
+    expected = content_manifest(spark.createDataFrame(base_pd))
+
+    eng = ValidationEngine(ValidationConfig(short_circuit_identical=False))
+    base = eng.build_baseline(spark.createDataFrame(base_pd))
+    path = str(tmp_path / "snapv.parquet")
+    # repartition by a key-derived column so duplicate keys spread
+    # across files (and therefore across strips)
+    snap.repartition(8, "path").write.parquet(path)
+
+    out = eng.validate_strips(
+        path, base, str(tmp_path / "ckv"), n_strips=4,
+        commits=commits, expected_manifest=expected, include_violations=True,
+    )
+    batch = eng.validate(
+        spark.read.parquet(path), base, commits=commits, expected_manifest=expected
+    )
+
+    cols = ["check", "repo", "path", "commit", "content_sha256", "detail"]
+    a = out["violations"].toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    b = batch["violations"].toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) > 10  # planted violations actually present
+    assert a.equals(b)
