@@ -1,13 +1,14 @@
 """Golden-corpus parity suite — the reference_parity.rs analog at
 breadth (the reference pins 908 C++-captured cases at <=0.1% relative,
 tests/common/reference_data.rs:39 + reference_parity.rs:33-35; we pin
-152 generator x distortion x size cases of OUR deterministic kernel).
+the FULL 12 generator x 12 distortion x 3 size cross product — 432
+cases, plus legacy sweep extras — of OUR deterministic kernel).
 
 Each case pins six values: score, pnorm_3, and the driftmap's
 min/max/mean/std (the reference's per-case diffmap-stats regression
 rows, reference_data.rs:15-23). A gating regression in any single band
-has to move at least one of 152 points spread across 12 generators,
-12 distortions and 3 corpus sizes.
+has to move at least one of 435 points spread across every generator,
+distortion and corpus size combination.
 
 Regenerate ONLY via `python tools/golden_corpus.py` in an explicit
 recalibration commit naming the kernel change (CLAUDE.md:154-182
@@ -45,7 +46,7 @@ def _compute(case: str):
 def test_corpus_size():
     # the table must stay at golden breadth — a shrunken regeneration
     # (e.g. a generator silently dropped) fails loudly
-    assert len(GOLDEN_TABLE) >= 150
+    assert len(GOLDEN_TABLE) >= 430
 
 
 @pytest.mark.parametrize("case", sorted(GOLDEN_TABLE))
