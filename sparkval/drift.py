@@ -142,82 +142,108 @@ def drift_verdicts_joined(
     good, bad = config.good_score, config.bad_score
     min_rows = config.min_partition_rows
 
+    chan_bins = (("byte", BYTE_BINS), ("len", LEN_BINS), ("lang", len(LANG_VOCAB)))
+
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # feature flag travels in the closure and is applied inside the
         # WORKER process (a driver-side module global would not ship)
         kernels.DEFAULT_BLUR_IMPL = blur_impl
         for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                n_b = int(row.b_n_files) if pd.notna(row.b_n_files) else 0
-                n_s = int(row.s_n_files) if pd.notna(row.s_n_files) else 0
-                if same_col is not None and bool(getattr(row, same_col)):
-                    out.append(
-                        {
-                            "repo_bucket": int(row.repo_bucket),
-                            "lang": row.lang,
-                            "n_files_base": n_b,
-                            "n_files_snap": n_s,
-                            "score": 0.0,
-                            "pnorm_3": 0.0,
-                            "verdict": VERDICT_PASS,
-                            "low_confidence": min(n_b, n_s) < min_rows,
-                            "driftmap": None,
-                        }
-                    )
+            n_rows = len(pdf)
+            if n_rows == 0:
+                yield pd.DataFrame(
+                    {f.name: pd.Series(dtype="object") for f in _VERDICT_SCHEMA.fields}
+                )
+                continue
+            n_b = pdf["b_n_files"].fillna(0).astype(np.int64).to_numpy()
+            n_s = pdf["s_n_files"].fillna(0).astype(np.int64).to_numpy()
+
+            # row classes: short-circuit / warm (reusable precomputed
+            # bands) / cold — each class scores as ONE batched kernel
+            # call over stacked (rows, bins) matrices (round-4 verdict
+            # #7: the per-row itertuples loop was the last per-row
+            # Python in the hot path; batching removes the ~4k-bucket
+            # practical ceiling)
+            if same_col is not None:
+                shortcut = pdf[same_col].fillna(False).to_numpy(dtype=bool)
+            else:
+                shortcut = np.zeros(n_rows, dtype=bool)
+            # precomputed bands bake in the intensity_target they were
+            # built with (self-describing b_pre_intensity column) — a
+            # mismatched run falls back to the cold path for
+            # correctness instead of reusing stale bands
+            if has_pre:
+                pre_int = pd.to_numeric(pdf["b_pre_intensity"], errors="coerce")
+                warm = (
+                    pdf["b_pre_byte"].notna()
+                    & pre_int.notna()
+                    & ((pre_int - intensity_target).abs() < 1e-9)
+                ).to_numpy(dtype=bool) & ~shortcut
+            else:
+                warm = np.zeros(n_rows, dtype=bool)
+            cold = ~shortcut & ~warm
+
+            scores = np.zeros(n_rows)
+            pnorms = np.zeros(n_rows)
+            driftmaps: list = [None] * n_rows
+
+            def stack(col: pd.Series, idx: np.ndarray, bins: int) -> np.ndarray:
+                vals = col.iloc[idx]
+                return np.stack([_vec(v, bins) for v in vals]) if len(idx) else (
+                    np.zeros((0, bins))
+                )
+
+            for mask, use_pre in ((cold, False), (warm, True)):
+                idx = np.flatnonzero(mask)
+                if not len(idx):
                     continue
-                base = {
-                    "byte": _vec(row.b_byte, BYTE_BINS),
-                    "len": _vec(row.b_len, LEN_BINS),
-                    "lang": _vec(row.b_lang, len(LANG_VOCAB)),
-                }
-                snap = {
-                    "byte": _vec(row.s_byte, BYTE_BINS),
-                    "len": _vec(row.s_len, LEN_BINS),
-                    "lang": _vec(row.s_lang, len(LANG_VOCAB)),
-                }
+                base = {ch: stack(pdf[f"b_{ch}"], idx, n) for ch, n in chan_bins}
+                snap = {ch: stack(pdf[f"s_{ch}"], idx, n) for ch, n in chan_bins}
                 pre = None
-                # precomputed bands bake in the intensity_target they
-                # were built with (self-describing b_pre_intensity
-                # column) — a mismatched run falls back to the cold
-                # path for correctness instead of reusing stale bands
-                if (
-                    has_pre
-                    and row.b_pre_byte is not None
-                    and pd.notna(row.b_pre_intensity)
-                    and abs(float(row.b_pre_intensity) - intensity_target) < 1e-9
-                ):
+                if use_pre:
                     pre = {
-                        ch: kernels.unpack_bands(getattr(row, f"b_pre_{ch}"), n)
-                        for ch, n in (("byte", BYTE_BINS), ("len", LEN_BINS),
-                                      ("lang", len(LANG_VOCAB)))
+                        ch: kernels.unpack_bands(
+                            np.stack(
+                                [np.asarray(v, dtype=np.float64)
+                                 for v in pdf[f"b_pre_{ch}"].iloc[idx]]
+                            ),
+                            n,
+                        )
+                        for ch, n in chan_bins
                     }
-                score, pnorm3, dm = kernels.drift_score(
+                sc, pn, dm = kernels.drift_score_batch(
                     base, snap, hf_asymmetry=hf_asym, xmul=xmul,
                     single_resolution=single_res, precomputed=pre,
                     intensity_factor=intensity,
                 )
-                verdict = (
-                    VERDICT_PASS if score < good else VERDICT_WARN if score < bad else VERDICT_FAIL
-                )
-                out.append(
-                    {
-                        "repo_bucket": int(row.repo_bucket),
-                        "lang": row.lang,
-                        "n_files_base": n_b,
-                        "n_files_snap": n_s,
-                        "score": score,
-                        "pnorm_3": pnorm3,
-                        "verdict": verdict,
-                        # tiny-partition analog of reflect-padding
-                        # (lib.rs:209-227): score stands, flag stands out
-                        "low_confidence": min(n_b, n_s) < min_rows,
-                        "driftmap": dm if keep_map else None,
-                    }
-                )
-            yield pd.DataFrame(out) if out else pd.DataFrame(
-                {f.name: pd.Series(dtype="object") for f in _VERDICT_SCHEMA.fields}
+                scores[idx] = sc
+                pnorms[idx] = pn
+                if keep_map:
+                    for j, i in enumerate(idx):
+                        driftmaps[i] = dm[j]
+
+            verdicts = np.where(
+                shortcut | (scores < good), VERDICT_PASS,
+                np.where(scores < bad, VERDICT_WARN, VERDICT_FAIL),
             )
+            scores[shortcut] = 0.0
+            pnorms[shortcut] = 0.0
+            out = pd.DataFrame(
+                {
+                    "repo_bucket": pdf["repo_bucket"].astype(np.int32).to_numpy(),
+                    "lang": pdf["lang"].to_numpy(),
+                    "n_files_base": n_b,
+                    "n_files_snap": n_s,
+                    "score": scores,
+                    "pnorm_3": pnorms,
+                    "verdict": verdicts,
+                    # tiny-partition analog of reflect-padding
+                    # (lib.rs:209-227): score stands, flag stands out
+                    "low_confidence": np.minimum(n_b, n_s) < min_rows,
+                    "driftmap": driftmaps,
+                }
+            )
+            yield out
 
     return joined.mapInPandas(score_batches, _VERDICT_SCHEMA)
 

@@ -153,15 +153,29 @@ def gaussian_kernel(sigma: float) -> np.ndarray:
 def blur1d(v: np.ndarray, sigma: float) -> np.ndarray:
     """Clamp-to-edge separable blur with border re-normalization
     (blur.rs:78-145): near edges, divide by the sum of in-bounds taps
-    so the local mean is preserved instead of darkening."""
+    so the local mean is preserved instead of darkening.
+
+    Axis-polymorphic over the LAST axis — a (rows, bins) matrix blurs
+    every row in one vectorized tap loop (round-4 verdict #7: the
+    drift kernel scores O(buckets x langs) rows per batch, and per-row
+    numpy-call overhead was the only per-row Python left in the hot
+    path). A row processed alone is bit-identical to the same row
+    inside a batch: every tap update is element-independent."""
     k = gaussian_kernel(sigma)
-    # center-crop the full convolution: np.convolve(mode='same') would
-    # return the KERNEL's length when the kernel outgrows the signal
-    # (short histograms / half-res passes), so crop explicitly.
-    start = (len(k) - 1) // 2
-    num = np.convolve(v, k, mode="full")[start : start + len(v)]
-    den = np.convolve(np.ones_like(v), k, mode="full")[start : start + len(v)]
-    return num / den
+    v = np.asarray(v, dtype=np.float64)
+    n = v.shape[-1]
+    hw = (len(k) - 1) // 2
+    pad = [(0, 0)] * (v.ndim - 1) + [(hw, hw)]
+    p = np.pad(v, pad, mode="constant")
+    out = np.zeros_like(v)
+    # k is symmetric, so the correlation tap loop equals convolution
+    for t in range(len(k)):
+        out += k[t] * p[..., t : t + n]
+    ones = np.pad(np.ones(n), (hw, hw), mode="constant")
+    den = np.zeros(n)
+    for t in range(len(k)):
+        den += k[t] * ones[t : t + n]
+    return out / den
 
 
 def iir_coeffs(sigma: float) -> tuple[int, np.ndarray, np.ndarray]:
@@ -241,7 +255,7 @@ def blur1d_dispatch(v: np.ndarray, sigma: float) -> np.ndarray:
     """gaussian_blur's feature dispatch (blur.rs:870-879)."""
     if DEFAULT_BLUR_IMPL == "iir":
         big_n = round(3.2795 * float(sigma) + 0.2546)
-        if len(v) > 2 * big_n + 1:
+        if np.asarray(v).shape[-1] > 2 * big_n + 1:
             return blur1d_iir(v, sigma)
     return blur1d(v, sigma)
 
@@ -252,23 +266,31 @@ def blur1d_mirror(v: np.ndarray, sigma: float) -> np.ndarray:
     the edge sample IS repeated => np.pad mode='symmetric'; weights
     normalized to sum 1, compute_separable5_weights blur.rs:26-39).
     Unlike blur1d there is no border re-normalization: mirrored
-    samples supply the mass."""
+    samples supply the mass. Axis-polymorphic over the last axis."""
     k = gaussian_kernel(sigma)
     k = k / k.sum()
+    v = np.asarray(v, dtype=np.float64)
+    n = v.shape[-1]
     hw = (len(k) - 1) // 2
-    padded = np.pad(v, hw, mode="symmetric")
-    return np.convolve(padded, k, mode="valid")
+    pad = [(0, 0)] * (v.ndim - 1) + [(hw, hw)]
+    padded = np.pad(v, pad, mode="symmetric")
+    out = np.zeros_like(v)
+    for t in range(len(k)):  # symmetric k: correlation == convolution
+        out += k[t] * padded[..., t : t + n]
+    return out
 
 
 def fuzzy_erosion_1d(v: np.ndarray, offset: int = 3) -> np.ndarray:
     """Weighted 3-smallest of {x-offset, x, x+offset} (mask.rs:110-149:
-    0.45*min0 + 0.3*min1 + 0.25*min2), edges clamped."""
-    n = len(v)
+    0.45*min0 + 0.3*min1 + 0.25*min2), edges clamped. Last-axis
+    polymorphic."""
+    v = np.asarray(v, dtype=np.float64)
+    n = v.shape[-1]
     idx = np.arange(n)
     stack = np.stack([
-        v[np.clip(idx - offset, 0, n - 1)],
+        np.take(v, np.clip(idx - offset, 0, n - 1), axis=-1),
         v,
-        v[np.clip(idx + offset, 0, n - 1)],
+        np.take(v, np.clip(idx + offset, 0, n - 1), axis=-1),
     ])
     s = np.sort(stack, axis=0)
     return 0.45 * s[0] + 0.3 * s[1] + 0.25 * s[2]
@@ -368,10 +390,7 @@ def amplify_range_around_zero(v: np.ndarray, r: float) -> np.ndarray:
 def maximum_clamp(v: np.ndarray, m: float) -> np.ndarray:
     """Soft-clip beyond +-m with slope 0.724 (psycho.rs:150-159)."""
     a = np.abs(v)
-    over = a > m
-    out = v.copy()
-    out[over] = np.sign(v[over]) * (m + 0.724 * (a[over] - m))
-    return out
+    return np.where(a > m, np.sign(v) * (m + 0.724 * (a - m)), v)
 
 
 # ---------------------------------------------------------------------------
@@ -414,12 +433,14 @@ def separate_frequencies(v: np.ndarray, full_bands: bool = True) -> dict[str, np
 def _window_sums(d: np.ndarray, length: int, stride: int) -> np.ndarray:
     """Centered windowed sums of width `length` sampled at `stride`
     (the 1-D collapse of the 16 oriented line kernels: orientations
-    become window phase/stride)."""
+    become window phase/stride). Last-axis polymorphic."""
     half = (length - 1) // 2 * stride
-    pad = np.pad(d, half, mode="constant")  # malta.rs:1380-1407 zero-pad trick
+    n = d.shape[-1]
+    padw = [(0, 0)] * (d.ndim - 1) + [(half, half)]
+    pad = np.pad(d, padw, mode="constant")  # malta.rs:1380-1407 zero-pad trick
     out = np.zeros_like(d)
     for j in range(-(length - 1) // 2, (length - 1) // 2 + 1):
-        out += pad[half + j * stride : half + j * stride + len(d)]
+        out += pad[..., half + j * stride : half + j * stride + n]
     return out
 
 
@@ -435,7 +456,8 @@ def malta_diff_1d(v0: np.ndarray, v1: np.ndarray, w: float, norm1: float,
     too_small = MALTA_TOO_SMALL * fabs0
     too_big = MALTA_TOO_BIG * fabs0
     fabs1 = np.abs(v1)
-    scaler = norm1 / (norm1 + np.mean((v1 - v0) ** 2))
+    # per-row scaler (keepdims broadcasts over the bin axis)
+    scaler = norm1 / (norm1 + np.mean((v1 - v0) ** 2, axis=-1, keepdims=True))
     d = np.where(
         fabs1 < too_small, (too_small - fabs1),
         np.where(fabs1 > too_big, (fabs1 - too_big), 0.0),
@@ -541,23 +563,25 @@ def reflect_pad_min(v: np.ndarray, min_bins: int = MIN_BINS) -> np.ndarray:
     mode='reflect'). Original bins occupy the head, so a driftmap
     computed on the padded vector crops back with [:len(v)]
     (crop_diffmap analog)."""
-    n = len(v)
+    v = np.asarray(v)
+    n = v.shape[-1]
     if n >= min_bins:
         return v
     mode = "reflect" if n > 1 else "edge"
-    return np.pad(v, (0, min_bins - n), mode=mode)
+    padw = [(0, 0)] * (v.ndim - 1) + [(0, min_bins - n)]
+    return np.pad(v, padw, mode=mode)
 
 
 def normalize_hist(counts: np.ndarray) -> np.ndarray:
     """Counts -> intensity: probability mass scaled so a uniform
     distribution sits at mid-gray (partition-size invariance; the
     'subsample in linear space' lesson means all resolution changes
-    happen on THIS representation)."""
+    happen on THIS representation). Last-axis polymorphic: each row
+    normalizes by its own total; zero-mass rows stay zero."""
     c = np.asarray(counts, dtype=np.float64)
-    total = c.sum()
-    if total <= 0:
-        return np.zeros_like(c)
-    return c / total * len(c) * INTENSITY_MID / 1.0
+    total = c.sum(axis=-1, keepdims=True)
+    safe = np.where(total > 0, total, 1.0)
+    return np.where(total > 0, c / safe * c.shape[-1] * INTENSITY_MID, 0.0)
 
 
 def precompute_channel_bands(c0: np.ndarray, channel: str,
@@ -573,7 +597,7 @@ def precompute_channel_bands(c0: np.ndarray, channel: str,
     out = {"full": separate_frequencies(
         opsin_dynamics(normalize_hist(c0) * intensity_factor),
         full_bands=spec["full"])}
-    if not single_resolution and len(c0) >= 16:
+    if not single_resolution and c0.shape[-1] >= 16:
         ch = downsample_2x(c0)
         out["half"] = separate_frequencies(
             opsin_dynamics(normalize_hist(ch) * intensity_factor),
@@ -594,14 +618,20 @@ def pack_bands(pre: dict) -> np.ndarray:
 
 
 def unpack_bands(flat: np.ndarray, n_bins: int) -> dict:
-    """Inverse of pack_bands."""
+    """Inverse of pack_bands. Accepts a packed vector or a (rows,
+    packed_len) matrix — band entries come back with a matching
+    leading shape, so a whole warm batch unpacks in six slices."""
     flat = np.asarray(flat, dtype=np.float64)
-    full = {b: flat[i * n_bins:(i + 1) * n_bins] for i, b in enumerate(_BAND_ORDER)}
+    full = {
+        b: flat[..., i * n_bins:(i + 1) * n_bins] for i, b in enumerate(_BAND_ORDER)
+    }
     out = {"full": full}
-    rest = flat[4 * n_bins:]
-    if rest.size:
-        nh = rest.size // 4
-        out["half"] = {b: rest[i * nh:(i + 1) * nh] for i, b in enumerate(_BAND_ORDER)}
+    rest = flat[..., 4 * n_bins:]
+    if rest.shape[-1]:
+        nh = rest.shape[-1] // 4
+        out["half"] = {
+            b: rest[..., i * nh:(i + 1) * nh] for i, b in enumerate(_BAND_ORDER)
+        }
     return out
 
 
@@ -630,7 +660,7 @@ def channel_driftmap(c0: np.ndarray, c1: np.ndarray, channel: str,
     Inputs below the 8-bin floor are reflect-101 padded and the
     driftmap cropped back (lib.rs:209-227 + crop_diffmap)."""
     spec = CHANNELS[channel]
-    n_orig = len(c0)
+    n_orig = np.asarray(c0).shape[-1]
     c0 = reflect_pad_min(np.asarray(c0, dtype=np.float64))
     c1 = reflect_pad_min(np.asarray(c1, dtype=np.float64))
     if channel == "lang" and xmul != 1.0:
@@ -659,24 +689,25 @@ def channel_driftmap(c0: np.ndarray, c1: np.ndarray, channel: str,
     ac += l2_diff(b0["mf"], b1["mf"], spec["w_ac"])
 
     dc = l2_diff(b0["lf"], b1["lf"], spec["w_dc"])
-    return np.sqrt(np.maximum(dc * mask_dc + ac * mask_ac, 0.0))[:n_orig]
+    return np.sqrt(np.maximum(dc * mask_dc + ac * mask_ac, 0.0))[..., :n_orig]
 
 
 def downsample_2x(counts: np.ndarray) -> np.ndarray:
     """Bin-pair sum on raw counts = 2x coarser histogram (the linear-
     space subsample, diff.rs:551-624 + CLAUDE.md lesson: downsample the
-    mass, not any nonlinear transform of it)."""
+    mass, not any nonlinear transform of it). Last-axis polymorphic."""
     c = np.asarray(counts, dtype=np.float64)
-    if len(c) % 2:
-        c = np.append(c, 0.0)
-    return c.reshape(-1, 2).sum(axis=1)
+    if c.shape[-1] % 2:
+        padw = [(0, 0)] * (c.ndim - 1) + [(0, 1)]
+        c = np.pad(c, padw, mode="constant")
+    return c.reshape(*c.shape[:-1], -1, 2).sum(axis=-1)
 
 
 def add_supersampled_2x(full: np.ndarray, coarse: np.ndarray,
                         weight: float = HALFRES_WEIGHT) -> np.ndarray:
     """Blend half-res drift into full-res (diff.rs:82-112):
     dest = dest*(1 - 0.3*w) + w*coarse[i/2]."""
-    up = np.repeat(coarse, 2)[: len(full)]
+    up = np.repeat(coarse, 2, axis=-1)[..., : full.shape[-1]]
     return full * (1.0 - HEURISTIC_MIXING * weight) + weight * up
 
 
@@ -693,7 +724,7 @@ def channel_driftmap_multires(c0: np.ndarray, c1: np.ndarray, channel: str,
     full = channel_driftmap(c0, c1, channel, hf_asymmetry, xmul,
                             pre_b0=pre["full"] if pre else None,
                             intensity_factor=intensity_factor)
-    if single_resolution or len(c0) < 16:
+    if single_resolution or np.asarray(c0).shape[-1] < 16:
         return full
     coarse = channel_driftmap(
         downsample_2x(c0), downsample_2x(c1), channel, hf_asymmetry, xmul,
@@ -724,7 +755,7 @@ def pnorm_slice(dm: np.ndarray, p: float) -> float:
     return float(np.mean([np.mean(a ** q) ** (1.0 / q) for q in (p, 2 * p, 4 * p)]))
 
 
-def drift_score(
+def drift_score_batch(
     base: dict[str, np.ndarray],
     snap: dict[str, np.ndarray],
     hf_asymmetry: float = 1.0,
@@ -732,14 +763,23 @@ def drift_score(
     single_resolution: bool = False,
     precomputed: dict[str, dict] | None = None,
     intensity_factor: float = 1.0,
-) -> tuple[float, float, np.ndarray]:
-    """Top-level drift query for one partition: three distribution
-    families in, (score, pnorm_3, driftmap) out — the recast of
-    butteraugli(img1, img2, params) -> ButteraugliResult
-    (lib.rs:668-674, result lib.rs:589-602).
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized drift query over a BATCH of partitions (round-4
+    verdict #7): ``base``/``snap`` map each channel to a (rows, bins)
+    matrix; returns (scores[rows], pnorm_3[rows], driftmap[rows,
+    total_bins]). Every kernel stage is last-axis polymorphic, so one
+    batched call replaces rows x ~50 tiny numpy calls — the per-row
+    Python loop that capped the verdict stage at ~4k buckets now runs
+    as ~50 matrix ops regardless of row count.
 
-    The returned driftmap concatenates the per-family maps
-    [byte(256) | len(64) | lang(9)] so violation bins are addressable.
+    Bit-compatibility contract: a row scored alone equals the same row
+    inside any batch (element-independent tap loops; per-row
+    reductions use keepdims) — drift_score IS this function at
+    rows=1, so the golden corpus pins both paths.
+
+    ``precomputed`` (warm path) must cover ALL rows of the batch when
+    given: callers partition mixed warm/cold batches first
+    (sparkval.drift does).
     """
     maps = {}
     for ch in ("byte", "len", "lang"):
@@ -757,10 +797,55 @@ def drift_score(
     # channels are attenuated where the byte channel already drifts at
     # the same relative position (resampled onto each channel's axis)
     byte_dm = maps["byte"]
+    nb = byte_dm.shape[-1]
     for ch in ("len", "lang"):
-        n = len(maps[ch])
-        idx = (np.arange(n) * len(byte_dm)) // max(n, 1)
-        maps[ch] = suppress_x_by_y(maps[ch], byte_dm[idx])
-    dm = np.concatenate([maps["byte"], maps["len"], maps["lang"]]) * DRIFT_OUTPUT_SCALE
-    score, pnorm3 = score_from_driftmap(dm)
-    return score, pnorm3, dm
+        n = maps[ch].shape[-1]
+        idx = (np.arange(n) * nb) // max(n, 1)
+        maps[ch] = suppress_x_by_y(maps[ch], byte_dm[..., idx])
+    dm = np.concatenate(
+        [maps["byte"], maps["len"], maps["lang"]], axis=-1
+    ) * DRIFT_OUTPUT_SCALE
+    scores = np.max(dm, axis=-1) if dm.shape[-1] else np.zeros(dm.shape[:-1])
+    pn = np.zeros(dm.shape[:-1])
+    for p in (3, 6, 12):
+        pn += np.mean(np.abs(dm) ** p, axis=-1) ** (1.0 / p)
+    return scores, pn / 3.0, dm
+
+
+def drift_score(
+    base: dict[str, np.ndarray],
+    snap: dict[str, np.ndarray],
+    hf_asymmetry: float = 1.0,
+    xmul: float = 1.0,
+    single_resolution: bool = False,
+    precomputed: dict[str, dict] | None = None,
+    intensity_factor: float = 1.0,
+) -> tuple[float, float, np.ndarray]:
+    """Top-level drift query for one partition: three distribution
+    families in, (score, pnorm_3, driftmap) out — the recast of
+    butteraugli(img1, img2, params) -> ButteraugliResult
+    (lib.rs:668-674, result lib.rs:589-602). Thin rows=1 wrapper over
+    drift_score_batch, so the scalar oracle and the batched engine
+    path share one implementation bit-for-bit.
+
+    The returned driftmap concatenates the per-family maps
+    [byte(256) | len(64) | lang(9)] so violation bins are addressable.
+    """
+    b1 = {ch: np.asarray(base[ch], dtype=np.float64)[None, :] for ch in base}
+    s1 = {ch: np.asarray(snap[ch], dtype=np.float64)[None, :] for ch in snap}
+    pre = None
+    if precomputed is not None:
+        pre = {
+            ch: {
+                res: {b: np.asarray(v, dtype=np.float64)[None, :]
+                      for b, v in bands.items()}
+                for res, bands in chpre.items()
+            }
+            for ch, chpre in precomputed.items()
+        }
+    scores, pn, dm = drift_score_batch(
+        b1, s1, hf_asymmetry=hf_asymmetry, xmul=xmul,
+        single_resolution=single_resolution, precomputed=pre,
+        intensity_factor=intensity_factor,
+    )
+    return float(scores[0]), float(pn[0]), dm[0]

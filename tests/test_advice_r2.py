@@ -94,9 +94,12 @@ def test_cli_build_baseline_writes_fp_sidecar_and_validate_guards(
 
     # a stale-algo sidecar must trip the guard (fingerprints dropped
     # with a warning) — proving the CLI actually routes through
-    # load_baseline rather than a raw parquet read
-    with open(meta, "w") as f:
-        json.dump({"fp_algo": "ancient-v0"}, f)
+    # load_baseline rather than a raw parquet read. Overwrite via the
+    # FS API: a bare open() would orphan the local checksum fs's .crc
+    # shadow and poison the next FS read.
+    from sparkval.io import fs_write_text
+
+    fs_write_text(spark, meta, json.dumps({"fp_algo": "ancient-v0"}))
     with pytest.warns(UserWarning, match="fingerprint algo"):
         rc2 = cli_main(
             ["validate", "--corpus", corpus_path, "--baseline", baseline_path,

@@ -251,12 +251,14 @@ def test_iir_blur_flag_scores_close_and_identity_zero(spark, baseline_df):
 
 def test_bucket_headroom_4096(spark):
     """n_repo_buckets headroom (round-2 verdict ask): the two
-    O(buckets x langs) assumptions — the kernel stage's per-row
-    itertuples batch (drift.py) and deterministic_order's
-    single-partition sort (constraints.py) — must hold at 4096 buckets
-    (~37k verdict rows), two orders of magnitude past the default 16.
-    Hist tables are synthesized directly (id arithmetic) so the test
-    exercises exactly the scoring + ordering stages, not a giant scan."""
+    O(buckets x langs) assumptions — the kernel stage's batched
+    matrix scoring (drift.py / kernels.drift_score_batch; round 4
+    removed the per-row itertuples loop, 30 s -> 11 s at this scale)
+    and deterministic_order's single-partition sort (constraints.py) —
+    must hold at 4096 buckets (~37k verdict rows), two orders of
+    magnitude past the default 16. Hist tables are synthesized
+    directly (id arithmetic) so the test exercises exactly the
+    scoring + ordering stages, not a giant scan."""
     from pyspark.sql import functions as F
 
     from sparkval import constraints as C
