@@ -117,9 +117,8 @@ def bench_engine_throughput(spark, sf_dir: str) -> tuple[float, float, int, dict
     n_files = corpus.count()
 
     eng = ValidationEngine(ValidationConfig(short_circuit_identical=False))
-    best = float("inf")
-    for _ in range(ENGINE_REPS):
-        t0 = time.perf_counter()
+
+    def cold_leg():
         base = eng.build_baseline(corpus)
         out = eng.validate(snap, base)
         # verdicts and violations force SEQUENTIALLY on purpose:
@@ -129,7 +128,8 @@ def bench_engine_throughput(spark, sf_dir: str) -> tuple[float, float, int, dict
         # concurrent independent sinks are the right call)
         force(out["verdicts"])
         force(out["violations"])
-        best = min(best, time.perf_counter() - t0)
+
+    best, cold_quiet, _ = timed_quiet(cold_leg, attempts=ENGINE_REPS)
 
     # WARM leg — the steady-state production shape (one baseline, many
     # snapshots; the reference's precomputed-reference compare,
@@ -138,14 +138,14 @@ def bench_engine_throughput(spark, sf_dir: str) -> tuple[float, float, int, dict
     # this is what every validation after the first costs.
     base_path = f"{tmp}/baseline.parquet"
     eng.build_baseline(corpus).write.mode("overwrite").parquet(base_path)
-    best_warm = float("inf")
-    for _ in range(max(ENGINE_REPS, 2)):
-        t0 = time.perf_counter()
+
+    def warm_leg():
         base = spark.read.parquet(base_path)
         out = eng.validate(snap, base)
         force(out["verdicts"])
         force(out["violations"])
-        best_warm = min(best_warm, time.perf_counter() - t0)
+
+    best_warm, warm_quiet, _ = timed_quiet(warm_leg, attempts=max(ENGINE_REPS, 2))
 
     # per-stage breakdown (scan vs merge vs kernel+join): lets scaling
     # analysis separate the memory-bandwidth-bound scan from fixed
@@ -166,7 +166,7 @@ def bench_engine_throughput(spark, sf_dir: str) -> tuple[float, float, int, dict
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)  # ~1 GB per run otherwise
-    return best, best_warm, n_files, stages
+    return best, best_warm, n_files, stages, {"cold": cold_quiet, "warm": warm_quiet}
 
 
 def warmup(spark) -> None:
@@ -229,6 +229,39 @@ def _steal_ticks() -> int:
         return 0
 
 
+#: a leg whose interval steal exceeds this is a contended-window
+#: measurement and gets retried (round-3 verdict #6: r3's numbers
+#: rested on quiet windows found by luck; now the bench FINDS them)
+STEAL_GATE_TICKS = int(os.environ.get("SPARK_GRAFT_STEAL_GATE", "2000"))
+
+
+def timed_quiet(fn, attempts: int = 2, extra_retries: int = 2):
+    """Run ``fn`` ``attempts`` times (the best-of-N the bench always
+    did), then keep retrying up to ``extra_retries`` more while EVERY
+    attempt so far was steal-contaminated. Returns (best_quiet_sec or
+    best_sec, quiet: bool, per_attempt: [(sec, steal)]).
+
+    Best = min over QUIET attempts when any exist (contended attempts
+    only ever slow a leg down, so min-over-quiet is the honest
+    steady-state number); if no attempt lands in a quiet window the
+    overall min is returned flagged dirty rather than silently
+    reported."""
+    runs: list[tuple[float, int]] = []
+    total = attempts
+    while len(runs) < total:
+        s0 = _steal_ticks()
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        runs.append((dt, _steal_ticks() - s0))
+        quiet = [r for r in runs if r[1] <= STEAL_GATE_TICKS]
+        if len(runs) == total and not quiet and total < attempts + extra_retries:
+            total += 1  # all attempts dirty -> buy another window
+    quiet = [r for r in runs if r[1] <= STEAL_GATE_TICKS]
+    pool = quiet if quiet else runs
+    return min(t for t, _ in pool), bool(quiet), runs
+
+
 def main() -> None:
     spark = get_spark("sparkval-bench", parallelism=CPUS, shuffle_partitions=max(CPUS, 8))
     spark.sparkContext.setLogLevel("ERROR")
@@ -239,19 +272,26 @@ def main() -> None:
 
     # engine leg FIRST (the headline metric), on a freshly-warmed
     # session with nothing cached
-    eng_sec, eng_warm_sec, n_files, eng_stages = bench_engine_throughput(spark, SF_DIR)
+    eng_sec, eng_warm_sec, n_files, eng_stages, eng_quiet = bench_engine_throughput(
+        spark, SF_DIR
+    )
     spark.catalog.clearCache()
 
-    # best-of-2: first run still pays per-plan codegen; the repeat is
-    # the steady-state number a long-running cluster job sees
+    # best-of-2 with steal gating: first run still pays per-plan
+    # codegen; the repeat is the steady-state number a long-running
+    # cluster job sees. A leg whose every attempt lands in a contended
+    # window (interval steal > STEAL_GATE_TICKS) retries up to twice
+    # more and is flagged dirty if it never finds quiet air — the
+    # JSON self-reports its window quality instead of relying on luck.
     per_query: dict[str, float] = {}
+    dirty: list[str] = []
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            force(queries[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
+        best, quiet, _runs = timed_quiet(
+            lambda name=name: force(queries[name](spark, SF_DIR))
+        )
         per_query[name] = round(best, 3)
+        if not quiet:
+            dirty.append(name)
         # drop persisted intermediates so queries are isolated: leaked
         # cache blocks from one query would squeeze execution memory
         # for the next (classic benchmark cross-talk)
@@ -274,6 +314,15 @@ def main() -> None:
                 "runs_per_query": 2,
                 "repeat": REPEAT,
                 "host_steal_ticks": _steal_ticks() - steal0,
+                # window-quality self-report (round-3 verdict #6): a
+                # leg is quiet when at least one attempt saw interval
+                # steal <= gate; dirty legs kept best-of-all, flagged
+                "window": {
+                    "steal_gate_ticks": STEAL_GATE_TICKS,
+                    "dirty_queries": dirty,
+                    "engine_cold_quiet": eng_quiet["cold"],
+                    "engine_warm_quiet": eng_quiet["warm"],
+                },
                 "engine_files": n_files,
                 "engine_files_per_sec": round(n_files / eng_sec, 1),
                 "engine_warm_files_per_sec": round(n_files / eng_warm_sec, 1),
