@@ -285,7 +285,8 @@ def main() -> None:
     # JSON self-reports its window quality instead of relying on luck.
     per_query: dict[str, float] = {}
     dirty: list[str] = []
-    for name in HEADLINE:
+    headline = [] if os.environ.get("SPARK_GRAFT_BENCH_ENGINE_ONLY") else HEADLINE
+    for name in headline:
         best, quiet, _runs = timed_quiet(
             lambda name=name: force(queries[name](spark, SF_DIR))
         )

@@ -276,3 +276,29 @@ def test_strip_walker_resume_scans_only_remaining_files(spark, tmp_path):
     eng.validate_strips(path, base, ckpt, n_strips=6,
                         on_strip=lambda i, n, sk: seen3.append(sk))
     assert seen3 == [True] * 6
+
+
+def test_strip_violation_finalize_plan_narrow_and_vectorized(spark):
+    """The strip-mode violation finalize must stay on the narrow
+    vectorized path: no BatchEvalPython (it is pure built-ins), no
+    CartesianProduct/BroadcastNestedLoopJoin, and the duplicate-key
+    join-back broadcast (rare-key side) — the shape that shuffles
+    ~100 B/row worst-case at 100 TB."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sparkval.constraints import row_check_partials, violations_from_row_partials
+
+    corpus = spark.range(0, 500).select(
+        F.concat(F.lit("r"), (F.col("id") % 7).cast("string")).alias("repo"),
+        (F.col("id") % 250).cast("string").alias("path"),  # planted dups
+        F.lit("c0").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.sha2(F.col("id").cast("string"), 256).alias("content"),
+    )
+    commits = corpus.select("repo", "commit").distinct()
+    out = violations_from_row_partials(row_check_partials(corpus), commits)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # dup-key + commits sides

@@ -38,6 +38,7 @@ CANCEL_AT = N_STRIPS // 2
 
 
 def main() -> None:
+    steal0 = bench._steal_ticks()
     spark = get_spark(
         "sparkval-resume-bench", parallelism=bench.CPUS,
         shuffle_partitions=max(bench.CPUS, 8),
@@ -115,7 +116,10 @@ def main() -> None:
         "resume_over_full": round(t_resume / t_full, 3),
         "resume_efficiency": round(saved / expected_saved, 3) if expected_saved else None,
         "parallelism": bench.CPUS,
-        "host_steal_ticks": bench._steal_ticks(),
+        # interval steal, not absolute (round-4 fix: the r3 run
+        # reported the counter's lifetime value, unusable for
+        # window-quality judgment)
+        "host_steal_ticks": bench._steal_ticks() - steal0,
     }))
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()

@@ -43,6 +43,9 @@ def run_bench(cpus: int) -> dict:
         # latency so the compute term dominates (what 100 TB looks like)
         SPARK_GRAFT_BENCH_REPEAT=os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "96"),
         SPARK_GRAFT_ENGINE_REPS="1",
+        # engine legs are the scaling evidence; skip the headline
+        # query sweep (it triples sweep wall time at local[2])
+        SPARK_GRAFT_BENCH_ENGINE_ONLY="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
