@@ -90,20 +90,22 @@ def with_precomputed_bands(hists: DataFrame, config: ValidationConfig) -> DataFr
         for pdf in batches:
             if pdf.empty:
                 continue
-            packed = {c: [] for c in _PRE_COLS}
-            for _, row in pdf.iterrows():
-                for col, src in (("pre_byte", "byte_hist"), ("pre_len", "len_hist"),
-                                 ("pre_lang", "lang_hist")):
-                    ch = col[4:]
-                    pre = kernels.precompute_channel_bands(
-                        np.asarray(row[src], dtype=np.float64), ch,
-                        single_resolution=single_res,
-                        intensity_factor=intensity_factor,
-                    )
-                    packed[col].append(kernels.pack_bands(pre))
             out = pdf.copy()
-            for c in _PRE_COLS:
-                out[c] = packed[c]
+            # batched decomposition: one (rows, bins) matrix per
+            # channel through the axis-polymorphic kernel (bit-equal
+            # per row to the scalar path — same contract as
+            # drift_score_batch), instead of iterrows x 3 kernel calls
+            for col, src in (("pre_byte", "byte_hist"), ("pre_len", "len_hist"),
+                             ("pre_lang", "lang_hist")):
+                ch = col[4:]
+                mat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[src]]
+                )
+                pre = kernels.precompute_channel_bands(
+                    mat, ch, single_resolution=single_res,
+                    intensity_factor=intensity_factor,
+                )
+                out[col] = list(kernels.pack_bands(pre))
             out["pre_intensity"] = intensity_target
             yield out
 

@@ -610,11 +610,13 @@ _BAND_ORDER = ("lf", "mf", "hf", "uhf")
 
 def pack_bands(pre: dict) -> np.ndarray:
     """Flatten precomputed bands to one vector for an ArrayType column:
-    [4 x n full bands | 4 x n/2 half bands (if present)]."""
+    [4 x n full bands | 4 x n/2 half bands (if present)]. Band entries
+    may be (rows, n) matrices (batched precompute) — packing then
+    yields (rows, packed_len), one packed vector per row."""
     parts = [pre["full"][b] for b in _BAND_ORDER]
     if "half" in pre:
         parts += [pre["half"][b] for b in _BAND_ORDER]
-    return np.concatenate(parts)
+    return np.concatenate(parts, axis=-1)
 
 
 def unpack_bands(flat: np.ndarray, n_bins: int) -> dict:
