@@ -53,6 +53,11 @@ def main(argv: list[str] | None = None) -> int:
                         "manifest parquet for the per-row invariant check")
     v.add_argument("--out-dir", default=None)
     v.add_argument("--checkpoint", default=None)
+    v.add_argument("--strips", type=int, default=None,
+                   help="strip-walker mode (bounded scan, per-strip atomic "
+                        "commits, scan-skipping resume): split the corpus "
+                        "parquet files into N strips; requires --checkpoint; "
+                        "--corpus must be a parquet path (not iceberg:)")
     v.add_argument("--max-score", type=float, default=None)
     _add_common(v)
 
@@ -86,8 +91,14 @@ def main(argv: list[str] | None = None) -> int:
                               "elapsed_sec": time.time() - t0}))
         return 0
 
+    if args.strips is not None:
+        if not args.checkpoint:
+            ap.error("--strips requires --checkpoint (per-strip commit dir)")
+        if args.corpus.startswith("iceberg:"):
+            ap.error("--strips walks parquet files; --corpus must be a path")
     # every table arg accepts iceberg:<catalog.table> or a parquet path
-    corpus = read_corpus(spark, args.corpus)
+    # (strip mode reads the files itself — skip the eager table read)
+    corpus = None if args.strips is not None else read_corpus(spark, args.corpus)
     # parquet baselines go through load_baseline: the FP_ALGO sidecar
     # check runs (and drops stale fingerprints with a warning) instead
     # of being bypassed by a raw read. iceberg: sources have no sidecar
@@ -102,7 +113,17 @@ def main(argv: list[str] | None = None) -> int:
     commits = read_corpus(spark, args.commits) if args.commits else None
     manifest = read_corpus(spark, args.manifest) if args.manifest else None
 
-    if args.checkpoint:
+    if args.strips is not None:
+        # strip-walker full validate: bounded scan per strip, atomic
+        # per-strip commits under --checkpoint, violations finalized
+        # from narrow per-row partials; a rerun after a kill resumes
+        # from the committed strips (scan skipped)
+        result = engine.validate_strips(
+            args.corpus, baseline, args.checkpoint, n_strips=args.strips,
+            commits=commits, expected_manifest=manifest,
+            include_violations=True,
+        )
+    elif args.checkpoint:
         result = engine.validate_resumable(
             corpus, baseline, args.checkpoint, commits, manifest
         )

@@ -82,6 +82,11 @@ def read_corpus(spark: SparkSession, location: str) -> DataFrame:
     - ``iceberg:<catalog.table>`` -> Iceberg table (requires the
       iceberg-spark-runtime jar on the cluster; raises a clear error
       if absent).
+    - ``*.csv`` / ``*.json[l]`` / ``*.orc`` -> that format, read with
+      the EXPLICIT corpus schema (never schema inference: at 10^12
+      rows an inference pass is a full extra scan, and inferred types
+      drift run-to-run — the CLI image-decode analog is a typed
+      decode, main.rs:313-351).
     - anything else -> parquet path.
     """
     if location.startswith("iceberg:"):
@@ -94,6 +99,15 @@ def read_corpus(spark: SparkSession, location: str) -> DataFrame:
                 "jar is not on the classpath; deploy with "
                 "--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13"
             ) from e
+    from sparkval.schema import CORPUS_SCHEMA
+
+    low = location.rstrip("/").lower()
+    if low.endswith(".csv"):
+        return spark.read.schema(CORPUS_SCHEMA).option("header", "true").csv(location)
+    if low.endswith((".json", ".jsonl")):
+        return spark.read.schema(CORPUS_SCHEMA).json(location)
+    if low.endswith(".orc"):
+        return spark.read.orc(location)
     return spark.read.parquet(location)
 
 

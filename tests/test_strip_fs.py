@@ -174,3 +174,49 @@ def test_strip_mode_violations_parity_with_batch(spark, tmp_path):
     b = batch["violations"].toPandas()[cols].sort_values(cols).reset_index(drop=True)
     assert len(a) > 10  # planted violations actually present
     assert a.equals(b)
+
+
+def test_strip_half_committed_strip_reruns_both_writes(spark, tmp_path):
+    """A strip counts done only when BOTH its writes committed: if a
+    kill lands between the histogram write and the row-partial write,
+    resume must re-run that strip entirely (overwriting the committed
+    half) and still produce exact batch parity."""
+    import shutil
+
+    from sparkval.io import uri_join
+
+    eng = ValidationEngine(ValidationConfig(short_circuit_identical=False))
+    corpus = _corpus(spark, n=1200)
+    path = str(tmp_path / "snap.parquet")
+    corpus.repartition(4).write.parquet(path)
+    base = eng.build_baseline(corpus)
+    ckpt = str(tmp_path / "ck_half")
+
+    # full strip run with violations -> every strip has both commits
+    eng.validate_strips(
+        path, base, ckpt, n_strips=4, include_violations=True
+    )["verdicts"].count()
+
+    # simulate the mid-strip kill: drop ONE strip's row-partial commit
+    import os
+
+    row_root = uri_join(ckpt, "row_partials")
+    victim = sorted(os.listdir(row_root))[0]
+    shutil.rmtree(os.path.join(row_root, victim))
+
+    seen = []
+    out = eng.validate_strips(
+        path, base, ckpt, n_strips=4, include_violations=True,
+        on_strip=lambda i, n, sk: seen.append(sk),
+    )
+    assert seen.count(False) == 1  # exactly the half-committed strip re-ran
+
+    batch = eng.validate(spark.read.parquet(path), base)
+    vcols = ["check", "repo", "path", "commit", "content_sha256", "detail"]
+    a = out["violations"].toPandas()[vcols].sort_values(vcols).reset_index(drop=True)
+    b = batch["violations"].toPandas()[vcols].sort_values(vcols).reset_index(drop=True)
+    assert a.equals(b)
+    cols = ["repo_bucket", "lang", "score", "verdict"]
+    av = out["verdicts"].toPandas()[cols].sort_values(cols[:2]).reset_index(drop=True)
+    bv = batch["verdicts"].toPandas()[cols].sort_values(cols[:2]).reset_index(drop=True)
+    assert av.equals(bv)
