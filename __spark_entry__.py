@@ -585,6 +585,32 @@ def q_ivf_topk_full_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFr
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_dedupe_cosine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused embedding near-dup DEDUP (LSH -> exact verify -> connected
+    components -> keep canonical): plant TWO scaled copies per vector
+    (x2.0 at +100000, x0.5 at +200000 — cosine exactly 1 with the
+    original, and transitively with each other), dedupe at 0.95, and
+    the kept set must be EXACTLY the original ids — a direct row-set
+    oracle (measured max accidental non-self cosine at sf0.01 is 0.51,
+    far under threshold, so clusters are precisely the planted
+    triples and the canonical is the original id)."""
+    from sparkval.pipeline.similarity import dedupe_near_duplicates_cosine
+
+    embs = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def scaled(offset: int, mul: float):
+        return embs.select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(mul))
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+
+    planted = embs.unionByName(scaled(100000, 2.0)).unionByName(scaled(200000, 0.5))
+    kept = dedupe_near_duplicates_cosine(planted, threshold=0.95)
+    return kept.select("vec_id")
+
+
 def q_cosine_near_dups_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-amplified LSH near-dup pairs verified by exact cosine >= 0.9,
     over embeddings ∪ planted scaled copies (vec_id + 100000). Oracle:
@@ -1136,6 +1162,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk_embeddings": q_ivf_topk_embeddings,
     "ivf_topk_full_probe_embeddings": q_ivf_topk_full_probe_embeddings,
     "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
+    "dedupe_cosine_embeddings": q_dedupe_cosine_embeddings,
     "drift_identity_documents": q_drift_identity_documents,
     "drift_shifted_documents": q_drift_shifted_documents,
     "drift_topk_partitions": q_drift_topk_partitions,
@@ -1459,6 +1486,11 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "cosine_near_dups_embeddings": """
         SELECT vec_id AS a, vec_id + 100000 AS b, true AS found FROM embeddings
+    """,
+    # planted x2.0/x0.5 copies (cosine 1) cluster with their original;
+    # keep-canonical = min id = the original -> kept set == originals
+    "dedupe_cosine_embeddings": """
+        SELECT vec_id FROM embeddings
     """,
     "drift_identity_documents": """
         SELECT 0::BIGINT AS n_not_pass, 0.0::DOUBLE AS max_score,

@@ -460,3 +460,37 @@ def near_duplicates_cosine(
     )
     exact = cosine_pairs_exact(embeddings, cands, id_col, vec_col)
     return exact.filter(F.col("cosine") >= threshold)
+
+
+def dedupe_near_duplicates_cosine(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """End-to-end embedding near-dup DEDUP — the cosine twin of
+    pipeline.dedup.dedupe_near_duplicates: OR-amplified LSH candidate
+    pairs -> exact-cosine verify -> transitive connected components ->
+    keep the canonical (lowest-id) member per cluster, uniques passing
+    through untouched. This is the operation an embedding-dedup stage
+    of a training pipeline actually runs (drop semantic near-copies,
+    keep one representative).
+
+    Scale shape: embeddings ship through Python exactly once (the LSH
+    matmul); candidates are (id, id) pairs; CC iterates over O(dup
+    nodes) label rows; retention is one left-anti join of the corpus
+    against the O(dup nodes) loser-id set (AQE broadcasts it when
+    small). No all-pairs stage anywhere."""
+    from sparkval.pipeline.dedup import connected_components
+
+    pairs = near_duplicates_cosine(
+        embeddings, threshold, id_col, vec_col, n_planes, n_tables, dim
+    )
+    labels = connected_components(pairs.select("a", "b"), "a", "b")
+    losers = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return embeddings.join(losers, [id_col], "left_anti")

@@ -478,3 +478,27 @@ def test_dedupe_near_duplicates_simhash_method(spark):
     # (one-token suffix on a 24-token doc stays within hamming 3)
     kept = dedupe_near_duplicates(df, method="simhash", max_hamming=3)
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 9]
+
+
+def test_dedupe_cosine_keeps_canonical_per_cluster(spark):
+    """Fused embedding dedup: planted scaled-copy clusters collapse to
+    their lowest-id member; singletons pass through; plan stays off
+    the all-pairs path."""
+    import numpy as np
+
+    from sparkval.pipeline.similarity import dedupe_near_duplicates_cosine
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 64)).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # ids 1000+i are x3 copies of i for i in 0..9 -> 10 clusters of 2
+    rows += [(1000 + i, (base[i] * 3.0).tolist()) for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    kept = dedupe_near_duplicates_cosine(df, threshold=0.98)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    ids = {r["vec_id"] for r in kept.collect()}
+    assert ids == set(range(40))  # copies dropped, originals kept
