@@ -412,17 +412,25 @@ def dedupe_near_duplicates(df: DataFrame, text_col: str = "text",
     when small).
 
     ``method`` selects the candidate generator: "minhash" (Jaccard >=
-    ``threshold``, the default) or "simhash" (Hamming <=
+    ``threshold``, the default), "simhash" (Hamming <=
     ``max_hamming`` over 64-bit signatures — cheaper per doc, blunter
-    on partial overlap). Everything downstream (CC, retention) is
-    generator-agnostic."""
+    on partial overlap), or "winnow" (MOSS containment >=
+    ``threshold`` over winnowed fingerprints — catches a small file
+    embedded in a large one, which symmetric Jaccard dilutes away).
+    Everything downstream (CC, retention) is generator-agnostic."""
     work = dedupe_keep_canonical(df, text_col, id_col) if exact_first else df
     if method == "minhash":
         pairs = near_duplicates_minhash(work, text_col, id_col, threshold)
     elif method == "simhash":
         pairs = near_duplicates_simhash(work, text_col, id_col, max_hamming)
+    elif method == "winnow":
+        pairs = winnow_overlap(
+            winnow_fingerprints(work, text_col, id_col),
+            min_containment=threshold,
+            max_fingerprint_df=10_000,
+        )
     else:
-        raise ValueError(f"unknown method {method!r} (minhash|simhash)")
+        raise ValueError(f"unknown method {method!r} (minhash|simhash|winnow)")
     labels = connected_components(pairs, "a", "b")
     losers = labels.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)

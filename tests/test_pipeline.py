@@ -502,3 +502,32 @@ def test_dedupe_cosine_keeps_canonical_per_cluster(spark):
 
     ids = {r["vec_id"] for r in kept.collect()}
     assert ids == set(range(40))  # copies dropped, originals kept
+
+
+def test_dedupe_near_duplicates_winnow_method(spark):
+    """method='winnow' routes the fused dedup through MOSS containment:
+    exact copies (containment 1.0) collapse to the lowest id; distinct
+    docs survive."""
+    from sparkval.pipeline.dedup import dedupe_near_duplicates
+
+    import hashlib as _h
+
+    def body(i: int) -> str:
+        # genuinely distinct content per doc: near-identical bodies
+        # (e.g. one differing digit) legitimately exceed containment
+        # 0.8 under winnowing, which is the operator working as
+        # specified, not what this test is probing
+        toks = [_h.sha1(f"{i}:{j}".encode()).hexdigest()[:8] for j in range(40)]
+        return " ".join(toks)
+
+    docs = [(i, body(i)) for i in range(20)]
+    # ids 50/51 byte-identical to 0 (exact pass) and 60 a near-copy of
+    # 1 with a suffix (winnow containment catches the embedding)
+    docs += [(50, docs[0][1]), (51, docs[0][1]),
+             (60, docs[1][1] + " trailing boilerplate appended here")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    kept = dedupe_near_duplicates(df, threshold=0.8, method="winnow")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 50 not in ids and 51 not in ids  # exact copies dropped
+    assert 60 not in ids                    # contained near-copy dropped
+    assert set(range(20)) <= ids
