@@ -410,3 +410,45 @@ def test_iir_feature_flag_keeps_scores_close():
         K.DEFAULT_BLUR_IMPL = "fir"
     assert ident[0] == pytest.approx(0.0, abs=1e-12)
     assert iir_score[0] == pytest.approx(fir_score[0], rel=0.05)
+
+
+def test_drift_score_batch_bit_equals_scalar():
+    """The vectorization contract (round 4): a row scored alone equals
+    the same row inside any batch, BIT-for-bit — cold and warm. This
+    is what lets drift_score stay the golden oracle while the engine
+    scores whole batches."""
+    rng = np.random.default_rng(123)
+    R = 17
+    bases = [
+        {"byte": rng.integers(0, 500, 256).astype(float),
+         "len": rng.integers(0, 200, 64).astype(float),
+         "lang": rng.integers(0, 50, 9).astype(float)}
+        for _ in range(R)
+    ]
+    snaps = [{k: v + rng.integers(0, 30, len(v)) for k, v in b.items()} for b in bases]
+    bmat = {ch: np.stack([b[ch] for b in bases]) for ch in ("byte", "len", "lang")}
+    smat = {ch: np.stack([s[ch] for s in snaps]) for ch in ("byte", "len", "lang")}
+
+    scal = [K.drift_score(b, s) for b, s in zip(bases, snaps)]
+    sc, pn, dm = K.drift_score_batch(bmat, smat)
+    for i in range(R):
+        assert scal[i][0] == sc[i]
+        assert scal[i][1] == pn[i]
+        assert np.array_equal(scal[i][2], dm[i])
+
+    # warm: batched unpack of batch-packed bands == per-row scalar
+    packed = {
+        ch: np.stack(
+            [K.pack_bands(K.precompute_channel_bands(b[ch], ch)) for b in bases]
+        )
+        for ch in ("byte", "len", "lang")
+    }
+    pre = {ch: K.unpack_bands(packed[ch], bmat[ch].shape[-1]) for ch in packed}
+    scw, pnw, dmw = K.drift_score_batch(bmat, smat, precomputed=pre)
+    assert np.array_equal(sc, scw) and np.array_equal(pn, pnw)
+    assert np.array_equal(dm, dmw)
+
+    # batched precompute == per-row precompute (pack level)
+    for ch in ("byte", "len", "lang"):
+        batch_packed = K.pack_bands(K.precompute_channel_bands(bmat[ch], ch))
+        assert np.array_equal(batch_packed, packed[ch])
