@@ -126,11 +126,15 @@ def row_check_partials(corpus: DataFrame) -> DataFrame:
     null_detail). All codegen expressions; the content column is read
     once here and never again.
 
-    This is the row-level analog of the histogram partial monoid: each
-    strip commits its slice, and the finalize in
+    This is the row-level analog of the histogram partial monoid (the
+    StripReducer partial-state shape, reference strip.rs:126-209 —
+    commit mergeable per-strip state, finalize once): each strip
+    commits its slice, and the finalize in
     ``violations_from_row_partials`` runs only narrow joins/aggs over
     the union — uniqueness counts become global exactly because the
-    committed slices partition the corpus.
+    committed slices partition the corpus. (The reference's strip API
+    returns only score/pnorm, strip.rs:601-905; row-level checks in
+    strip mode are an engine extension.)
     """
     required = ("repo", "path", "commit", "content")
     any_null = F.greatest(*[F.col(c).isNull().cast("int") for c in required]) == 1
