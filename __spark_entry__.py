@@ -965,6 +965,54 @@ def q_lineage_metrics_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedupe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with bounded state
+    (sparkval.streaming.stream_dedupe: dropDuplicatesWithinWatermark)
+    over a REAL multi-micro-batch stream: every event written TWICE
+    into the source (duplicates deliberately split across files so
+    copies land in different micro-batches and must be caught by
+    retained state, not same-batch dedup). DIRECT row-set oracle: the
+    deduped event_id set must equal the events table exactly."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from sparkval.streaming import stream_dedupe
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkval_sdedup_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    src, out, ckpt = f"{tmp}/events", f"{tmp}/out", f"{tmp}/ckpt"
+    # copy 1 = ONE file = the whole first micro-batch: the watermark
+    # for batch 1 is still at epoch (it advances from the PREVIOUS
+    # batch's data), so every original is emitted. Copy 2 = a second
+    # file/batch, by which time the watermark sits 2h under copy 1's
+    # max ts: each duplicate is dropped either by retained key state
+    # (ts within the delay) or as late data (older than watermark) —
+    # both correct dedup outcomes, neither re-emits
+    ev.repartition(1).write.parquet(src)
+    ev.repartition(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_dedupe(stream, ["event_id"], ts_col="ts", delay="2 hours")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select("event_id").orderBy("event_id")
+
+
 def q_stream_windowed_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window streaming aggregation
     (sparkval.streaming.windowed_lang_counts) run as a REAL
@@ -1174,6 +1222,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_drift_documents": q_stream_drift_documents,
     "stream_cumulative_drift_documents": q_stream_cumulative_drift_documents,
     "stream_windowed_counts_events": q_stream_windowed_counts_events,
+    "stream_dedupe_events": q_stream_dedupe_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1536,6 +1585,10 @@ ORACLE_SQL: dict[str, str] = {
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type, count(*) AS n_events
         FROM events GROUP BY 1, 2
+    """,
+    # planted double-delivery deduped back to exactly the source set
+    "stream_dedupe_events": """
+        SELECT event_id FROM events ORDER BY event_id
     """,
     "lineage_metrics_documents": """
         SELECT (SELECT count(*) FROM documents) + 3 AS files_validated,

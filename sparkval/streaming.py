@@ -182,6 +182,26 @@ def stream_cumulative_drift(
     )
 
 
+def stream_dedupe(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state — the streaming twin of
+    the exact-dedup pass a training pipeline runs on an event firehose.
+
+    ``dropDuplicatesWithinWatermark``: a key's dedup state lives only
+    until the watermark passes its event time + ``delay``, so state is
+    O(keys arriving within the delay window), not O(all keys ever) —
+    the difference between a monitor that runs for months and one that
+    OOMs (plain dropDuplicates on a stream retains every key forever).
+    Duplicates arriving farther apart than ``delay`` are NOT dropped;
+    size the delay to the source's duplicate-delivery window (e.g. the
+    Kafka producer's retry horizon)."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
 def windowed_lang_counts(
     events: DataFrame,
     ts_col: str = "ts",
