@@ -403,3 +403,23 @@ def test_intensity_mismatched_bands_fall_back_to_cold_path(spark):
         got.sort_values(key)["score"].to_numpy(),
         want.sort_values(key)["score"].to_numpy(),
     )
+
+
+def test_empty_snapshot_flags_every_baseline_partition(spark, engine, baseline_df):
+    """Operational edge: an empty snapshot (bad upstream write) must
+    not pass silently — every baseline partition surfaces as a
+    vanished-mass row (full-outer join keeps the baseline side) with
+    n_files_snap = 0, flagged low-confidence, and the violation pass
+    yields zero rows rather than erroring."""
+    df, _ = baseline_df
+    base = engine.build_baseline(df)
+    empty = df.limit(0)
+    out = engine.validate(empty, base)
+    v = out["verdicts"].toPandas()
+    assert len(v) > 0
+    assert (v["n_files_snap"] == 0).all()
+    assert (v["n_files_base"] > 0).all()
+    assert v["low_confidence"].all()
+    # all baseline mass vanished -> maximal drift, nothing passes
+    assert (v["verdict"] != "PASS").all()
+    assert out["violations"].count() == 0
