@@ -166,3 +166,38 @@ def length_tdigests(corpus: DataFrame, config: ValidationConfig) -> DataFrame:
         .mapInPandas(partials, _PARTIAL_DIGEST_SCHEMA)
     )
     return part.groupBy("repo_bucket", "lang").applyInPandas(merge, _DIGEST_SCHEMA)
+
+
+def distinct_sketches(
+    corpus: DataFrame, col: str, group_cols: list[str] | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group MERGEABLE distinct-count sketches (Datasketches HLL
+    via Spark's hll_sketch_agg) — unlike approx_count_distinct (whose
+    HLL++ state is consumed by the agg), these sketch columns are a
+    reusable monoid: persist per-partition sketches once, then answer
+    ANY rollup (per-bucket, per-lang, global, arbitrary unions) with
+    hll_union_agg over kilobyte blobs instead of rescanning 100 TB —
+    the same commit-partials-finalize-narrow shape as the histogram
+    and t-digest monoids.
+    """
+    group_cols = group_cols if group_cols is not None else ["lang"]
+    return corpus.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def merge_distinct_sketches(sketches: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Roll sketches up to coarser groups (or global with group_cols=[])
+    via hll_union_agg; estimate = hll_sketch_estimate."""
+    group_cols = group_cols or []
+    agg = (
+        sketches.groupBy(*group_cols)
+        if group_cols
+        else sketches.groupBy()
+    )
+    return agg.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_estimate"),
+        F.sum("n_rows").alias("n_rows"),
+    )

@@ -136,3 +136,25 @@ def test_length_tdigests_spark(spark, corpus_pdf):
         truth = grp["_len"].quantile(0.5)
         est = grp["len_p50"].iloc[0]
         assert abs(est - truth) <= max(5, 0.15 * truth), (b, lg, est, truth)
+
+
+def test_distinct_sketches_mergeable_monoid(spark):
+    """HLL sketches are a reusable monoid: per-group sketches roll up
+    to coarser groups and global without rescanning; estimates stay
+    within the sketch error bound of exact at every level."""
+    from pyspark.sql import functions as F
+
+    from sparkval.stats import distinct_sketches, merge_distinct_sketches
+
+    rows = [(f"g{i % 4}", f"k{i % 100}") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    sk = distinct_sketches(df, "key", ["grp"])
+    per = {r["grp"]: r["distinct_estimate"]
+           for r in merge_distinct_sketches(sk, ["grp"]).collect()}
+    # keys k0..k99 cycle over groups g0..g3 -> each group sees 25 keys
+    assert set(per) == {"g0", "g1", "g2", "g3"}
+    for v in per.values():
+        assert abs(v - 25) <= 1
+    glob = merge_distinct_sketches(sk, []).collect()[0]
+    assert abs(glob["distinct_estimate"] - 100) <= 3
+    assert glob["n_rows"] == 1000
