@@ -673,6 +673,43 @@ def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drilldown_bucket_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket -> repo drill-down (drift.drill_down_bucket: the
+    automated-bisection step after a bucket-level FAIL): plant a
+    vowel-shift in ONE repo (src3), drill into exactly that repo's
+    bucket, and the per-repo attribution must (a) rank src3 top by
+    score, (b) flag it FAIL, (c) score every co-bucketed untouched
+    repo exactly 0 — identical histograms through the same kernel."""
+    from sparkval import ValidationConfig
+    from sparkval.drift import drill_down_bucket
+    from sparkval.histograms import repo_bucket_py
+
+    target = "src3"
+    cfg = ValidationConfig()
+    corpus = _docs_as_corpus(spark, sf_dir)
+    shifted = corpus.withColumn(
+        "content",
+        F.when(
+            F.col("repo") == target,
+            F.translate("content", "aeiou", "xqzvw"),
+        ).otherwise(F.col("content")),
+    )
+    dv = drill_down_bucket(
+        shifted, corpus, repo_bucket_py(target, cfg.n_repo_buckets), cfg
+    )
+    return dv.agg(
+        F.max_by("repo", "score").alias("top_repo"),
+        F.max(
+            F.when(F.col("repo") == target, F.col("verdict") == "FAIL")
+        ).alias("planted_failed"),
+        F.min(
+            F.when(F.col("repo") != target, F.col("score") == 0.0).otherwise(
+                F.lit(True)
+            )
+        ).alias("others_zero"),
+    )
+
+
 def q_drift_identity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identity drift check over documents-as-corpus, reduced to its
     SQL-expressible invariant: snapshot == baseline ⇒ zero failures,
@@ -1266,6 +1303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
     "dedupe_cosine_embeddings": q_dedupe_cosine_embeddings,
     "drift_identity_documents": q_drift_identity_documents,
+    "drilldown_bucket_documents": q_drilldown_bucket_documents,
     "drift_shifted_documents": q_drift_shifted_documents,
     "drift_topk_partitions": q_drift_topk_partitions,
     "driftmap_violations_documents": q_driftmap_violations_documents,
@@ -1595,6 +1633,9 @@ ORACLE_SQL: dict[str, str] = {
     # keep-canonical = min id = the original -> kept set == originals
     "dedupe_cosine_embeddings": """
         SELECT vec_id FROM embeddings
+    """,
+    "drilldown_bucket_documents": """
+        SELECT 'src3' AS top_repo, true AS planted_failed, true AS others_zero
     """,
     "drift_identity_documents": """
         SELECT 0::BIGINT AS n_not_pass, 0.0::DOUBLE AS max_score,

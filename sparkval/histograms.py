@@ -85,7 +85,9 @@ def _lang_norm(s: pd.Series) -> pd.Series:
     return low.where(low.isin(LANG_VOCAB), "other")
 
 
-def prepared_scan(corpus: DataFrame, n_buckets: int) -> DataFrame:
+def prepared_scan(
+    corpus: DataFrame, n_buckets: int, bucket: F.Column | None = None
+) -> DataFrame:
     """JVM-side per-row preparation for the histogram scan: bucket,
     normalized lang, 64-bit row fingerprint, char length, and UTF-8
     bytes — all codegen'd expressions, zero per-row Python. The pandas
@@ -94,6 +96,11 @@ def prepared_scan(corpus: DataFrame, n_buckets: int) -> DataFrame:
     encode() matters doubly: the Arrow transfer ships raw bytes and the
     Python side never materializes (decode + re-encode) str objects for
     multi-KB contents.
+
+    ``bucket`` overrides the default crc32(repo) % n_buckets partition
+    key with any int expression in [0, n_buckets) — the drill-down
+    path partitions ONE bucket's rows by a dense per-repo index so the
+    same histogram kernel attributes drift to individual repos.
     """
     lang_low = F.lower(F.coalesce(F.col("lang"), F.lit("other")))
     lang_norm = F.when(lang_low.isin(*LANG_VOCAB), lang_low).otherwise(F.lit("other"))
@@ -102,7 +109,10 @@ def prepared_scan(corpus: DataFrame, n_buckets: int) -> DataFrame:
     # corpus with a NULL repo (tolerate-and-report, never fatal —
     # null_violations is where NULL keys get flagged)
     repo_nn = F.coalesce(F.col("repo"), F.lit(NULL_REPO_SENTINEL))
-    bucket = F.pmod(F.crc32(repo_nn.cast("binary")), F.lit(n_buckets)).cast("int")
+    if bucket is None:
+        bucket = F.pmod(F.crc32(repo_nn.cast("binary")), F.lit(n_buckets)).cast("int")
+    else:
+        bucket = bucket.cast("int")
     lang_code = (
         F.array_position(F.array(*[F.lit(l) for l in LANG_VOCAB]), lang_norm).cast("int")
         - F.lit(1)
@@ -123,7 +133,9 @@ def prepared_scan(corpus: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-def partial_histograms(corpus: DataFrame, config: ValidationConfig) -> DataFrame:
+def partial_histograms(
+    corpus: DataFrame, config: ValidationConfig, bucket: F.Column | None = None
+) -> DataFrame:
     """Map-side partial histograms: one output row per (key, batch).
 
     Per-row work (bucket, lang-norm, group key, fingerprint, length,
@@ -201,7 +213,7 @@ def partial_histograms(corpus: DataFrame, config: ValidationConfig) -> DataFrame
                 }
             )
 
-    prepped = prepared_scan(corpus, config.n_repo_buckets).select(
+    prepped = prepared_scan(corpus, config.n_repo_buckets, bucket=bucket).select(
         "_key", "_fp", "_len", "_bytes"
     )
     return prepped.mapInArrow(gen, PARTIAL_SCHEMA)

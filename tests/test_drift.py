@@ -423,3 +423,36 @@ def test_empty_snapshot_flags_every_baseline_partition(spark, engine, baseline_d
     # all baseline mass vanished -> maximal drift, nothing passes
     assert (v["verdict"] != "PASS").all()
     assert out["violations"].count() == 0
+
+
+def test_drill_down_bucket_attributes_to_repo(spark):
+    """Bucket->repo bisection: with several repos sharing one bucket,
+    drift planted in one repo ranks it top, co-bucketed untouched
+    repos score exactly 0, and an empty bucket raises."""
+    from sparkval.drift import drill_down_bucket
+
+    cfg = ValidationConfig(n_repo_buckets=2)  # force co-bucketing
+    corpus = spark.range(0, 900).select(
+        F.concat(F.lit("repo"), (F.col("id") % 6).cast("string")).alias("repo"),
+        F.col("id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.sha2(F.col("id").cast("string"), 256).alias("content"),
+    )
+    target = "repo2"
+    tbucket = repo_bucket_py(target, 2)
+    shifted = corpus.withColumn(
+        "content",
+        F.when(F.col("repo") == target,
+               F.translate("content", "abc", "xyz")).otherwise(F.col("content")),
+    )
+    out = drill_down_bucket(shifted, corpus, tbucket, cfg).toPandas()
+    assert len(out["repo"].unique()) >= 2  # genuinely co-bucketed
+    top = out.loc[out["score"].idxmax(), "repo"]
+    assert top == target
+    others = out[out["repo"] != target]
+    assert (others["score"] == 0.0).all()
+
+    with pytest.raises(ValueError, match="no repos"):
+        # a bucket id outside the keyspace holds nothing
+        drill_down_bucket(shifted, corpus, 99, cfg)
