@@ -974,10 +974,6 @@ def q_strip_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _docs_as_corpus(spark, sf_dir)
     shifted = corpus.withColumn("content", F.translate("content", "aeiou", "xqzvw"))
-    # plant 3 duplicated keys so the violation leg has cross-strip work
-    shifted = shifted.unionByName(
-        shifted.filter(F.col("path").isin("doc/20", "doc/21", "doc/22"))
-    )
     eng = ValidationEngine(ValidationConfig())
     base = eng.build_baseline(corpus)
     base.persist().count()
@@ -986,6 +982,14 @@ def q_strip_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     snap_path = f"{tmp}/snapshot.parquet"
     shifted.repartition(8, "path").write.parquet(snap_path)
+    # plant 3 duplicated keys AS A SEPARATE APPENDED FILE: identical
+    # rows colocate under any column-hash repartition, so only file
+    # separation actually lands the two copies of a key in DIFFERENT
+    # strips — the cross-strip uniqueness-count case this row claims
+    # to exercise (review round 4)
+    shifted.filter(F.col("path").isin("doc/20", "doc/21", "doc/22")).coalesce(
+        1
+    ).write.mode("append").parquet(snap_path)
 
     out = eng.validate_strips(
         snap_path, base, f"{tmp}/ck", n_strips=4, include_violations=True

@@ -235,7 +235,7 @@ def _steal_ticks() -> int:
 STEAL_GATE_TICKS = int(os.environ.get("SPARK_GRAFT_STEAL_GATE", "2000"))
 
 
-def timed_quiet(fn, attempts: int = 2, extra_retries: int = 2):
+def timed_quiet(fn, attempts: int = 2, extra_retries: int = 2, between=None):
     """Run ``fn`` ``attempts`` times (the best-of-N the bench always
     did), then keep retrying up to ``extra_retries`` more while EVERY
     attempt so far was steal-contaminated. Returns (best_quiet_sec or
@@ -245,10 +245,17 @@ def timed_quiet(fn, attempts: int = 2, extra_retries: int = 2):
     only ever slow a leg down, so min-over-quiet is the honest
     steady-state number); if no attempt lands in a quiet window the
     overall min is returned flagged dirty rather than silently
-    reported."""
+    reported.
+
+    ``between`` runs UNTIMED between attempts — state isolation (cache
+    drops) so attempt 2 never measures attempt 1's warm cache (review
+    round 4: a leg that persists intermediates would otherwise report
+    a cached-rerun time as its best)."""
     runs: list[tuple[float, int]] = []
     total = attempts
     while len(runs) < total:
+        if runs and between is not None:
+            between()
         s0 = _steal_ticks()
         t0 = time.perf_counter()
         fn()
@@ -285,12 +292,18 @@ def main() -> None:
     # JSON self-reports its window quality instead of relying on luck.
     per_query: dict[str, float] = {}
     dirty: list[str] = []
+    leg_attempts: dict[str, int] = {}
     headline = [] if os.environ.get("SPARK_GRAFT_BENCH_ENGINE_ONLY") else HEADLINE
     for name in headline:
         best, quiet, _runs = timed_quiet(
-            lambda name=name: force(queries[name](spark, SF_DIR))
+            lambda name=name: force(queries[name](spark, SF_DIR)),
+            # cache isolation BETWEEN attempts too (not only between
+            # queries): a leg persisting intermediates (minhash with
+            # materialize=False) must not report a warm-cache rerun
+            between=spark.catalog.clearCache,
         )
         per_query[name] = round(best, 3)
+        leg_attempts[name] = len(_runs)
         if not quiet:
             dirty.append(name)
         # drop persisted intermediates so queries are isolated: leaked
@@ -321,6 +334,10 @@ def main() -> None:
                 "window": {
                     "steal_gate_ticks": STEAL_GATE_TICKS,
                     "dirty_queries": dirty,
+                    # actual attempts per leg (steal retries can push
+                    # a leg past the base 2 — runs_per_query is the
+                    # BASE, this is what really ran)
+                    "leg_attempts": leg_attempts,
                     "engine_cold_quiet": eng_quiet["cold"],
                     "engine_warm_quiet": eng_quiet["warm"],
                 },

@@ -144,7 +144,13 @@ def compact_baseline(baseline: DataFrame, keep_fingerprints: bool = True) -> Dat
     drop = [c for c in (*_PRE_COLS, "pre_intensity") if c in baseline.columns]
     if not keep_fingerprints and "fingerprint" in baseline.columns:
         drop.append("fingerprint")
-    return baseline.drop(*drop)
+    out = baseline.drop(*drop)
+    # carry the build-config breadcrumb across the transformation so
+    # save_baseline(compact_baseline(...)) still records it
+    cfg = getattr(baseline, "_sparkval_build_config", None)
+    if cfg is not None:
+        out._sparkval_build_config = cfg
+    return out
 
 
 def baseline_bytes(spark_or_path, path: str | None = None) -> int:
@@ -179,7 +185,9 @@ _BAND_CONFIG_FIELDS = (
 )
 
 
-def save_baseline(baseline: DataFrame, path: str) -> None:
+def save_baseline(
+    baseline: DataFrame, path: str, config: ValidationConfig | None = None
+) -> None:
     """Persist the baseline plus a metadata sidecar recording the
     fingerprint algorithm version (ADVICE round 2: a baseline persisted
     under an older fingerprint function must not silently never-match)
@@ -187,7 +195,14 @@ def save_baseline(baseline: DataFrame, path: str) -> None:
     fingerprint-less baseline had no record of its intensity_target, so
     a mismatched-config load fell back to the cold path without ever
     telling the operator why). Sidecar write goes through the Hadoop
-    FileSystem API — works on file://, hdfs://, s3a://."""
+    FileSystem API — works on file://, hdfs://, s3a://.
+
+    Pass ``config`` EXPLICITLY when you have it: the fallback is a
+    breadcrumb attribute build_baseline sticks on its return value,
+    which any intervening transformation (compact_baseline, select,
+    re-read) silently drops (review round 4) — with neither, the
+    sidecar records build_config null and load-time diffing degrades
+    to a predates-sidecars warning."""
     import json
 
     from sparkval.io import fs_write_text, uri_join
@@ -197,7 +212,7 @@ def save_baseline(baseline: DataFrame, path: str) -> None:
     from sparkval.histograms import FP_ALGO
 
     build_config = None
-    cfg = getattr(baseline, "_sparkval_build_config", None)
+    cfg = config or getattr(baseline, "_sparkval_build_config", None)
     if cfg is not None:
         build_config = {f: getattr(cfg, f) for f in _BAND_CONFIG_FIELDS}
     fs_write_text(

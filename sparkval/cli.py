@@ -85,7 +85,8 @@ def main(argv: list[str] | None = None) -> int:
             # _sparkval_meta.json sidecar records FP_ALGO so a future
             # fingerprint-function change is detected at load instead of
             # silently never short-circuiting (ADVICE round 2)
-            save_baseline(engine.build_baseline(corpus), args.out)
+            save_baseline(engine.build_baseline(corpus), args.out,
+                          config=engine.config)
         if args.json:
             print(json.dumps({"cmd": "build-baseline", "out": args.out,
                               "elapsed_sec": time.time() - t0}))

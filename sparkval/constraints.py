@@ -395,13 +395,24 @@ def deterministic_order(
         # tiebreaker such rows flap across the limit() boundary run to
         # run (ADVICE round 3). xxhash64 handles nested types and is a
         # codegen'd expression — hash order is arbitrary but STABLE,
-        # which is all a deterministic prefix needs.
+        # which is all a deterministic prefix needs. Maps are
+        # unhashable at ANY nesting depth (xxhash64 rejects
+        # array<map<..>> too), so the exclusion must recurse.
+        def _contains_map(dt: T.DataType) -> bool:
+            if isinstance(dt, T.MapType):
+                return True
+            if isinstance(dt, T.ArrayType):
+                return _contains_map(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return any(_contains_map(f.dataType) for f in dt.fields)
+            return False
+
         nonatomic = sorted(
             f.name
             for f in df.schema.fields
             if f.name not in keys
             and not isinstance(f.dataType, T.AtomicType)
-            and not isinstance(f.dataType, T.MapType)  # unhashable/unorderable
+            and not _contains_map(f.dataType)
         )
         if nonatomic:
             ties.append(F.xxhash64(*nonatomic))

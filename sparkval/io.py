@@ -103,11 +103,21 @@ def read_corpus(spark: SparkSession, location: str) -> DataFrame:
 
     low = location.rstrip("/").lower()
     if low.endswith(".csv"):
-        return spark.read.schema(CORPUS_SCHEMA).option("header", "true").csv(location)
+        # multiLine: content is SOURCE TEXT — embedded newlines inside
+        # quoted fields are the norm, and without this option Spark
+        # splits records at them, yielding silently corrupted rows
+        # that still fit the schema (review round 4)
+        return (
+            spark.read.schema(CORPUS_SCHEMA)
+            .option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .csv(location)
+        )
     if low.endswith((".json", ".jsonl")):
         return spark.read.schema(CORPUS_SCHEMA).json(location)
     if low.endswith(".orc"):
-        return spark.read.orc(location)
+        return spark.read.schema(CORPUS_SCHEMA).orc(location)
     return spark.read.parquet(location)
 
 

@@ -431,11 +431,20 @@ def dedupe_near_duplicates(df: DataFrame, text_col: str = "text",
         )
     else:
         raise ValueError(f"unknown method {method!r} (minhash|simhash|winnow)")
+    return keep_canonical_from_pairs(work, pairs, id_col)
+
+
+def keep_canonical_from_pairs(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Retention step shared by every fused dedup (text LSH variants
+    and the embedding-cosine twin): transitive components over (a, b)
+    near-dup pairs, keep each cluster's lowest-id member, pass
+    singletons through. One left-anti join against the O(dup nodes)
+    loser set — AQE broadcasts it when small."""
     labels = connected_components(pairs, "a", "b")
     losers = labels.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    return work.join(losers, [id_col], "left_anti")
+    return df.join(losers, [id_col], "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -309,13 +309,16 @@ def ivf_topk_indexed(
     scan reads only the probed directories — at nprobe/n_centroids =
     1/4, 75% of the corpus is never opened. This (not the index-free
     ivf_topk) is the 100 TB path."""
-    centroids = read_ivf_centroids(index_path)
+    # probe selection via the SHARED helper (its docstring promises
+    # callers the exact choice this function uses — so use it here
+    # too, review round 4)
+    probe_map = ivf_probe_lists(index_path, queries, nprobe)
     q_ids = np.array([q[0] for q in queries], dtype=np.int64)
     q_mat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
-    probes = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
-    probed = sorted({int(c) for row in probes for c in row})
+    probed = sorted({c for cells in probe_map.values() for c in cells})
     q_by_centroid = {
-        int(c): [qi for qi in range(len(q_ids)) if c in probes[qi]] for c in probed
+        c: [qi for qi in range(len(q_ids)) if c in probe_map[int(q_ids[qi])]]
+        for c in probed
     }
     bc = spark.sparkContext.broadcast((q_ids, q_mat, q_by_centroid))
 
@@ -484,13 +487,9 @@ def dedupe_near_duplicates_cosine(
     nodes) label rows; retention is one left-anti join of the corpus
     against the O(dup nodes) loser-id set (AQE broadcasts it when
     small). No all-pairs stage anywhere."""
-    from sparkval.pipeline.dedup import connected_components
+    from sparkval.pipeline.dedup import keep_canonical_from_pairs
 
     pairs = near_duplicates_cosine(
         embeddings, threshold, id_col, vec_col, n_planes, n_tables, dim
     )
-    labels = connected_components(pairs.select("a", "b"), "a", "b")
-    losers = labels.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
-    )
-    return embeddings.join(losers, [id_col], "left_anti")
+    return keep_canonical_from_pairs(embeddings, pairs.select("a", "b"), id_col)

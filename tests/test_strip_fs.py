@@ -145,9 +145,7 @@ def test_strip_mode_violations_parity_with_batch(spark, tmp_path):
     from sparkval.constraints import content_manifest
 
     base_pd, _, commits_pd = fx.make_case("random_mid__identity", n_rows=900)
-    snap_pd = fx.distort(
-        fx.distort(fx.distort(base_pd, "dangle_4"), "dup_6"), "nullify_2"
-    )
+    snap_pd = fx.distort(fx.distort(base_pd, "dangle_4"), "nullify_2")
     snap = spark.createDataFrame(snap_pd)
     commits = spark.createDataFrame(commits_pd)
     # expected manifest = the BASELINE's rows -> missing/unexpected/
@@ -157,9 +155,16 @@ def test_strip_mode_violations_parity_with_batch(spark, tmp_path):
     eng = ValidationEngine(ValidationConfig(short_circuit_identical=False))
     base = eng.build_baseline(spark.createDataFrame(base_pd))
     path = str(tmp_path / "snapv.parquet")
-    # repartition by a key-derived column so duplicate keys spread
-    # across files (and therefore across strips)
     snap.repartition(8, "path").write.parquet(path)
+    # duplicate copies APPENDED as their own file: identical rows hash
+    # to the same partition under ANY column-based repartition (review
+    # round 4 — the old dup_6-then-repartition layout could never put
+    # the two copies of a key in different strips), so the cross-strip
+    # uniqueness aggregation is only exercised by file separation
+    dup_paths = [str(p) for p in snap_pd["path"].iloc[:6]]
+    snap.filter(F.col("path").isin(dup_paths)).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
 
     out = eng.validate_strips(
         path, base, str(tmp_path / "ckv"), n_strips=4,
@@ -220,3 +225,29 @@ def test_strip_half_committed_strip_reruns_both_writes(spark, tmp_path):
     av = out["verdicts"].toPandas()[cols].sort_values(cols[:2]).reset_index(drop=True)
     bv = batch["verdicts"].toPandas()[cols].sort_values(cols[:2]).reset_index(drop=True)
     assert av.equals(bv)
+
+
+def test_sidecar_config_survives_compact_and_explicit_param(spark, tmp_path):
+    """Review round 4: the build-config breadcrumb must survive
+    compact_baseline, and save_baseline(config=...) records it even
+    for DataFrames that lost the attribute (e.g. re-read baselines)."""
+    import json
+
+    from sparkval.baseline import compact_baseline, save_baseline
+    from sparkval.io import fs_read_text
+
+    cfg = ValidationConfig(intensity_target=160.0)
+    eng = ValidationEngine(cfg)
+    base = eng.build_baseline(_corpus(spark, n=300))
+
+    p1 = str(tmp_path / "compacted.parquet")
+    save_baseline(compact_baseline(base), p1)
+    meta1 = json.loads(fs_read_text(spark, f"{p1}/_sparkval_meta.json"))
+    assert meta1["build_config"]["intensity_target"] == 160.0
+
+    # attribute-less frame (round-tripped) + explicit config param
+    rt = spark.read.parquet(p1)
+    p2 = str(tmp_path / "rt.parquet")
+    save_baseline(rt, p2, config=cfg)
+    meta2 = json.loads(fs_read_text(spark, f"{p2}/_sparkval_meta.json"))
+    assert meta2["build_config"]["intensity_target"] == 160.0
