@@ -854,6 +854,42 @@ def q_dedupe_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def q_dedup_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup accounting report (pipeline.dedup.dedup_report) over the
+    same planted 5-member blocks as dedupe_near_dups_documents —
+    closed-form oracle: n/5 clusters of exactly 5 members, 4/5 of the
+    rows removed, char accounting consistent (every kept doc is a
+    block's min-id member, and all block members have equal-length
+    text except the per-member suffix digit, so kept_chars is the sum
+    over blocks of the m0 member's length)."""
+    from pyspark.sql import Window
+
+    from sparkval.pipeline.dedup import (
+        dedup_report,
+        dedupe_near_duplicates,
+        near_duplicates_minhash,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id").withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id")).cast("long")
+    )
+    blk = F.floor((F.col("rn") - 1) / 5)
+    member = ((F.col("rn") - 1) % 5).cast("string")
+    toks = [F.hex(F.xxhash64(blk, F.lit(j))) for j in range(24)]
+    planted = d.select(
+        "doc_id", F.concat_ws(" ", *toks, F.concat(F.lit("m"), member)).alias("text")
+    )
+    kept = dedupe_near_duplicates(planted, threshold=0.7)
+    pairs = near_duplicates_minhash(planted, threshold=0.7, materialize=False)
+    rep = dedup_report(planted, kept, pairs=pairs)
+    return rep.select(
+        "in_rows", "kept_rows", "removed_rows", "removed_fraction",
+        "n_clusters", "max_cluster_size", "avg_cluster_size",
+        (F.col("in_chars") > F.col("kept_chars")).alias("chars_shrank"),
+    )
+
+
 def q_hll_distinct_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Datasketches HLL,
     stats.distinct_sketches / merge_distinct_sketches): per-source
@@ -1312,6 +1348,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_topk_partitions": q_drift_topk_partitions,
     "driftmap_violations_documents": q_driftmap_violations_documents,
     "dedupe_near_dups_documents": q_dedupe_near_dups_documents,
+    "dedup_report_documents": q_dedup_report_documents,
     "tdigest_lengths_documents": q_tdigest_lengths_documents,
     "hll_distinct_documents": q_hll_distinct_documents,
     "strip_validate_documents": q_strip_validate_documents,
@@ -1666,6 +1703,20 @@ ORACLE_SQL: dict[str, str] = {
             FROM documents
         )
         SELECT MIN(doc_id) AS doc_id FROM d GROUP BY (rn - 1) // 5
+    """,
+    "dedup_report_documents": """
+        WITH n AS (SELECT count(*)::BIGINT AS c FROM documents)
+        SELECT c AS in_rows,
+               ((c + 4) // 5)::BIGINT AS kept_rows,
+               (c - (c + 4) // 5)::BIGINT AS removed_rows,
+               round((c - (c + 4) // 5) / c::DOUBLE, 6) AS removed_fraction,
+               (c // 5 + CASE WHEN c % 5 > 1 THEN 1 ELSE 0 END)::BIGINT AS n_clusters,
+               (CASE WHEN c >= 5 THEN 5 ELSE c END)::BIGINT AS max_cluster_size,
+               round((5 * (c // 5) + CASE WHEN c % 5 > 1 THEN c % 5 ELSE 0 END)
+                     / (c // 5 + CASE WHEN c % 5 > 1 THEN 1 ELSE 0 END)::DOUBLE, 6)
+                   AS avg_cluster_size,
+               true AS chars_shrank
+        FROM n
     """,
     "strip_validate_documents": """
         SELECT 0::BIGINT AS n_mismatch, true AS all_failed,

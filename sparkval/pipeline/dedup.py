@@ -434,6 +434,53 @@ def dedupe_near_duplicates(df: DataFrame, text_col: str = "text",
     return keep_canonical_from_pairs(work, pairs, id_col)
 
 
+def dedup_report(
+    original: DataFrame,
+    kept: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row accounting for a dedup pass — the number every training
+    pipeline reports next to its deduped corpus: rows/bytes in and
+    kept, removal fraction, and (when the candidate ``pairs`` are
+    supplied) near-dup cluster statistics from the same connected
+    components the dedup used.
+
+    Scale shape: two narrow aggregations (count + sum of length — the
+    text column is read but never shuffled) and an O(dup nodes)
+    groupBy over CC labels. All outputs are scalars."""
+    def _acct(df: DataFrame, prefix: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias(f"{prefix}_rows"),
+            F.coalesce(F.sum(F.length(text_col)), F.lit(0)).cast("long").alias(
+                f"{prefix}_chars"
+            ),
+        )
+
+    row = _acct(original, "in").crossJoin(_acct(kept, "kept"))
+    row = row.select(
+        "*",
+        (F.col("in_rows") - F.col("kept_rows")).alias("removed_rows"),
+        F.round(
+            (F.col("in_rows") - F.col("kept_rows")) / F.col("in_rows"), 6
+        ).alias("removed_fraction"),
+    )
+    if pairs is not None:
+        sizes = (
+            connected_components(pairs.select("a", "b"), "a", "b")
+            .groupBy("component")
+            .agg(F.count(F.lit(1)).alias("size"))
+        )
+        cstats = sizes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.max("size").cast("long").alias("max_cluster_size"),
+            F.round(F.avg("size"), 6).alias("avg_cluster_size"),
+        )
+        row = row.crossJoin(cstats)
+    return row
+
+
 def keep_canonical_from_pairs(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """Retention step shared by every fused dedup (text LSH variants
     and the embedding-cosine twin): transitive components over (a, b)
