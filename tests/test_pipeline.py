@@ -531,3 +531,36 @@ def test_dedupe_near_duplicates_winnow_method(spark):
     assert 50 not in ids and 51 not in ids  # exact copies dropped
     assert 60 not in ids                    # contained near-copy dropped
     assert set(range(20)) <= ids
+
+
+def test_dedup_report_accounting(spark):
+    """dedup_report: exact row/char accounting with and without
+    cluster stats; zero-removal corpora report cleanly."""
+    from sparkval.pipeline.dedup import (
+        dedup_report,
+        dedupe_near_duplicates,
+        near_duplicates_minhash,
+    )
+
+    import hashlib as _h
+
+    def body(i):
+        return " ".join(_h.sha1(f"{i}:{j}".encode()).hexdigest()[:8] for j in range(30))
+
+    rows = [(i, body(i)) for i in range(12)]
+    rows += [(100 + i, rows[i][1]) for i in range(4)]  # 4 exact copies
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = dedupe_near_duplicates(df, threshold=0.8)
+    pairs = near_duplicates_minhash(df, threshold=0.8, materialize=False)
+    rep = dedup_report(df, kept, pairs=pairs).collect()[0]
+    assert rep["in_rows"] == 16 and rep["kept_rows"] == 12
+    assert rep["removed_rows"] == 4 and rep["removed_fraction"] == 0.25
+    assert rep["n_clusters"] == 4 and rep["max_cluster_size"] == 2
+    assert rep["in_chars"] > rep["kept_chars"] > 0
+    spark.catalog.clearCache()
+
+    # nothing to remove: fractions zero, no cluster columns requested
+    uniq = spark.createDataFrame(rows[:5], ["doc_id", "text"])
+    rep2 = dedup_report(uniq, uniq).collect()[0]
+    assert rep2["removed_rows"] == 0 and rep2["removed_fraction"] == 0.0
+    assert "n_clusters" not in rep2.asDict()
