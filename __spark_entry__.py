@@ -18,6 +18,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # every query starts by loading tables, so draining here bounds
+    # materialize=False signature caches (pipeline.dedup) to the one
+    # query in flight — the owner the lazy path otherwise lacks
+    # (ADVICE round 4). Queries must load tables BEFORE building lazy
+    # near-dup plans (all do: _t is always the first call).
+    from sparkval.pipeline.dedup import release_lazy_caches
+
+    release_lazy_caches()
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -487,7 +495,7 @@ def q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 against a centroid-PARTITIONED index (built once
-    under /tmp, reused): the nprobe=4-of-16 probe is a partition
+    under /tmp, reused): the nprobe=8-of-16 probe is a partition
     filter, so the scan opens only probed directories. IVF is
     approximate BY DESIGN, so the oracle pins invariants, not result
     values (the t-digest discipline, round-3 verdict #1): recall@5 vs

@@ -204,6 +204,7 @@ def save_baseline(
     sidecar records build_config null and load-time diffing degrades
     to a predates-sidecars warning."""
     import json
+    import warnings
 
     from sparkval.io import fs_write_text, uri_join
 
@@ -215,6 +216,19 @@ def save_baseline(
     cfg = config or getattr(baseline, "_sparkval_build_config", None)
     if cfg is not None:
         build_config = {f: getattr(cfg, f) for f in _BAND_CONFIG_FIELDS}
+    elif any(c in baseline.columns for c in _PRE_COLS):
+        # ADVICE round 4: the breadcrumb attribute is dropped by any
+        # transformation build_baseline didn't anticipate — surface the
+        # degradation at SAVE time, when the caller can still fix it,
+        # not at load time when only a weaker warning remains
+        warnings.warn(
+            f"save_baseline({path!r}): baseline carries precomputed "
+            "bands but no build config was passed and no breadcrumb "
+            "survived — the sidecar records build_config null, so "
+            "load_baseline cannot verify band provenance. Pass "
+            "config= explicitly.",
+            stacklevel=2,
+        )
     fs_write_text(
         spark,
         uri_join(path, "_sparkval_meta.json"),
@@ -244,7 +258,24 @@ def load_baseline(
 
     df = spark.read.parquet(path)
     raw = fs_read_text(spark, uri_join(path, "_sparkval_meta.json"))
-    meta = json.loads(raw) if raw else {}
+    try:
+        meta = json.loads(raw) if raw else {}
+        if not isinstance(meta, dict):
+            raise ValueError(f"sidecar is {type(meta).__name__}, not object")
+    except ValueError as e:
+        # a corrupt sidecar must degrade exactly like a missing one
+        # (fingerprints dropped, provenance unverifiable) — never crash
+        # the load (round-4 verdict #3; fs_write_text is rename-backed
+        # so this should only happen to externally damaged files)
+        import warnings
+
+        warnings.warn(
+            f"baseline sidecar at {path} is unreadable ({e}); treating "
+            "the baseline as unversioned — fingerprints dropped, band "
+            "provenance unverifiable. Re-save the baseline.",
+            stacklevel=2,
+        )
+        meta = {}
     saved_algo = meta.get("fp_algo")
     if saved_algo != FP_ALGO and "fingerprint" in df.columns:
         warnings.warn(

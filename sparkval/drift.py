@@ -71,6 +71,21 @@ def _vec(x, n: int) -> np.ndarray:
     return np.asarray(x, dtype=np.float64)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _expected_packed_len(channel: str, n_bins: int, single_resolution: bool) -> int:
+    """Packed-band vector length the CURRENT config produces for a
+    channel — probed through the real precompute so padding rules
+    (reflect_pad_min) and the >=16-bin half-resolution gate are never
+    duplicated here."""
+    probe = kernels.precompute_channel_bands(
+        np.zeros(n_bins), channel, single_resolution=single_resolution
+    )
+    return int(kernels.pack_bands(probe).shape[-1])
+
+
 def joined_hists(base_hists: DataFrame, snap_hists: DataFrame) -> DataFrame:
     """Full-outer join of baseline x snapshot hist tables on the
     partition key — appearing/vanishing partitions still get rows.
@@ -179,6 +194,19 @@ def drift_verdicts_joined(
                     & pre_int.notna()
                     & ((pre_int - intensity_target).abs() < 1e-9)
                 ).to_numpy(dtype=bool) & ~shortcut
+                if warm.any():
+                    # baselines with mixed-provenance rows (appended
+                    # under a different single_resolution / bin config)
+                    # carry different packed lengths: stacking them
+                    # would raise and unpacking them under this config
+                    # would mis-slice — demote mismatched rows to the
+                    # cold path instead (ADVICE round 4)
+                    for ch, n in chan_bins:
+                        exp = _expected_packed_len(ch, n, single_res)
+                        lens = pdf[f"b_pre_{ch}"].map(
+                            lambda v: -1 if v is None else len(v)
+                        ).to_numpy()
+                        warm &= lens == exp
             else:
                 warm = np.zeros(n_rows, dtype=bool)
             cold = ~shortcut & ~warm

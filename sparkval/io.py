@@ -49,14 +49,29 @@ def fs_tree_bytes(spark: SparkSession, path: str) -> int:
 
 
 def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
-    """Atomic-enough small-file write through the FileSystem API
-    (sidecars, manifests). Overwrites."""
+    """Small-file write through the FileSystem API (sidecars,
+    manifests). Overwrites. Writes to a temp sibling then renames
+    (round-4 verdict #3): on rename-backed filesystems (local, HDFS)
+    a crash mid-write can never leave a torn file at ``path`` — only
+    a stale complete one or an orphan temp. On S3A the rename is a
+    copy (not atomic), but the copy source is a fully-written object,
+    so a torn/truncated sidecar still cannot appear; worst case stays
+    "old complete content"."""
     fs, jpath = hadoop_fs(spark, path)
-    out = fs.create(jpath, True)
+    tmp = hadoop_fs(spark, path + ".__tmp__")[1]
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    # LocalFileSystem keeps a .crc shadow per file; a leftover shadow
+    # for the DESTINATION from a previous direct write makes the
+    # renamed file fail checksum on read — delete target first so
+    # rename also moves the temp's matching shadow into place
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+    if not fs.rename(tmp, jpath):
+        raise IOError(f"fs_write_text: rename {tmp} -> {jpath} failed")
 
 
 def fs_read_text(spark: SparkSession, path: str) -> str | None:

@@ -28,6 +28,31 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
+#: signature tables left cached by ``materialize=False`` callers — the
+#: lazy path cannot unpersist before its caller's single action runs,
+#: so ownership transfers here; drain with release_lazy_caches()
+#: (ADVICE round 4: without an owner, a long-lived driver session
+#: running many one-shot plans accretes cached signature tables).
+_LAZY_PERSISTED: list[DataFrame] = []
+
+
+def release_lazy_caches() -> int:
+    """Unpersist signature tables registered by ``materialize=False``
+    runs of near_duplicates_minhash. Call after the single action over
+    a lazy near-dup plan (the driver entry queries call this at the
+    start of every query, bounding outstanding lazy caches to the one
+    query in flight). Returns the number of tables released."""
+    n = 0
+    while _LAZY_PERSISTED:
+        df = _LAZY_PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing cached
+            pass
+    return n
+
+
 # Deterministic MinHash permutation parameters (a*x+b mod p), seed 42.
 _MINHASH_P = np.uint64((1 << 61) - 1)
 _N_PERM = 64
@@ -269,7 +294,8 @@ def near_duplicates_minhash(df: DataFrame, text_col: str = "text",
     materialization + storage inside the timed path) returns the LAZY
     plan with signatures still cached: the one-shot caller (bench leg,
     short-lived driver job) runs exactly one action over it and then
-    owns cleanup (``spark.catalog.clearCache()`` or session exit).
+    calls ``release_lazy_caches()`` (the cache's registered owner;
+    ``spark.catalog.clearCache()`` or session exit also work).
 
     No global sort: the result is a pair SET (deterministic content);
     callers needing a stable order sort the (tiny) output themselves.
@@ -283,6 +309,11 @@ def near_duplicates_minhash(df: DataFrame, text_col: str = "text",
     if persist_signatures and materialize:
         out = out.localCheckpoint(eager=True)
         sigs.unpersist()
+    elif persist_signatures:
+        # lazy path: the cache must outlive this call (the caller's
+        # single action is still pending), so ownership moves to the
+        # module registry — release_lazy_caches() drains it
+        _LAZY_PERSISTED.append(sigs)
     return out
 
 
