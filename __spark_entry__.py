@@ -475,6 +475,35 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (round-4 verdict: finish what the sandbox
+    allows). A planted table of P6 PPM / 24bpp BMP / farbfeld payloads
+    whose pixels follow a closed-form formula runs through
+    extract_features with deterministic_fake=False — every feature
+    comes from multimodal.decode_image's pure-numpy decoders, no fake
+    branch. The DuckDB oracle recomputes the decoded statistics from
+    the pixel formula itself: dims, channel means, and luma-histogram
+    support must all match, across all three container formats."""
+    from sparkval.pipeline.multimodal import extract_features, make_real_image_media
+
+    media = make_real_image_media(spark, n=48)
+    feats = extract_features(media, deterministic_fake=False)
+    arr = F.col("features")
+    support = F.size(F.filter(F.slice(arr, 9, 16), lambda v: v > 0))
+    return feats.join(
+        F.broadcast(media.select("media_id", "format")), "media_id"
+    ).select(
+        "media_id",
+        "format",
+        F.element_at(arr, 1).cast("long").alias("width"),
+        F.element_at(arr, 2).cast("long").alias("height"),
+        F.round(F.element_at(arr, 4).cast("double"), 6).alias("mean_all"),
+        F.round(F.element_at(arr, 6).cast("double"), 6).alias("mean_r"),
+        F.round(F.element_at(arr, 8).cast("double"), 6).alias("mean_b"),
+        support.cast("long").alias("luma_hist_support"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (sparkval.pipeline.similarity)
 # ---------------------------------------------------------------------------
@@ -1345,6 +1374,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_extract": q_events_props_extract,
     "events_asof_click_view": q_events_asof_click_view,
     "multimodal_features": q_multimodal_features,
+    "multimodal_decode_images": q_multimodal_decode_images,
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "ivf_topk_embeddings": q_ivf_topk_embeddings,
     "ivf_topk_full_probe_embeddings": q_ivf_topk_full_probe_embeddings,
@@ -1805,6 +1835,44 @@ def _multimodal_oracle_sql() -> str:
 
 
 ORACLE_SQL["multimodal_features"] = _multimodal_oracle_sql()
+
+# Real-decode oracle: re-derives every decoded statistic from the
+# planted pixel formula pixel(x,y,c) = (x*7 + y*13 + c*29 + i*31) % 256
+# (make_real_image_media). Float32 feature values are re-cast the same
+# way Spark-side (double -> FLOAT -> double -> round 6). Luma bins can
+# only sit ON a boundary at luma 0/1 (16*(r+g+b)/765 is integral only
+# for 0 and 765), so floor() is rounding-safe on both engines.
+ORACLE_SQL["multimodal_decode_images"] = """
+    WITH m AS (
+        SELECT i AS media_id,
+               CASE i % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                    ELSE 'farbfeld' END AS format,
+               16 + (i % 9) AS w, 12 + (i % 5) AS h
+        FROM range(48) t(i)
+    ),
+    px AS (
+        SELECT m.media_id, m.format, m.w, m.h,
+               (gx.x * 7 + gy.y * 13 + m.media_id * 31) % 256      AS r,
+               (gx.x * 7 + gy.y * 13 + 29 + m.media_id * 31) % 256 AS g,
+               (gx.x * 7 + gy.y * 13 + 58 + m.media_id * 31) % 256 AS b
+        FROM m,
+             generate_series(0, 23) gx(x),
+             generate_series(0, 15) gy(y)
+        WHERE gx.x < m.w AND gy.y < m.h
+    )
+    SELECT media_id,
+           any_value(format) AS format,
+           any_value(w)::BIGINT AS width,
+           any_value(h)::BIGINT AS height,
+           round(CAST(CAST(avg((r + g + b) / 765.0) AS FLOAT) AS DOUBLE), 6)
+               AS mean_all,
+           round(CAST(CAST(avg(r / 255.0) AS FLOAT) AS DOUBLE), 6) AS mean_r,
+           round(CAST(CAST(avg(b / 255.0) AS FLOAT) AS DOUBLE), 6) AS mean_b,
+           COUNT(DISTINCT LEAST(floor((r + g + b) * 16 / 765.0), 15))::BIGINT
+               AS luma_hist_support
+    FROM px
+    GROUP BY media_id
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -60,10 +60,152 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
+# -- real decoders: uncompressed formats, pure numpy ----------------------
+# Compressed formats (png/jpg/mp4) still need external libs and stay
+# stubbed; these three cover the "image columns are real" path end to
+# end (round-4 verdict: finish what the sandbox allows).
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM, maxval <= 255 -> (h, w, 3) float64 in [0, 1]."""
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens with '#' comments; exactly one whitespace byte after
+    # maxval, then raw samples
+    tokens: list[int] = []
+    i = 2  # past b"P6"
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = tokens
+    if not (0 < maxval <= 255):
+        raise ValueError(f"PPM maxval {maxval} unsupported (8-bit only)")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i + 1)
+    return data.reshape(h, w, 3).astype(np.float64) / float(maxval)
+
+
+def _decode_farbfeld(payload: bytes) -> np.ndarray:
+    """farbfeld (suckless): 8B magic | u32BE w | u32BE h | u16BE RGBA
+    rows -> (h, w, 3) float64 in [0, 1] (alpha dropped)."""
+    w, h = (int(x) for x in np.frombuffer(payload, dtype=">u4", count=2, offset=8))
+    data = np.frombuffer(payload, dtype=">u2", count=w * h * 4, offset=16)
+    return data.reshape(h, w, 4)[:, :, :3].astype(np.float64) / 65535.0
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed BI_RGB BMP, 24/32 bpp, BITMAPINFOHEADER ->
+    (h, w, 3) float64 in [0, 1]. Bottom-up rows flipped; 4-byte row
+    padding honored; BGR(A) -> RGB."""
+    off = int(np.frombuffer(payload, "<u4", 1, 10)[0])
+    width = int(np.frombuffer(payload, "<i4", 1, 18)[0])
+    height = int(np.frombuffer(payload, "<i4", 1, 22)[0])
+    bpp = int(np.frombuffer(payload, "<u2", 1, 28)[0])
+    compression = int(np.frombuffer(payload, "<u4", 1, 30)[0])
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"BMP unsupported: bpp={bpp} compression={compression}")
+    nch = bpp // 8
+    stride = (width * nch + 3) // 4 * 4
+    rows = np.frombuffer(payload, np.uint8, stride * abs(height), off)
+    px = rows.reshape(abs(height), stride)[:, : width * nch].reshape(
+        abs(height), width, nch
+    )
+    if height > 0:  # bottom-up storage
+        px = px[::-1]
+    return px[:, :, 2::-1].astype(np.float64) / 255.0  # BGR(A)->RGB
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff + decode an uncompressed image payload -> (h, w, 3)
+    float64 in [0, 1]. Raises ValueError for unrecognized magic
+    (compressed formats land in decode_stub's NotImplementedError /
+    fake branch)."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:8] == b"farbfeld":
+        return _decode_farbfeld(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise ValueError("unrecognized image magic (supported: P6 PPM, farbfeld, BMP)")
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary P6 PPM."""
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(px, np.uint8).tobytes()
+
+
+def encode_farbfeld(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> farbfeld (16-bit: v*257, alpha opaque).
+    v*257/65535 == v/255 exactly in IEEE double (same real quotient),
+    so a farbfeld round-trip decodes bit-identically to PPM/BMP."""
+    h, w, _ = px.shape
+    out = np.full((h, w, 4), 65535, dtype=">u2")
+    out[:, :, :3] = px.astype(">u2") * 257
+    return (
+        b"farbfeld"
+        + np.array([w, h], dtype=">u4").tobytes()
+        + out.tobytes()
+    )
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> 24bpp BI_RGB BMP (bottom-up, padded rows)."""
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB->BGR
+    data = rows.tobytes()
+    header = (
+        b"BM"
+        + np.array([54 + len(data), 0, 54], dtype="<u4").tobytes()  # size, rsvd, off
+        + np.array([40, w, h], dtype="<i4").tobytes()               # dib, w, h
+        + np.array([1, 24], dtype="<u2").tobytes()                  # planes, bpp
+        + np.array([0, len(data), 2835, 2835, 0, 0], dtype="<u4").tobytes()
+    )
+    return header + data
+
+
+_LUMA_BINS = 16
+
+
+def image_features(px: np.ndarray) -> np.ndarray:
+    """Deterministic 32-dim descriptor of decoded pixels, oracle-
+    reproducible from integer pixel values: [w, h, nch, mean, std(pop),
+    mean_r, mean_g, mean_b, 16-bin mean-luma histogram (normalized),
+    8 zero pads]. Luma bin = min(floor(mean(rgb) * 16), 15); with
+    8-bit sources the only exact bin boundaries are luma 0 and 1, so
+    float rounding cannot flip a bin."""
+    h, w, c = px.shape
+    flat = px.reshape(-1, c)
+    luma = flat.mean(axis=1)
+    bins = np.minimum((luma * _LUMA_BINS).astype(np.int64), _LUMA_BINS - 1)
+    hist = np.bincount(bins, minlength=_LUMA_BINS) / float(len(luma))
+    out = np.zeros(_FEATURE_DIM, dtype=np.float64)
+    out[0], out[1], out[2] = w, h, c
+    out[3], out[4] = flat.mean(), flat.std()
+    out[5 : 5 + c] = flat.mean(axis=0)[:3]
+    out[8 : 8 + _LUMA_BINS] = hist
+    return out.astype(np.float32)
+
+
 def decode_stub(payload: bytes, kind: str, deterministic_fake: bool) -> np.ndarray:
-    """Decode boundary. Real decoders (PIL/librosa/ffmpeg) are not in
-    this container; the fake path is a seeded hash-derived vector so
-    downstream plumbing has stable, testable inputs."""
+    """Decode boundary. Uncompressed image formats (P6 PPM, farbfeld,
+    24/32-bit BI_RGB BMP) decode for REAL via pure numpy; compressed
+    formats (PIL/librosa/ffmpeg territory) are not decodable in this
+    container — the fake path is a seeded hash-derived vector so
+    downstream plumbing has stable, testable inputs either way."""
+    if kind == "image" and payload:
+        try:
+            return image_features(decode_image(payload))
+        except ValueError:
+            pass  # not an uncompressed format — stub/fake below
     if not deterministic_fake:
         raise NotImplementedError(
             f"no {kind} decoder available in this environment; "
@@ -119,6 +261,29 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def make_real_image_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic REAL-image media table: row i is a w x h RGB
+    image with pixel(x, y, c) = (x*7 + y*13 + c*29 + i*31) % 256,
+    w = 16 + i%9, h = 12 + i%5, encoded round-robin as P6 PPM /
+    24bpp BMP / farbfeld. The pixel formula is closed-form, so an
+    external SQL oracle reproduces every decoded statistic exactly —
+    same discipline as make_fake_media, but the decoder is real."""
+    rows = []
+    fmts = ("ppm", "bmp", "farbfeld")
+    encoders = {"ppm": encode_ppm, "bmp": encode_bmp, "farbfeld": encode_farbfeld}
+    for i in range(n):
+        w, h = 16 + i % 9, 12 + i % 5
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        px = ((x * 7 + y * 13 + c * 29 + i * 31) % 256).astype(np.uint8)
+        fmt = fmts[i % 3]
+        rows.append(
+            (i, "image", fmt, bytearray(encoders[fmt](px)), (w, h, None, 3))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def make_fake_media(spark, n: int = 64) -> DataFrame:

@@ -200,8 +200,54 @@ def test_multimodal_features_deterministic(spark):
 
 
 def test_multimodal_decode_stub_raises_without_fake(spark):
+    # compressed/unknown magic still has no decoder in this container
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"xx", "image", deterministic_fake=False)
+
+
+def test_image_decoders_roundtrip_bit_equal():
+    """encode->decode round-trips for all three uncompressed container
+    formats, bit-equal to each other and to v/255 (farbfeld's 16-bit
+    v*257/65535 is the same IEEE quotient as v/255)."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (13, 21, 3)).astype(np.uint8)
+    want = px.astype(np.float64) / 255.0
+    for enc in (multimodal.encode_ppm, multimodal.encode_bmp,
+                multimodal.encode_farbfeld):
+        got = multimodal.decode_image(enc(px))
+        assert got.shape == (13, 21, 3), enc.__name__
+        assert np.array_equal(got, want), enc.__name__
+    with pytest.raises(ValueError, match="magic"):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n not actually decodable")
+
+
+def test_bmp_row_padding_and_orientation():
+    """Width not a multiple of 4 forces row padding; top-left pixel
+    must come back in place (bottom-up flip correct)."""
+    px = np.zeros((3, 5, 3), dtype=np.uint8)
+    px[0, 0] = (255, 10, 20)   # top-left marker
+    px[2, 4] = (1, 2, 3)       # bottom-right marker
+    got = multimodal.decode_image(multimodal.encode_bmp(px))
+    assert np.array_equal(got, px.astype(np.float64) / 255.0)
+
+
+def test_extract_features_real_decode_path(spark):
+    """deterministic_fake=False over the planted real-image table:
+    every row decodes for real (no fake branch possible) and the
+    decoded dims in the feature vector match the planted metadata."""
+    media = multimodal.make_real_image_media(spark, 12)
+    out = (
+        multimodal.extract_features(media, deterministic_fake=False)
+        .toPandas().set_index("media_id").sort_index()
+    )
+    meta = media.select("media_id", "meta.width", "meta.height").toPandas(
+    ).set_index("media_id").sort_index()
+    for m in out.index:
+        f = out.loc[m, "features"]
+        assert (f[0], f[1], f[2]) == (meta.loc[m, "width"], meta.loc[m, "height"], 3)
+        assert 0.0 <= f[3] <= 1.0
+        # luma histogram sums to 1
+        assert abs(sum(f[8:24]) - 1.0) < 1e-5
 
 
 def test_frame_sample_plan(spark):

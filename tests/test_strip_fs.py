@@ -251,3 +251,65 @@ def test_sidecar_config_survives_compact_and_explicit_param(spark, tmp_path):
     save_baseline(rt, p2, config=cfg)
     meta2 = json.loads(fs_read_text(spark, f"{p2}/_sparkval_meta.json"))
     assert meta2["build_config"]["intensity_target"] == 160.0
+
+
+def test_resumed_full_validate_never_rescans_committed_content(spark, tmp_path):
+    """validate_strips(include_violations=True) is THE resumable full
+    validate (round-4 verdict #2): once a strip's two partial tables
+    are committed, its content is never read again. Proven by
+    poisoning the snapshot's bytes in place after the first run —
+    the resumed run must skip every strip and return the ORIGINAL
+    violations (a rescan would surface the planted extras), while a
+    fresh-checkpoint run over the same poisoned files sees them."""
+    import os
+    import shutil
+
+    eng = ValidationEngine(ValidationConfig(short_circuit_identical=False))
+    corpus = _corpus(spark, n=2000)
+    base = eng.build_baseline(corpus)
+    snap = corpus.union(corpus.limit(5))  # 5 duplicate keys
+    path = str(tmp_path / "snap_poison.parquet")
+    snap.coalesce(1).repartition(4).write.parquet(path)
+    ckpt = str(tmp_path / "ck_fullval")
+
+    out1 = eng.validate_strips(
+        path, base, ckpt, n_strips=4, include_violations=True
+    )
+    v1 = out1["violations"].toPandas()
+    assert len(v1) > 0  # the planted dups are visible
+
+    # poison: rewrite the same part-file NAMES with a corpus holding 12
+    # extra duplicates (strip ids hash the file path list, so names
+    # must be preserved; .crc shadows are dropped so the new bytes stay
+    # readable if anything were to read them)
+    snap2 = corpus.union(corpus.limit(12))
+    path2 = str(tmp_path / "snap_poison_v2.parquet")
+    snap2.coalesce(1).repartition(4).write.parquet(path2)
+    parts1 = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    parts2 = sorted(f for f in os.listdir(path2) if f.endswith(".parquet"))
+    assert len(parts1) == len(parts2) == 4
+    for a, b in zip(parts1, parts2):
+        shutil.copyfile(os.path.join(path2, b), os.path.join(path, a))
+        crc = os.path.join(path, f".{a}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    spark.catalog.refreshByPath(path)
+
+    seen = []
+    out2 = eng.validate_strips(
+        path, base, ckpt, n_strips=4, include_violations=True,
+        on_strip=lambda i, n, sk: seen.append(sk),
+    )
+    assert seen == [True] * 4  # every strip resumed from its commit
+    v2 = out2["violations"].toPandas()
+    key = ["check", "repo", "path", "commit"]
+    a = v1[key].sort_values(key).reset_index(drop=True)
+    b = v2[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)  # original violations — content never rescanned
+
+    # sanity: the poison IS detectable from the bytes on disk
+    out3 = eng.validate_strips(
+        path, base, str(tmp_path / "ck_freshval"), n_strips=4,
+        include_violations=True,
+    )
+    assert len(out3["violations"].toPandas()) > len(v1)
