@@ -578,8 +578,12 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Invariant 2 (statistical): recall@5 vs the GLOBAL brute force
     # (itself a fully-oracled query) — measured 0.80 at sf0.01 / 0.93
     # at sf0.001 with nprobe=8/16 on the (deliberately unclustered)
-    # synthetic embeddings; bound 0.6 leaves margin while still
-    # catching a broken quantizer or dropped cells.
+    # synthetic embeddings. Bound tightened 0.6 -> 0.75 (round-4
+    # verdict #6) against the measured 0.80: the run is deterministic
+    # (fixed index, fixed queries, shared tie-break), so the margin
+    # only needs to absorb a data regeneration, not run-to-run noise.
+    # The design-case companion (ivf_clustered_recall_embeddings)
+    # demands recall EXACTLY 1.0 on planted clusters.
     exact = brute_force_topk(embs, queries, k=k)
     hits = exact.join(
         ivf.select("query_id", "vec_id", F.lit(1).alias("_hit")),
@@ -595,7 +599,66 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_queries"),
         F.min(F.col("n_rows") == k).alias("each_query_k_rows"),
         F.min(F.col("_sym_diff") == 0).alias("probed_subset_exact"),
-        ((F.sum("n_hits") / F.sum("n_rows")) >= 0.6).alias("recall_ok"),
+        ((F.sum("n_hits") / F.sum("n_rows")) >= 0.75).alias("recall_ok"),
+    )
+
+
+def _clustered_embeddings(spark: SparkSession) -> DataFrame:
+    """512 vectors in 8 tight planted clusters (dim 16): cluster c's
+    members are one-hot e_c plus seeded jitter of norm 0.02 —
+    within-cluster cosine ~0.999, cross-cluster ~0.02. IVF's design
+    case: _kmeans_lite's farthest-point init seeds every planted
+    cluster (contract-tested in similarity), so each cluster owns
+    exactly one inverted list and nprobe=2 recall must be perfect."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    C, M, D = 8, 64, 16
+    jit = rng.standard_normal((C * M, D))
+    jit = 0.02 * jit / np.linalg.norm(jit, axis=1, keepdims=True)
+    vecs = np.repeat(np.eye(C, D), M, axis=0) + jit
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(C * M)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def q_ivf_clustered_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF on its DESIGN CASE (round-4 verdict #6): the sf embeddings
+    table is deliberately unclustered, where IVF can only promise a
+    recall bound — on clustered data (why one deploys IVF at all) the
+    promise is exact. Planted 8x64 tight clusters, one inverted list
+    each (farthest-point init contract): recall@10 at nprobe=2-of-8
+    must be EXACTLY 1.0, per query. Booleans for value-hash compare."""
+    import os
+
+    from sparkval.pipeline.similarity import (
+        brute_force_topk,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    embs = _clustered_embeddings(spark)
+    index_path = "/tmp/sparkval_ivf_clustered_v5"
+    if not os.path.exists(f"{index_path}/_centroids.parquet"):
+        write_ivf_index(embs, index_path, n_centroids=8)
+    q_ids = [0, 64, 128, 192]
+    qrows = embs.filter(F.col("vec_id").isin(q_ids)).collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    k = 10
+    ivf = ivf_topk_indexed(spark, index_path, queries, k=k, nprobe=2)
+    exact = brute_force_topk(embs, queries, k=k)
+    hits = exact.join(
+        ivf.select("query_id", "vec_id", F.lit(1).alias("_hit")),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits")
+    )
+    counts = ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    return per_q.join(counts, "query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.min(F.col("n_rows") == k).alias("each_query_k_rows"),
+        F.min(F.col("n_hits") == k).alias("recall_exactly_one"),
     )
 
 
@@ -1377,6 +1440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_images": q_multimodal_decode_images,
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "ivf_topk_embeddings": q_ivf_topk_embeddings,
+    "ivf_clustered_recall_embeddings": q_ivf_clustered_recall_embeddings,
     "ivf_topk_full_probe_embeddings": q_ivf_topk_full_probe_embeddings,
     "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
     "dedupe_cosine_embeddings": q_dedupe_cosine_embeddings,
@@ -1796,6 +1860,12 @@ ORACLE_SQL: dict[str, str] = {
     "ivf_topk_embeddings": """
         SELECT 3::BIGINT AS n_queries, true AS each_query_k_rows,
                true AS probed_subset_exact, true AS recall_ok
+    """,
+    # design-case invariants (planted clusters): fixed expected booleans,
+    # same discipline as ivf_topk_embeddings
+    "ivf_clustered_recall_embeddings": """
+        SELECT 4::BIGINT AS n_queries, true AS each_query_k_rows,
+               true AS recall_exactly_one
     """,
 }
 

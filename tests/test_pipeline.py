@@ -610,3 +610,14 @@ def test_dedup_report_accounting(spark):
     rep2 = dedup_report(uniq, uniq).collect()[0]
     assert rep2["removed_rows"] == 0 and rep2["removed_fraction"] == 0.0
     assert "n_clusters" not in rep2.asDict()
+
+
+def test_ivf_clustered_design_case_recall_one(spark):
+    """IVF on planted tight clusters (its design case) must reach
+    recall EXACTLY 1.0 at nprobe=2-of-8 — the farthest-point init
+    contract in action (round-4 verdict #6)."""
+    import __spark_entry__ as entry
+
+    row = entry.q_ivf_clustered_recall_embeddings(spark, "unused").first()
+    assert row["n_queries"] == 4
+    assert row["each_query_k_rows"] and row["recall_exactly_one"]
