@@ -504,6 +504,28 @@ def q_multimodal_decode_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: planted stereo PCM16 WAVs with closed-form
+    samples run through extract_features with deterministic_fake=False
+    (pure-numpy RIFF walker, multimodal.decode_wav). DuckDB recomputes
+    frames/duration/rms/peak/zero-crossings from the sample formula."""
+    from sparkval.pipeline.multimodal import extract_features, make_real_audio_media
+
+    media = make_real_audio_media(spark, n=32)
+    feats = extract_features(media, deterministic_fake=False)
+    arr = F.col("features")
+    return feats.select(
+        "media_id",
+        F.element_at(arr, 1).cast("long").alias("n_frames"),
+        F.element_at(arr, 2).cast("long").alias("sample_rate"),
+        F.element_at(arr, 3).cast("long").alias("n_channels"),
+        F.element_at(arr, 4).cast("long").alias("duration_ms"),
+        F.round(F.element_at(arr, 5).cast("double"), 6).alias("rms"),
+        F.round(F.element_at(arr, 6).cast("double"), 6).alias("peak_abs"),
+        F.element_at(arr, 7).cast("long").alias("zero_crossings"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (sparkval.pipeline.similarity)
 # ---------------------------------------------------------------------------
@@ -1438,6 +1460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_click_view": q_events_asof_click_view,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode_images": q_multimodal_decode_images,
+    "multimodal_decode_audio": q_multimodal_decode_audio,
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "ivf_topk_embeddings": q_ivf_topk_embeddings,
     "ivf_clustered_recall_embeddings": q_ivf_clustered_recall_embeddings,
@@ -1941,6 +1964,44 @@ ORACLE_SQL["multimodal_decode_images"] = """
            COUNT(DISTINCT LEAST(floor((r + g + b) * 16 / 765.0), 15))::BIGINT
                AS luma_hist_support
     FROM px
+    GROUP BY media_id
+"""
+
+# Audio analog: samples f(t, c) = ((t*37 + c*101 + i*211) % 4001) - 2000
+# over 800 + 40*(i%5) stereo frames at 8 kHz (make_real_audio_media).
+# rms/peak re-cast double -> FLOAT -> double like the Spark float32
+# features; zero-crossings use the same >= 0 sign convention, lag's
+# NULL first row falling out of the CASE on both engines.
+ORACLE_SQL["multimodal_decode_audio"] = """
+    WITH m AS (
+        SELECT i AS media_id, 800 + 40 * (i % 5) AS n
+        FROM range(32) t(i)
+    ),
+    s AS (
+        SELECT m.media_id, m.n, g.t,
+               ((g.t * 37 + m.media_id * 211) % 4001) - 2000       AS r0,
+               ((g.t * 37 + 101 + m.media_id * 211) % 4001) - 2000 AS r1
+        FROM m, generate_series(0, 959) g(t)
+        WHERE g.t < m.n
+    ),
+    zx AS (
+        SELECT media_id, n, t, r0, r1,
+               CASE WHEN (r0 >= 0) <> (lag(r0) OVER (
+                        PARTITION BY media_id ORDER BY t) >= 0)
+                    THEN 1 ELSE 0 END AS zc
+        FROM s
+    )
+    SELECT media_id,
+           any_value(n)::BIGINT AS n_frames,
+           8000::BIGINT AS sample_rate,
+           2::BIGINT AS n_channels,
+           (any_value(n) / 8)::BIGINT AS duration_ms,
+           round(CAST(CAST(sqrt(avg((r0 * r0 + r1 * r1) / 2.0)
+                                / 1073741824.0) AS FLOAT) AS DOUBLE), 6) AS rms,
+           round(CAST(CAST(max(greatest(abs(r0), abs(r1))) / 32768.0
+                           AS FLOAT) AS DOUBLE), 6) AS peak_abs,
+           sum(zc)::BIGINT AS zero_crossings
+    FROM zx
     GROUP BY media_id
 """
 

@@ -172,6 +172,65 @@ def encode_bmp(px: np.ndarray) -> bytes:
     return header + data
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM (16-bit LE) -> ((n_frames, n_channels) float64 in
+    [-1, 1), sample_rate). Walks the chunk list (fmt / data may be
+    preceded by LIST etc.); uncompressed PCM only."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int(np.frombuffer(payload, "<u4", 1, pos + 4)[0])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format = int(np.frombuffer(fmt, "<u2", 1, 0)[0])
+    n_ch = int(np.frombuffer(fmt, "<u2", 1, 2)[0])
+    rate = int(np.frombuffer(fmt, "<u4", 1, 4)[0])
+    bits = int(np.frombuffer(fmt, "<u2", 1, 14)[0])
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAVE: format={audio_format} bits={bits}")
+    raw = np.frombuffer(data, "<i2", len(data) // (2 * n_ch) * n_ch)
+    return raw.reshape(-1, n_ch).astype(np.float64) / 32768.0, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n_frames, n_channels) int16 -> minimal PCM16 RIFF/WAVE."""
+    n, ch = samples.shape
+    data = np.ascontiguousarray(samples, "<i2").tobytes()
+    fmt = (
+        np.array([1, ch], "<u2").tobytes()
+        + np.array([rate, rate * ch * 2], "<u4").tobytes()
+        + np.array([ch * 2, 16], "<u2").tobytes()
+    )
+    body = b"WAVE" + b"fmt " + np.array([len(fmt)], "<u4").tobytes() + fmt
+    body += b"data" + np.array([len(data)], "<u4").tobytes() + data
+    return b"RIFF" + np.array([len(body)], "<u4").tobytes() + body
+
+
+def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """Deterministic 32-dim audio descriptor, oracle-reproducible from
+    integer sample values: [n_frames, rate, n_channels, duration_ms,
+    rms, peak_abs, zero_crossings(ch 0), 25 zero pads]."""
+    n, ch = samples.shape
+    mono = samples[:, 0]
+    out = np.zeros(_FEATURE_DIM, dtype=np.float64)
+    out[0], out[1], out[2] = n, rate, ch
+    out[3] = 1000.0 * n / rate
+    out[4] = float(np.sqrt(np.mean(samples**2))) if n else 0.0
+    out[5] = float(np.abs(samples).max()) if n else 0.0
+    # sign convention: >= 0 is positive (so the count is integral
+    # arithmetic over int16 values — SQL reproduces it exactly)
+    out[6] = float(np.count_nonzero((mono[1:] >= 0) != (mono[:-1] >= 0)))
+    return out.astype(np.float32)
+
+
 _LUMA_BINS = 16
 
 
@@ -206,6 +265,11 @@ def decode_stub(payload: bytes, kind: str, deterministic_fake: bool) -> np.ndarr
             return image_features(decode_image(payload))
         except ValueError:
             pass  # not an uncompressed format — stub/fake below
+    if kind == "audio" and payload[:4] == b"RIFF":
+        try:
+            return audio_features(*decode_wav(payload))
+        except ValueError:
+            pass  # compressed/non-PCM WAVE — stub/fake below
     if not deterministic_fake:
         raise NotImplementedError(
             f"no {kind} decoder available in this environment; "
@@ -282,6 +346,26 @@ def make_real_image_media(spark, n: int = 48) -> DataFrame:
         fmt = fmts[i % 3]
         rows.append(
             (i, "image", fmt, bytearray(encoders[fmt](px)), (w, h, None, 3))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def make_real_audio_media(spark, n: int = 32) -> DataFrame:
+    """Deterministic REAL-audio media table: row i is a stereo PCM16
+    WAV at 8 kHz with frames f(t, c) = ((t*37 + c*101 + i*211) % 4001)
+    - 2000 and 800 + 40*(i%5) frames (divisible by 8, so duration_ms
+    is integral). Closed-form samples -> a SQL oracle reproduces every
+    decoded statistic, the make_real_image_media discipline for the
+    audio kind."""
+    rows = []
+    for i in range(n):
+        frames = 800 + 40 * (i % 5)
+        t = np.arange(frames)[:, None]
+        c = np.arange(2)[None, :]
+        raw = ((t * 37 + c * 101 + i * 211) % 4001 - 2000).astype(np.int16)
+        rows.append(
+            (i, "audio", "wav", bytearray(encode_wav(raw, 8000)),
+             (None, None, int(1000 * frames / 8000), 2))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 

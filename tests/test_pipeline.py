@@ -621,3 +621,38 @@ def test_ivf_clustered_design_case_recall_one(spark):
     row = entry.q_ivf_clustered_recall_embeddings(spark, "unused").first()
     assert row["n_queries"] == 4
     assert row["each_query_k_rows"] and row["recall_exactly_one"]
+
+
+def test_wav_decoder_roundtrip_and_features():
+    """PCM16 RIFF round-trip decodes bit-equal to raw/32768; the
+    feature vector carries integral frame/rate/zero-crossing stats."""
+    rng = np.random.default_rng(3)
+    raw = rng.integers(-32768, 32768, (500, 2)).astype(np.int16)
+    dec, rate = multimodal.decode_wav(multimodal.encode_wav(raw, 44100))
+    assert rate == 44100 and dec.shape == (500, 2)
+    assert np.array_equal(dec, raw.astype(np.float64) / 32768.0)
+    f = multimodal.audio_features(dec, rate)
+    assert (f[0], f[1], f[2]) == (500, 44100, 2)
+    mono = raw[:, 0]
+    want_zc = int(np.count_nonzero((mono[1:] >= 0) != (mono[:-1] >= 0)))
+    assert int(f[6]) == want_zc
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFF\x04\x00\x00\x00AVI ")
+
+
+def test_extract_features_real_audio_path(spark):
+    """deterministic_fake=False over planted PCM WAVs: the real
+    decoder feeds the feature vector (no fake branch), dims/duration
+    match the planted metadata."""
+    media = multimodal.make_real_audio_media(spark, 8)
+    out = (
+        multimodal.extract_features(media, deterministic_fake=False)
+        .toPandas().set_index("media_id").sort_index()
+    )
+    meta = media.select("media_id", "meta.duration_ms").toPandas(
+    ).set_index("media_id").sort_index()
+    for m in out.index:
+        f = out.loc[m, "features"]
+        assert f[1] == 8000 and f[2] == 2
+        assert f[3] == meta.loc[m, "duration_ms"]
+        assert 0.0 < f[4] < 1.0  # rms of the planted ramp

@@ -88,7 +88,13 @@ def calibrate_host(n: int, four_n: int) -> float:
 
 
 def main() -> None:
-    levels = (2, 8, 32)
+    # override for targeted sweeps, e.g. "8,32" for the high-volume
+    # 8->32 confirmation leg (3x corpus at local[2] adds ~15 min of
+    # wall per run for no extra evidence)
+    levels = tuple(
+        int(c)
+        for c in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8,32").split(",")
+    )
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     for i in range(RUNS):
         for cpus in levels:
@@ -121,7 +127,8 @@ def main() -> None:
 
     lines = []
     warm_lines = []
-    for n, four_n in ((2, 8), (8, 32)):
+    pairs = [(a, b) for a, b in zip(levels, levels[1:]) if b == 4 * a]
+    for n, four_n in pairs:
         ceiling = calibrate_host(n, four_n)
         r_n, r_4n = best(n), best(four_n)
         t_n = r_n["queries"]["engine_validate_lineitem_corpus"]
@@ -146,7 +153,7 @@ def main() -> None:
             )
 
     block = f"""
-## Scaling run {stamp} (sf={best(8)['sf']}, identical input, best of {RUNS} alternating runs)
+## Scaling run {stamp} (sf={best(levels[0])['sf']}, identical input, best of {RUNS} alternating runs)
 
 Engine-validate leg (baseline build + full validate over the 600k-file
 lineitem-derived corpus), N vs 4N parallelism on the same input:
