@@ -19,13 +19,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # every query starts by loading tables, so draining here bounds
-    # materialize=False signature caches (pipeline.dedup) to the one
-    # query in flight — the owner the lazy path otherwise lacks
-    # (ADVICE round 4). Queries must load tables BEFORE building lazy
-    # near-dup plans (all do: _t is always the first call).
+    # lazily-persisted tables (dedup materialize=False signatures,
+    # validate single-scan fused tables) to the one query in flight —
+    # the owner those lazy paths otherwise lack (ADVICE round 4).
+    # Queries must load tables BEFORE building lazy plans (all do:
+    # _t is always the first call).
+    from sparkval.engine import release_scan_caches
     from sparkval.pipeline.dedup import release_lazy_caches
 
     release_lazy_caches()
+    release_scan_caches()
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

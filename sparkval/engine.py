@@ -29,6 +29,30 @@ from sparkval.config import ValidationConfig
 from sparkval.drift import drift_verdicts_joined, joined_hists, partition_histograms
 from sparkval.schema import check_corpus_schema
 
+#: fused single-scan tables persisted by validate(single_scan=True) —
+#: both returned DataFrames (verdicts, violations) read them, so the
+#: cache must outlive the call; ownership lives here (the
+#: pipeline.dedup lazy-cache discipline) and release_scan_caches()
+#: drains it.
+_SCAN_CACHES: list[DataFrame] = []
+
+
+def release_scan_caches() -> int:
+    """Unpersist fused scan tables left cached by
+    validate(single_scan=True). Call after consuming a validate
+    result in a long-lived session (the driver entry queries and the
+    bench harness do; clearCache()/session exit also work). Returns
+    the number of tables released."""
+    n = 0
+    while _SCAN_CACHES:
+        df = _SCAN_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped
+            pass
+    return n
+
 
 class ValidationCancelled(RuntimeError):
     """Raised by validate_with_stop when its token was cancelled — the
@@ -91,15 +115,62 @@ class ValidationEngine:
         baseline: DataFrame,
         commits: DataFrame | None = None,
         expected_manifest: DataFrame | None = None,
+        single_scan: bool | None = None,
     ) -> dict[str, DataFrame]:
         """Full validation of a snapshot against a baseline table.
 
         ``expected_manifest``: optional (repo, path, commit,
         content_sha256) table from a reference engine run — enables the
         per-row sha256 invariant check (BASELINE.json input_hint).
+
+        ``single_scan=True`` (round 5): reads the content column ONCE
+        — a fused Arrow kernel emits histogram partials and the narrow
+        per-row check partials (sha256 of EVERY row included) from the
+        same scan (histograms.fused_scan_partials); the fused table
+        (tiny: ~100 B/row) is persisted and both outputs derive from
+        it. Outputs are bit-identical to the classic two-plan shape
+        (parity-tested both ways).
+
+        Default is AUTO, from the measured cost model (sf0.1,
+        local[32], BENCH.md round 5): with ``expected_manifest`` the
+        classic shape hashes every row in a second content pass, so
+        fusing saves that pass (~1.2x faster) -> fused. WITHOUT the
+        manifest the classic violations plan never reads content for
+        non-violating rows (uniqueness shuffles 3 key columns;
+        parquet prunes the rest), so the "second scan" it avoids is
+        mostly free while the fusion pays full-corpus sha256 + the
+        Arrow pass-through (~8% slower) -> classic. The persisted
+        fused table is registered with ``release_scan_caches()``;
+        long-lived sessions call it (or clearCache) after consuming
+        the outputs.
         """
         check_corpus_schema(snapshot)
         cfg = self.config
+
+        if single_scan is None:
+            single_scan = expected_manifest is not None
+        if single_scan:
+            from sparkval.histograms import (
+                fused_scan_partials,
+                merge_histograms_with_lang,
+                split_fused,
+            )
+
+            fused = fused_scan_partials(snapshot, cfg).persist()
+            _SCAN_CACHES.append(fused)
+            hist_partials, row_partials = split_fused(fused)
+            violations = constraints.violations_from_row_partials(
+                row_partials, commits, expected_manifest
+            )
+            verdicts = self._score_hists(
+                baseline, merge_histograms_with_lang(hist_partials)
+            )
+            return {
+                "verdicts": constraints.deterministic_order(
+                    verdicts, ["repo_bucket", "lang"]
+                ),
+                "violations": violations,
+            }
 
         violations = constraints.all_violations(snapshot, commits)
         if expected_manifest is not None:
@@ -218,18 +289,27 @@ class ValidationEngine:
 
         ``include_violations=True`` makes strip mode a FULL validate
         (beyond the reference, whose strip API returns only
-        score/pnorm, strip.rs:601-905): each strip additionally
-        commits a NARROW per-row check-partial table (key, sha256,
-        null-detail — ~100 B/row, constraints.row_check_partials) in a
-        second pass over the strip, and the finalize derives ALL
+        score/pnorm, strip.rs:601-905): each strip commits ONE fused
+        partial table (``fused_partials/strip=<sid>``, partitioned by
+        ``kind``) holding both the histogram partials and the NARROW
+        per-row check partials (key, sha256, null-detail — ~100 B/row)
+        from a SINGLE pass over the strip's content
+        (histograms.fused_scan_partials — round 5; previously two
+        passes/two write jobs per strip). The finalize derives ALL
         row-level violations (uniqueness with exact global counts,
         null_required, referential vs ``commits``, sha256 manifest vs
-        ``expected_manifest``) from the merged partials with
+        ``expected_manifest``) from the merged kind='r' partials with
         narrow-only joins — content is never rescanned after the strip
-        commits. Total content I/O equals batch validate() (which also
-        scans twice: violations probe + histograms); resume skips both
-        passes of a committed strip. A strip counts committed only
-        when BOTH its writes have _SUCCESS markers.
+        commits. Each strip's content is read ONCE total; resume skips
+        committed strips entirely. The single write job also makes the
+        strip commit atomic by construction: there is no
+        half-committed two-table state to detect (one _SUCCESS marker
+        per strip). Checkpoint dirs written by the pre-round-5 layout
+        (separate ``partials``/``row_partials`` trees) are not read by
+        full-validate runs — their strips recompute into the fused
+        layout; verdict-only runs (``include_violations=False``) keep
+        the classic ``partials`` layout and remain compatible both
+        ways.
 
         ``on_strip(i, n, skipped)`` is an optional progress hook (the
         per-strip progress callback a monitoring UI would attach).
@@ -262,16 +342,16 @@ class ValidationEngine:
         if stop is not None:
             sc.setJobGroup(stop.group, "sparkval strip validation",
                            interruptOnCancel=True)
+        # full-validate runs commit ONE fused table per strip (single
+        # content pass, single atomic write); verdict-only runs keep
+        # the classic hist-partials layout
+        tree = "fused_partials" if include_violations else "partials"
         try:
             for i, (lo, hi) in enumerate(bounds):
                 strip_files = files[lo:hi]
                 sid = sids[i]
-                strip_dir = uri_join(checkpoint_dir, "partials", f"strip={sid}")
-                rows_dir = uri_join(checkpoint_dir, "row_partials", f"strip={sid}")
-                done = fs_exists(spark, uri_join(strip_dir, "_SUCCESS")) and (
-                    not include_violations
-                    or fs_exists(spark, uri_join(rows_dir, "_SUCCESS"))
-                )
+                strip_dir = uri_join(checkpoint_dir, tree, f"strip={sid}")
+                done = fs_exists(spark, uri_join(strip_dir, "_SUCCESS"))
                 if on_strip is not None:
                     on_strip(i, n_strips, done)
                 if done:
@@ -279,27 +359,37 @@ class ValidationEngine:
                 if stop is not None and stop.cancelled:  # strip boundary poll
                     raise ValidationCancelled(stop.reason)
                 strip_df = spark.read.schema(probe.schema).parquet(*strip_files)
-                partials = partial_histograms(strip_df, self.config)
                 # one write job per strip: the parquet commit protocol
                 # makes the strip atomic (a cancelled job commits nothing)
-                partials.write.mode("overwrite").parquet(strip_dir)
                 if include_violations:
-                    constraints.row_check_partials(strip_df).write.mode(
+                    from sparkval.histograms import fused_scan_partials
+
+                    fused_scan_partials(strip_df, self.config).write.mode(
                         "overwrite"
-                    ).parquet(rows_dir)
+                    ).partitionBy("kind").parquet(strip_dir)
+                else:
+                    partial_histograms(strip_df, self.config).write.mode(
+                        "overwrite"
+                    ).parquet(strip_dir)
 
             if stop is not None and stop.cancelled:
                 raise ValidationCancelled(stop.reason)
             # partition-discover strip=<sid> dirs, then PRUNE to this
             # run's sid set — stale strips under a reused checkpoint
             # dir are never opened (partition filter), never merged
-            all_partials = spark.read.parquet(
-                uri_join(checkpoint_dir, "partials")
-            ).filter(F.col("strip").isin(sids))
             from sparkval.histograms import PARTIAL_SCHEMA, merge_histograms_with_lang
 
+            committed = spark.read.parquet(uri_join(checkpoint_dir, tree)).filter(
+                F.col("strip").isin(sids)
+            )
+            if include_violations:
+                # kind is a partition column: each consumer opens only
+                # its own files
+                hist_rows = committed.filter(F.col("kind") == "h")
+            else:
+                hist_rows = committed
             snap_hists = merge_histograms_with_lang(
-                all_partials.select(*[f.name for f in PARTIAL_SCHEMA.fields])
+                hist_rows.select(*[f.name for f in PARTIAL_SCHEMA.fields])
             )
             verdicts = constraints.deterministic_order(
                 self._score_hists(baseline, snap_hists), ["repo_bucket", "lang"]
@@ -308,11 +398,8 @@ class ValidationEngine:
                 verdicts = verdicts.localCheckpoint(eager=True)
             out = {"verdicts": verdicts}
             if include_violations:
-                row_partials = spark.read.parquet(
-                    uri_join(checkpoint_dir, "row_partials")
-                ).filter(F.col("strip").isin(sids))
                 violations = constraints.violations_from_row_partials(
-                    row_partials.select(
+                    committed.filter(F.col("kind") == "r").select(
                         "repo", "path", "commit", "content_sha256", "null_detail"
                     ),
                     commits,

@@ -86,7 +86,10 @@ def _lang_norm(s: pd.Series) -> pd.Series:
 
 
 def prepared_scan(
-    corpus: DataFrame, n_buckets: int, bucket: F.Column | None = None
+    corpus: DataFrame,
+    n_buckets: int,
+    bucket: F.Column | None = None,
+    extra: list | None = None,
 ) -> DataFrame:
     """JVM-side per-row preparation for the histogram scan: bucket,
     normalized lang, 64-bit row fingerprint, char length, and UTF-8
@@ -130,6 +133,9 @@ def prepared_scan(
         .alias("_fp"),
         F.length("content").alias("_len"),
         F.encode(F.col("content"), "UTF-8").alias("_bytes"),
+        # fused single-scan path: row-check expressions ride the SAME
+        # projection so bucket/fingerprint logic has one definition
+        *(extra or []),
     )
 
 
@@ -156,67 +162,194 @@ def partial_histograms(
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            n = batch.num_rows
-            if n == 0:
+            if batch.num_rows == 0:
                 continue
-            key = batch.column(0).to_numpy()
-            fp = batch.column(1).to_numpy().view(np.uint64)
-            ln = batch.column(2).fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
-            barr = batch.column(3)
-            # offsets/data buffer views (no copy); binary() carries
-            # int32 offsets, large_binary() int64
-            off_dtype = np.int64 if pa.types.is_large_binary(barr.type) else np.int32
-            bufs = barr.buffers()
-            off = np.frombuffer(bufs[1], dtype=off_dtype)[barr.offset : barr.offset + n + 1]
-            data = (
-                np.frombuffer(bufs[2], dtype=np.uint8)
-                if bufs[2] is not None
-                else np.empty(0, dtype=np.uint8)
-            )
-
-            ukeys, inv = np.unique(key, return_inverse=True)
-            G = len(ukeys)
-            n_files = np.bincount(inv, minlength=G).astype(np.int64)
-            nulls = np.bincount(inv[ln < 0], minlength=G).astype(np.int64)
-
-            # segmented XOR of row fingerprints per group
-            order = np.argsort(inv, kind="stable")
-            seg_starts = np.searchsorted(inv[order], np.arange(G))
-            fpx = np.bitwise_xor.reduceat(fp[order], seg_starts).view(np.int64)
-
-            pres = ln >= 0
-            lh = np.zeros((G, LEN_BINS), dtype=np.int64)
-            if pres.any():
-                lbin = np.clip(np.log2(ln[pres] + 1).astype(np.int64), 0, LEN_BINS - 1)
-                np.add.at(lh, (inv[pres], lbin), 1)
-            total = np.zeros(G, dtype=np.int64)
-            np.add.at(total, inv[pres], ln[pres])
-
-            bh = np.zeros((G, BYTE_BINS), dtype=np.int64)
-            for i in np.flatnonzero(pres):
-                s, e = off[i], off[i + 1]
-                if e > s:
-                    bh[inv[i]] += np.bincount(data[s:e], minlength=BYTE_BINS)
-
-            yield pa.record_batch(
-                {
-                    "repo_bucket": pa.array((ukeys // n_langs).astype(np.int32), pa.int32()),
-                    "lang": pa.array(
-                        [LANG_VOCAB[int(k) % n_langs] for k in ukeys], pa.string()
-                    ),
-                    "n_files": pa.array(n_files),
-                    "n_null_content": pa.array(nulls),
-                    "total_bytes": pa.array(total),
-                    "byte_hist": pa.array(list(bh), pa.list_(pa.int64())),
-                    "len_hist": pa.array(list(lh), pa.list_(pa.int64())),
-                    "fingerprint": pa.array(fpx),
-                }
-            )
+            yield pa.record_batch(_hist_partial_cols(batch, n_langs))
 
     prepped = prepared_scan(corpus, config.n_repo_buckets, bucket=bucket).select(
         "_key", "_fp", "_len", "_bytes"
     )
     return prepped.mapInArrow(gen, PARTIAL_SCHEMA)
+
+
+def _hist_partial_cols(batch: pa.RecordBatch, n_langs: int) -> dict:
+    """The per-batch histogram-partial kernel over a prepared_scan
+    batch whose first four columns are (_key, _fp, _len, _bytes):
+    reads the binary column's buffers DIRECTLY (zero copies, zero
+    Python bytes objects), groups via np.unique over the JVM int key,
+    folds fingerprints with one segmented XOR, scatter-adds length
+    bins, and bincounts content bytes. Shared verbatim by
+    partial_histograms and fused_scan_partials so the two paths can
+    never drift."""
+    n = batch.num_rows
+    key = batch.column(0).to_numpy()
+    fp = batch.column(1).to_numpy().view(np.uint64)
+    ln = batch.column(2).fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+    barr = batch.column(3)
+    # offsets/data buffer views (no copy); binary() carries int32
+    # offsets, large_binary() int64
+    off_dtype = np.int64 if pa.types.is_large_binary(barr.type) else np.int32
+    bufs = barr.buffers()
+    off = np.frombuffer(bufs[1], dtype=off_dtype)[barr.offset : barr.offset + n + 1]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+
+    ukeys, inv = np.unique(key, return_inverse=True)
+    G = len(ukeys)
+    n_files = np.bincount(inv, minlength=G).astype(np.int64)
+    nulls = np.bincount(inv[ln < 0], minlength=G).astype(np.int64)
+
+    # segmented XOR of row fingerprints per group
+    order = np.argsort(inv, kind="stable")
+    seg_starts = np.searchsorted(inv[order], np.arange(G))
+    fpx = np.bitwise_xor.reduceat(fp[order], seg_starts).view(np.int64)
+
+    pres = ln >= 0
+    lh = np.zeros((G, LEN_BINS), dtype=np.int64)
+    if pres.any():
+        lbin = np.clip(np.log2(ln[pres] + 1).astype(np.int64), 0, LEN_BINS - 1)
+        np.add.at(lh, (inv[pres], lbin), 1)
+    total = np.zeros(G, dtype=np.int64)
+    np.add.at(total, inv[pres], ln[pres])
+
+    bh = np.zeros((G, BYTE_BINS), dtype=np.int64)
+    for i in np.flatnonzero(pres):
+        s, e = off[i], off[i + 1]
+        if e > s:
+            bh[inv[i]] += np.bincount(data[s:e], minlength=BYTE_BINS)
+
+    return {
+        "repo_bucket": pa.array((ukeys // n_langs).astype(np.int32), pa.int32()),
+        "lang": pa.array([LANG_VOCAB[int(k) % n_langs] for k in ukeys], pa.string()),
+        "n_files": pa.array(n_files),
+        "n_null_content": pa.array(nulls),
+        "total_bytes": pa.array(total),
+        "byte_hist": pa.array(list(bh), pa.list_(pa.int64())),
+        "len_hist": pa.array(list(lh), pa.list_(pa.int64())),
+        "fingerprint": pa.array(fpx),
+    }
+
+
+#: union-schema output of the fused single-scan kernel: kind='h' rows
+#: carry histogram-partial columns (PARTIAL_SCHEMA), kind='r' rows the
+#: narrow per-row check partials (constraints.row_check_partials) —
+#: everything row-level validation needs, from ONE content read.
+FUSED_SCHEMA = T.StructType(
+    [T.StructField("kind", T.StringType(), False)]
+    + [T.StructField(f.name, f.dataType, True) for f in PARTIAL_SCHEMA.fields]
+    + [
+        T.StructField("repo", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("content_sha256", T.StringType(), True),
+        T.StructField("null_detail", T.StringType(), True),
+    ]
+)
+
+_ROW_COLS = ("repo", "path", "commit", "content_sha256", "null_detail")
+
+
+def fused_scan_partials(corpus: DataFrame, config: ValidationConfig) -> DataFrame:
+    """Single-scan fusion of the two per-row passes a full validate
+    needs (round-5 optimization): histogram partials AND row-check
+    partials from ONE read of the content column.
+
+    validate()'s classic shape scans content twice — once for
+    violations (sha256/null/key projections) and once for histograms.
+    At 100 TB the content scan IS the cost (memory-bandwidth-bound,
+    docs/SCALE.md), so halving scans nearly halves the engine's
+    steady-state wall time. Mechanics:
+
+    - every expensive per-row expression (sha256, null detail, bucket,
+      fingerprint, UTF-8 encode) stays JVM-side codegen;
+    - the Arrow kernel tags each incoming batch's narrow row columns
+      through as kind='r' (zero content bytes — those stay in the
+      dropped _bytes buffer) and folds the content buffer into
+      histogram partials emitted as kind='h';
+    - downstream, filter(kind) splits the (tiny: ~100 B/row + tasks x
+      keys hist rows) fused table; one persist of it replaces a full
+      second corpus scan.
+
+    Same monoid contract as partial_histograms/row_check_partials —
+    bit-identical outputs to the two-pass path (parity-tested)."""
+    from sparkval.constraints import NATURAL_KEY, content_sha256
+
+    n_langs = len(LANG_VOCAB)
+    required = ("repo", "path", "commit", "content")
+    any_null = F.greatest(*[F.col(c).isNull().cast("int") for c in required]) == 1
+    null_detail = F.when(
+        any_null,
+        F.concat_ws(
+            ",",
+            F.array_compact(
+                F.array(*[F.when(F.col(c).isNull(), F.lit(c)) for c in required])
+            ),
+        ),
+    )
+    src = prepared_scan(
+        corpus,
+        config.n_repo_buckets,
+        extra=[
+            *[F.col(k) for k in NATURAL_KEY],
+            content_sha256().alias("content_sha256"),
+            null_detail.alias("null_detail"),
+        ],
+    ).select("_key", "_fp", "_len", "_bytes", *_ROW_COLS)
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            # -- kind='r': pass the narrow row columns through
+            # (content bytes stay behind in the dropped _bytes buffer)
+            row_cols = {"kind": pa.array(["r"] * n, pa.string())}
+            for f in PARTIAL_SCHEMA.fields:
+                row_cols[f.name] = pa.nulls(n, _PA_TYPES[f.name])
+            for i, c in enumerate(_ROW_COLS):
+                row_cols[c] = batch.column(4 + i)
+            yield pa.record_batch(row_cols, schema=_FUSED_PA_SCHEMA)
+
+            # -- kind='h': histogram partials via the SHARED kernel
+            hist_cols = {"kind": None, **_hist_partial_cols(batch, n_langs)}
+            G = len(hist_cols["n_files"])
+            hist_cols["kind"] = pa.array(["h"] * G, pa.string())
+            for c in _ROW_COLS:
+                hist_cols[c] = pa.nulls(G, pa.string())
+            yield pa.record_batch(hist_cols, schema=_FUSED_PA_SCHEMA)
+
+    return src.mapInArrow(gen, FUSED_SCHEMA)
+
+
+_PA_TYPES = {
+    "repo_bucket": pa.int32(),
+    "lang": pa.string(),
+    "n_files": pa.int64(),
+    "n_null_content": pa.int64(),
+    "total_bytes": pa.int64(),
+    "byte_hist": pa.list_(pa.int64()),
+    "len_hist": pa.list_(pa.int64()),
+    "fingerprint": pa.int64(),
+}
+
+_FUSED_PA_SCHEMA = pa.schema(
+    [("kind", pa.string())]
+    + [(k, v) for k, v in _PA_TYPES.items()]
+    + [(c, pa.string()) for c in _ROW_COLS]
+)
+
+
+def split_fused(fused: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(hist_partials, row_partials) views of a fused table — filters
+    over the (persisted, tiny) fused output, NOT rescans of content."""
+    hist = fused.filter(F.col("kind") == "h").select(
+        *[f.name for f in PARTIAL_SCHEMA.fields]
+    )
+    rows = fused.filter(F.col("kind") == "r").select(*_ROW_COLS)
+    return hist, rows
 
 
 def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -85,6 +85,7 @@ def test_warm_all_alien_lengths_equal_cold(spark, corpus):
 def test_release_lazy_caches_owns_materialize_false_sigs(spark):
     from sparkval.pipeline import dedup
 
+    dedup.release_lazy_caches()  # drain registrations from other tests
     spark.catalog.clearCache()
     docs = spark.createDataFrame(
         [(i, f"shared shingle stream number {i % 2} " * 8) for i in range(20)],
@@ -111,6 +112,7 @@ def test_entry_loader_drains_stale_lazy_caches(spark, sf_dir):
 
     from sparkval.pipeline import dedup
 
+    dedup.release_lazy_caches()
     spark.catalog.clearCache()
     docs = spark.createDataFrame([(1, "a b c " * 10), (2, "a b c " * 10)],
                                  ["doc_id", "text"])

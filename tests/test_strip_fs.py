@@ -182,10 +182,12 @@ def test_strip_mode_violations_parity_with_batch(spark, tmp_path):
 
 
 def test_strip_half_committed_strip_reruns_both_writes(spark, tmp_path):
-    """A strip counts done only when BOTH its writes committed: if a
-    kill lands between the histogram write and the row-partial write,
-    resume must re-run that strip entirely (overwriting the committed
-    half) and still produce exact batch parity."""
+    """The full-validate strip commit is ONE atomic write (round 5:
+    fused hist+row partials, single _SUCCESS) — there is no
+    two-table half-committed state anymore. The kill-mid-commit
+    scenario that remains: a strip dir whose write job died before the
+    commit marker landed. Resume must re-run exactly that strip and
+    still produce exact batch parity."""
     import shutil
 
     from sparkval.io import uri_join
@@ -197,17 +199,21 @@ def test_strip_half_committed_strip_reruns_both_writes(spark, tmp_path):
     base = eng.build_baseline(corpus)
     ckpt = str(tmp_path / "ck_half")
 
-    # full strip run with violations -> every strip has both commits
+    # full strip run with violations -> every strip has its fused commit
     eng.validate_strips(
         path, base, ckpt, n_strips=4, include_violations=True
     )["verdicts"].count()
 
-    # simulate the mid-strip kill: drop ONE strip's row-partial commit
+    # simulate the mid-commit kill: drop ONE strip's _SUCCESS marker
+    # (data files may exist, but an uncommitted strip must not count)
     import os
 
-    row_root = uri_join(ckpt, "row_partials")
-    victim = sorted(os.listdir(row_root))[0]
-    shutil.rmtree(os.path.join(row_root, victim))
+    fused_root = uri_join(ckpt, "fused_partials")
+    victim = sorted(os.listdir(fused_root))[0]
+    os.remove(os.path.join(fused_root, victim, "_SUCCESS"))
+    crc = os.path.join(fused_root, victim, "._SUCCESS.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
 
     seen = []
     out = eng.validate_strips(
