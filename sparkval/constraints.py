@@ -136,6 +136,19 @@ def row_check_partials(corpus: DataFrame) -> DataFrame:
     returns only score/pnorm, strip.rs:601-905; row-level checks in
     strip mode are an engine extension.)
     """
+    sha, null_detail = row_check_exprs()
+    return corpus.select(
+        *NATURAL_KEY,
+        sha.alias("content_sha256"),
+        null_detail.alias("null_detail"),
+    )
+
+
+def row_check_exprs() -> tuple[F.Column, F.Column]:
+    """The (content_sha256, null_detail) per-row check expressions —
+    ONE definition shared by row_check_partials and the fused
+    single-scan kernel (histograms.fused_scan_partials), so the strip
+    and batch full-validate paths can never drift (review round 5)."""
     required = ("repo", "path", "commit", "content")
     any_null = F.greatest(*[F.col(c).isNull().cast("int") for c in required]) == 1
     null_detail = F.when(
@@ -147,11 +160,7 @@ def row_check_partials(corpus: DataFrame) -> DataFrame:
             ),
         ),
     )
-    return corpus.select(
-        *NATURAL_KEY,
-        content_sha256().alias("content_sha256"),
-        null_detail.alias("null_detail"),
-    )
+    return content_sha256(), null_detail
 
 
 def violations_from_row_partials(

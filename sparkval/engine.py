@@ -343,15 +343,27 @@ class ValidationEngine:
             sc.setJobGroup(stop.group, "sparkval strip validation",
                            interruptOnCancel=True)
         # full-validate runs commit ONE fused table per strip (single
-        # content pass, single atomic write); verdict-only runs keep
-        # the classic hist-partials layout
+        # content pass, single atomic write); verdict-only runs write
+        # the classic hist-partials layout but RESUME from either tree
+        # (a completed full validate's fused commits satisfy a later
+        # verdict-only run — its hist rows are a superset; review
+        # round 5). The reverse direction recomputes: a fused commit
+        # needs row partials the classic tree never wrote.
         tree = "fused_partials" if include_violations else "partials"
+        fused_sids: list[str] = []  # verdict-only: strips resumed from fused
         try:
             for i, (lo, hi) in enumerate(bounds):
                 strip_files = files[lo:hi]
                 sid = sids[i]
                 strip_dir = uri_join(checkpoint_dir, tree, f"strip={sid}")
                 done = fs_exists(spark, uri_join(strip_dir, "_SUCCESS"))
+                if not done and not include_violations:
+                    fused_dir = uri_join(
+                        checkpoint_dir, "fused_partials", f"strip={sid}"
+                    )
+                    if fs_exists(spark, uri_join(fused_dir, "_SUCCESS")):
+                        fused_sids.append(sid)
+                        done = True
                 if on_strip is not None:
                     on_strip(i, n_strips, done)
                 if done:
@@ -379,18 +391,35 @@ class ValidationEngine:
             # dir are never opened (partition filter), never merged
             from sparkval.histograms import PARTIAL_SCHEMA, merge_histograms_with_lang
 
-            committed = spark.read.parquet(uri_join(checkpoint_dir, tree)).filter(
-                F.col("strip").isin(sids)
-            )
+            hist_names = [f.name for f in PARTIAL_SCHEMA.fields]
             if include_violations:
+                committed = spark.read.parquet(
+                    uri_join(checkpoint_dir, tree)
+                ).filter(F.col("strip").isin(sids))
                 # kind is a partition column: each consumer opens only
                 # its own files
-                hist_rows = committed.filter(F.col("kind") == "h")
+                hist_rows = committed.filter(F.col("kind") == "h").select(*hist_names)
             else:
-                hist_rows = committed
-            snap_hists = merge_histograms_with_lang(
-                hist_rows.select(*[f.name for f in PARTIAL_SCHEMA.fields])
-            )
+                classic_sids = sorted(set(sids) - set(fused_sids))
+                parts = []
+                if classic_sids:  # dir exists iff any strip lives there
+                    parts.append(
+                        spark.read.parquet(uri_join(checkpoint_dir, tree))
+                        .filter(F.col("strip").isin(classic_sids))
+                        .select(*hist_names)
+                    )
+                if fused_sids:
+                    parts.append(
+                        spark.read.parquet(uri_join(checkpoint_dir, "fused_partials"))
+                        .filter(
+                            F.col("strip").isin(fused_sids) & (F.col("kind") == "h")
+                        )
+                        .select(*hist_names)
+                    )
+                hist_rows = parts[0]
+                for p in parts[1:]:
+                    hist_rows = hist_rows.unionByName(p)
+            snap_hists = merge_histograms_with_lang(hist_rows)
             verdicts = constraints.deterministic_order(
                 self._score_hists(baseline, snap_hists), ["repo_bucket", "lang"]
             )
@@ -458,11 +487,19 @@ class ValidationEngine:
                     "verdicts": out["verdicts"].localCheckpoint(eager=True),
                     "violations": out["violations"].localCheckpoint(eager=True),
                 }
+            pre = len(_SCAN_CACHES)
             out = self.validate(snapshot, baseline, commits, expected_manifest)
-            return {
+            result = {
                 "verdicts": out["verdicts"].localCheckpoint(eager=True),
                 "violations": out["violations"].localCheckpoint(eager=True),
             }
+            # both outputs are materialized above, so any fused scan
+            # table THIS call persisted (AUTO single_scan) is done —
+            # release it here instead of leaking one per call
+            # (review round 5)
+            while len(_SCAN_CACHES) > pre:
+                _SCAN_CACHES.pop().unpersist()
+            return result
         except ValidationCancelled:
             raise
         except Exception as e:
@@ -506,7 +543,15 @@ class ValidationEngine:
 
         spark = snapshot.sparkSession
         done_path = uri_join(checkpoint_dir, "verdicts")
-        result = self.validate(snapshot, baseline, commits, expected_manifest)
+        # explicit classic shape: this wrapper is called per monitoring
+        # cycle and returns a lazy violations plan with no place to
+        # release a fused persist afterwards — AUTO would leak one
+        # cached table per cycle (review round 5). Callers wanting the
+        # single-scan full validate use validate_strips(
+        # include_violations=True), the documented resumable form.
+        result = self.validate(
+            snapshot, baseline, commits, expected_manifest, single_scan=False
+        )
         verdicts = result["verdicts"]
 
         try:

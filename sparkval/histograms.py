@@ -275,26 +275,16 @@ def fused_scan_partials(corpus: DataFrame, config: ValidationConfig) -> DataFram
 
     Same monoid contract as partial_histograms/row_check_partials —
     bit-identical outputs to the two-pass path (parity-tested)."""
-    from sparkval.constraints import NATURAL_KEY, content_sha256
+    from sparkval.constraints import NATURAL_KEY, row_check_exprs
 
     n_langs = len(LANG_VOCAB)
-    required = ("repo", "path", "commit", "content")
-    any_null = F.greatest(*[F.col(c).isNull().cast("int") for c in required]) == 1
-    null_detail = F.when(
-        any_null,
-        F.concat_ws(
-            ",",
-            F.array_compact(
-                F.array(*[F.when(F.col(c).isNull(), F.lit(c)) for c in required])
-            ),
-        ),
-    )
+    sha, null_detail = row_check_exprs()
     src = prepared_scan(
         corpus,
         config.n_repo_buckets,
         extra=[
             *[F.col(k) for k in NATURAL_KEY],
-            content_sha256().alias("content_sha256"),
+            sha.alias("content_sha256"),
             null_detail.alias("null_detail"),
         ],
     ).select("_key", "_fp", "_len", "_bytes", *_ROW_COLS)

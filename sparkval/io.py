@@ -50,36 +50,52 @@ def fs_tree_bytes(spark: SparkSession, path: str) -> int:
 
 def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
     """Small-file write through the FileSystem API (sidecars,
-    manifests). Overwrites. Writes to a temp sibling then renames
-    (round-4 verdict #3): on rename-backed filesystems (local, HDFS)
-    a crash mid-write can never leave a torn file at ``path`` — only
-    a stale complete one or an orphan temp. On S3A the rename is a
-    copy (not atomic), but the copy source is a fully-written object,
-    so a torn/truncated sidecar still cannot appear; worst case stays
-    "old complete content"."""
+    manifests). Overwrites. Commit dance (round-4 verdict #3 + review
+    round 5): write a ``.__tmp__`` sibling, park any existing
+    destination at ``.__old__``, rename temp into place, drop the
+    parked copy. Hadoop rename moves a LocalFileSystem .crc shadow
+    with its file, so checksums stay consistent. A crash at ANY point
+    leaves a complete readable version: before the parking rename the
+    old file is intact; between the two renames the destination is
+    missing but ``.__old__`` holds the previous complete content and
+    fs_read_text falls back to it; after the final rename the new
+    content is live. A torn/truncated sidecar can never be observed —
+    on S3A the "renames" are copies of fully-written objects, same
+    guarantee."""
     fs, jpath = hadoop_fs(spark, path)
     tmp = hadoop_fs(spark, path + ".__tmp__")[1]
+    old = hadoop_fs(spark, path + ".__old__")[1]
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    # LocalFileSystem keeps a .crc shadow per file; a leftover shadow
-    # for the DESTINATION from a previous direct write makes the
-    # renamed file fail checksum on read — delete target first so
-    # rename also moves the temp's matching shadow into place
-    if fs.exists(jpath):
-        fs.delete(jpath, False)
+    if fs.exists(old):
+        fs.delete(old, False)  # stale parked copy from a prior crash
+    if fs.exists(jpath) and not fs.rename(jpath, old):
+        raise IOError(f"fs_write_text: could not park {jpath}")
     if not fs.rename(tmp, jpath):
-        raise IOError(f"fs_write_text: rename {tmp} -> {jpath} failed")
+        raise IOError(
+            f"fs_write_text: rename {tmp} -> {jpath} failed; previous "
+            f"content preserved at {old}"
+        )
+    if fs.exists(old):
+        fs.delete(old, False)
 
 
 def fs_read_text(spark: SparkSession, path: str) -> str | None:
     """Read a small text file through the FileSystem API; None if the
-    file does not exist."""
+    file does not exist. Falls back to the ``.__old__`` parked copy a
+    crashed fs_write_text commit dance may have left — the reader half
+    of the no-torn-sidecars guarantee (previous complete content is
+    still served while the destination is missing)."""
     fs, jpath = hadoop_fs(spark, path)
     if not fs.exists(jpath):
-        return None
+        old = hadoop_fs(spark, path + ".__old__")[1]
+        if fs.exists(old):
+            jpath = old
+        else:
+            return None
     stream = fs.open(jpath)
     try:
         # commons-io rides on Spark's classpath; py4j can't read into a

@@ -255,25 +255,30 @@ def image_features(px: np.ndarray) -> np.ndarray:
 
 
 def decode_stub(payload: bytes, kind: str, deterministic_fake: bool) -> np.ndarray:
-    """Decode boundary. Uncompressed image formats (P6 PPM, farbfeld,
-    24/32-bit BI_RGB BMP) decode for REAL via pure numpy; compressed
-    formats (PIL/librosa/ffmpeg territory) are not decodable in this
-    container — the fake path is a seeded hash-derived vector so
-    downstream plumbing has stable, testable inputs either way."""
-    if kind == "image" and payload:
-        try:
-            return image_features(decode_image(payload))
-        except ValueError:
-            pass  # not an uncompressed format — stub/fake below
-    if kind == "audio" and payload[:4] == b"RIFF":
-        try:
-            return audio_features(*decode_wav(payload))
-        except ValueError:
-            pass  # compressed/non-PCM WAVE — stub/fake below
+    """Decode boundary. With ``deterministic_fake=False`` (the real
+    path), uncompressed image formats (P6 PPM, farbfeld, 24/32-bit
+    BI_RGB BMP) and PCM16 WAV decode for REAL via pure numpy;
+    unrecognized/compressed formats (PIL/librosa/ffmpeg territory)
+    raise NotImplementedError. With ``deterministic_fake=True`` the
+    seeded hash-derived vector is ALWAYS returned — the flag is a
+    contract (stable fixture features regardless of payload bytes,
+    review round 5), not a fallback hint, so flipping it can never
+    silently change the features of a decodable payload."""
     if not deterministic_fake:
+        if kind == "image" and payload:
+            try:
+                return image_features(decode_image(payload))
+            except ValueError:
+                pass  # not an uncompressed format — stub below
+        if kind == "audio" and payload[:4] == b"RIFF":
+            try:
+                return audio_features(*decode_wav(payload))
+            except ValueError:
+                pass  # compressed/non-PCM WAVE — stub below
         raise NotImplementedError(
-            f"no {kind} decoder available in this environment; "
-            "install the media libs or pass deterministic_fake=True"
+            f"no {kind} decoder available in this environment for this "
+            "payload format; install the media libs or pass "
+            "deterministic_fake=True"
         )
     digest = hashlib.sha256(payload or b"").digest()
     raw = np.frombuffer((digest * ((_FEATURE_DIM * 4) // len(digest) + 1))[: _FEATURE_DIM * 4],
