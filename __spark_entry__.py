@@ -979,6 +979,26 @@ def q_dedupe_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (pipeline.dedup.decontaminate): drop
+    every training document sharing ANY 13-token word n-gram with a
+    benchmark set (the GPT-3/PaLM overlap rule) — the cross-corpus op
+    that keeps eval sets out of the training mix. Benchmark here =
+    every 50th document, so those documents (and any true 13-gram
+    collision) must come back as the dropped set. Plan shape: the
+    benchmark reduces to a broadcast DISTINCT hash set; corpus grams
+    die in a map-side LEFT SEMI probe — no corpus-side shuffle. The
+    oracle recomputes the overlap from the n-gram STRINGS (no xxhash64
+    in DuckDB), so it independently pins the semantics."""
+    from sparkval.pipeline.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 5).select("doc_id", "text")
+    clean = decontaminate(docs, benchmark, n=13)
+    dropped = docs.select("doc_id").exceptAll(clean.select("doc_id"))
+    return dropped.orderBy("doc_id")
+
+
 def q_dedup_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup accounting report (pipeline.dedup.dedup_report) over the
     same planted 5-member blocks as dedupe_near_dups_documents —
@@ -1477,6 +1497,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "driftmap_violations_documents": q_driftmap_violations_documents,
     "dedupe_near_dups_documents": q_dedupe_near_dups_documents,
     "dedup_report_documents": q_dedup_report_documents,
+    "decontaminate_documents": q_decontaminate_documents,
     "tdigest_lengths_documents": q_tdigest_lengths_documents,
     "hll_distinct_documents": q_hll_distinct_documents,
     "strip_validate_documents": q_strip_validate_documents,
@@ -2007,6 +2028,34 @@ ORACLE_SQL["multimodal_decode_audio"] = """
     FROM zx
     GROUP BY media_id
 """
+
+# decontamination oracle: string n-grams (DuckDB has no xxhash64; the
+# engine joins on 64-bit gram hashes whose collisions are ~1e-19/pair,
+# so the string-derived and hash-derived dropped sets are identical on
+# this data). trim+lower+regex-split mirrors the engine tokenizer.
+ORACLE_SQL["decontaminate_documents"] = """
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+        WHERE text IS NOT NULL
+    ),
+    -- generate_series needs CONSTANT bounds in DuckDB; 512 safely
+    -- exceeds the corpus max token count (measured 100 at sf0.1)
+    bg AS (
+        SELECT DISTINCT array_to_string(t[g.i : g.i + 12], ' ') AS g
+        FROM tok, generate_series(1, 512) g(i)
+        WHERE doc_id % 50 = 5 AND g.i + 12 <= len(t)
+    ),
+    cg AS (
+        SELECT DISTINCT doc_id, array_to_string(t[g.i : g.i + 12], ' ') AS g
+        FROM tok, generate_series(1, 512) g(i)
+        WHERE g.i + 12 <= len(t)
+    )
+    SELECT DISTINCT cg.doc_id
+    FROM cg JOIN bg USING (g)
+    ORDER BY doc_id
+"""
+
 
 
 def entry(spark: SparkSession) -> DataFrame:

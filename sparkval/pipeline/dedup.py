@@ -789,3 +789,56 @@ def ngram_jaccard_exact(df: DataFrame, candidates: DataFrame, text_col: str = "t
     return joined.select(
         "a", "b", (inter / F.greatest(union, F.lit(1.0))).alias("jaccard")
     )
+
+
+# -- benchmark decontamination (cross-corpus n-gram overlap) ---------------
+
+def ngram_hash_stream(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 13) -> DataFrame:
+    """(id, gram_hash) stream of word n-gram hashes — pure codegen
+    expressions (split -> sliding window via transform(sequence) ->
+    xxhash64 over the joined window). Documents shorter than ``n``
+    tokens emit nothing (the standard contamination rule ignores
+    them). Content never shuffles: only 8-byte hashes leave the scan."""
+    # trim first: leading/trailing whitespace would otherwise emit
+    # empty boundary tokens (Pattern.split semantics) and shift
+    # every window
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+    )
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("gram_hash"))
+    )
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 13) -> DataFrame:
+    """Training-corpus decontamination: drop every corpus document that
+    shares ANY word ``n``-gram with the benchmark set (the 13-gram
+    overlap rule used by GPT-3/PaLM-style training pipelines) — the
+    cross-corpus sibling of near-dup removal, and the op that keeps
+    eval sets out of the training mix.
+
+    Scale shape: the benchmark side reduces to a DISTINCT set of
+    8-byte gram hashes (benchmarks are ~1e6 grams even for large eval
+    suites) and is BROADCAST; the corpus gram stream then dies in a
+    map-side LEFT SEMI probe — no shuffle of corpus grams, no content
+    movement, one corpus scan. Contaminated ids (rare) broadcast back
+    into a LEFT ANTI on the corpus. 64-bit hashing: a cross-corpus
+    collision would drop a clean doc with probability ~1e-19 per
+    gram pair — the standard engineering trade, documented here.
+    """
+    bench_grams = (
+        ngram_hash_stream(benchmark, text_col, id_col, n)
+        .select("gram_hash").distinct()
+    )
+    contaminated = (
+        ngram_hash_stream(corpus, text_col, id_col, n)
+        .join(F.broadcast(bench_grams), "gram_hash", "left_semi")
+        .select(id_col).distinct()
+    )
+    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")

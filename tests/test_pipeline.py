@@ -656,3 +656,27 @@ def test_extract_features_real_audio_path(spark):
         assert f[1] == 8000 and f[2] == 2
         assert f[3] == meta.loc[m, "duration_ms"]
         assert 0.0 < f[4] < 1.0  # rms of the planted ramp
+
+
+def test_decontaminate_thirteen_gram_rule(spark):
+    """Docs sharing a full 13-token window with the benchmark drop;
+    12-token overlaps survive; short docs never match."""
+    bench_text = " ".join(f"b{i}" for i in range(20))
+    b13 = " ".join(f"b{i}" for i in range(13))        # a full window
+    b12 = " ".join(f"b{i}" for i in range(12))        # one short
+    corpus = spark.createDataFrame(
+        [
+            (1, "clean words " + " ".join(f"c{i}" for i in range(30))),
+            (2, "prefix words here " + b13 + " suffix tail"),   # contaminated
+            (3, "prefix words here " + b12 + " different tail x y z"),  # 12 only
+            (4, b13),                                           # exact window doc
+            (5, "short doc"),                                   # < 13 tokens
+        ],
+        ["doc_id", "text"],
+    )
+    benchmark = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    kept = {
+        r["doc_id"]
+        for r in dedup.decontaminate(corpus, benchmark, n=13).select("doc_id").collect()
+    }
+    assert kept == {1, 3, 5}

@@ -302,3 +302,22 @@ def test_strip_violation_finalize_plan_narrow_and_vectorized(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan  # dup-key + commits sides
+
+
+def test_decontaminate_plan_broadcasts_benchmark_no_corpus_shuffle(spark, sf_dir):
+    """Decontamination plan shape: the benchmark gram set broadcasts
+    into a LEFT SEMI probe and the contaminated-id set broadcasts into
+    the LEFT ANTI — corpus grams and corpus rows never sort-merge
+    (their shuffle would be the scale killer: grams are ~100x corpus
+    rows)."""
+    from sparkval.pipeline.dedup import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 5).select("doc_id", "text")
+    plan = (
+        decontaminate(docs, benchmark, n=13)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan  # pure codegen gram stream
