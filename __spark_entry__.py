@@ -979,6 +979,21 @@ def q_dedupe_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def q_token_budget_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group TOKEN-budget sampling (pipeline.sampling.
+    token_budget_sample): cap each language at 3000 whitespace tokens
+    by keeping the deterministic hash-shuffle prefix whose inclusive
+    cumulative token count fits. The engine resolves it with the
+    scale-safe two-level plan (bucket sums -> boundary-bucket window);
+    the oracle replays the FLAT per-row cumsum rule the two-level plan
+    must equal exactly — sha256 order is engine-portable."""
+    from sparkval.pipeline.sampling import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = token_budget_sample(docs, 3000, group_col="lang")
+    return kept.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
 def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (pipeline.dedup.decontaminate): drop
     every training document sharing ANY 13-token word n-gram with a
@@ -1498,6 +1513,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedupe_near_dups_documents": q_dedupe_near_dups_documents,
     "dedup_report_documents": q_dedup_report_documents,
     "decontaminate_documents": q_decontaminate_documents,
+    "token_budget_sample_documents": q_token_budget_sample_documents,
     "tdigest_lengths_documents": q_tdigest_lengths_documents,
     "hll_distinct_documents": q_hll_distinct_documents,
     "strip_validate_documents": q_strip_validate_documents,
@@ -2055,6 +2071,28 @@ ORACLE_SQL["decontaminate_documents"] = """
     FROM cg JOIN bg USING (g)
     ORDER BY doc_id
 """
+
+# token-budget oracle: the FLAT rule (per-group sha256-ordered running
+# token sum, keep while inclusive cum <= budget) that the engine's
+# two-level bucket plan must equal exactly. trim is space-only on both
+# engines and \s+ splitting counts boundary empties identically.
+ORACLE_SQL["token_budget_sample_documents"] = """
+    WITH t AS (
+        SELECT lang, doc_id,
+               sha256(doc_id::VARCHAR) AS k,
+               CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+'))
+               END AS tok
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, doc_id,
+               sum(tok) OVER (PARTITION BY lang ORDER BY k, doc_id) AS cum
+        FROM t
+    )
+    SELECT lang, doc_id FROM c WHERE cum <= 3000 ORDER BY lang, doc_id
+"""
+
 
 
 

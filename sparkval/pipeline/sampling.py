@@ -60,3 +60,85 @@ def stratified_sample(
     for stratum, p in sorted(permille.items()):
         thr = F.when(F.col(strata_col) == stratum, F.lit(p)).otherwise(thr)
     return df.filter(_hash_bucket(id_col) < thr)
+
+
+def _order_key(id_col: str) -> F.Column:
+    """Engine-portable deterministic shuffle order: the full sha256 hex
+    of str(id) — lexicographic order any engine reproduces."""
+    return F.sha2(F.col(id_col).cast("string"), 256)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 3,
+) -> DataFrame:
+    """Per-group TOKEN-budget sampling — the training-mix step that
+    caps each group (language, source, ...) at a token count rather
+    than a row fraction: keep, per group, the prefix of a
+    deterministic hash shuffle whose INCLUSIVE cumulative whitespace
+    token count fits ``budget_tokens``; a document that would
+    overflow the budget is dropped along with everything after it
+    (prefix semantics — reproducible and nested: a larger budget's
+    sample is a superset).
+
+    Scale shape (the part a naive window gets wrong): a
+    Window.partitionBy(group) cumsum puts EVERY row of a group in one
+    task — a hot language is petabytes. Instead the hash key's first
+    ``prefix_len`` hex chars (4096 buckets at 3) bucket each group
+    WITHOUT breaking the global hash order (bucket = key prefix, so
+    bucket-major order IS key order). Pass 1 aggregates per-(group,
+    bucket) token sums — a tiny table — whose running sum finds each
+    group's boundary bucket; full buckets resolve with a broadcast
+    join, ONLY the boundary bucket's rows (~1/4096 of the group) pay
+    a row-level window. Exactly equal to the flat per-row cumsum rule
+    (oracle-checked), two narrow shuffles, no content movement."""
+    from pyspark.sql import Window
+
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0: {budget_tokens}")
+    key = _order_key(id_col)
+    bucket = F.substring(key, 1, prefix_len)
+    toks = F.when(
+        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""), F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    rows = df.withColumn("_tbs_key", key).withColumn(
+        "_tbs_bucket", bucket
+    ).withColumn("_tbs_tokens", toks.cast("long"))
+
+    # pass 1: per-(group, bucket) token sums -> running sum over the
+    # TINY bucket table (groups x 4096 rows; the window here is fine)
+    wb = Window.partitionBy(group_col).orderBy("_tbs_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    buckets = (
+        rows.groupBy(group_col, "_tbs_bucket")
+        .agg(F.sum("_tbs_tokens").alias("_tbs_sum"))
+        .withColumn("_tbs_cum", F.sum("_tbs_sum").over(wb))
+        .withColumn("_tbs_before", F.col("_tbs_cum") - F.col("_tbs_sum"))
+    )
+    full = buckets.filter(F.col("_tbs_cum") <= budget_tokens).select(
+        group_col, "_tbs_bucket"
+    )
+    boundary = buckets.filter(
+        (F.col("_tbs_cum") > budget_tokens) & (F.col("_tbs_before") <= budget_tokens)
+    ).select(group_col, "_tbs_bucket", "_tbs_before")
+
+    kept_full = rows.join(F.broadcast(full), [group_col, "_tbs_bucket"], "left_semi")
+
+    # pass 2: row-level prefix inside each group's single boundary
+    # bucket (1/4096 of the group's rows shuffle into this window)
+    wr = Window.partitionBy(group_col, "_tbs_bucket").orderBy(
+        "_tbs_key", id_col
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept_boundary = (
+        rows.join(F.broadcast(boundary), [group_col, "_tbs_bucket"])
+        .withColumn("_tbs_rowcum", F.sum("_tbs_tokens").over(wr))
+        .filter(F.col("_tbs_before") + F.col("_tbs_rowcum") <= budget_tokens)
+        .drop("_tbs_before", "_tbs_rowcum")
+    )
+    drop_cols = ("_tbs_key", "_tbs_bucket", "_tbs_tokens")
+    return kept_full.unionByName(kept_boundary).drop(*drop_cols)

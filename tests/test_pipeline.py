@@ -680,3 +680,55 @@ def test_decontaminate_thirteen_gram_rule(spark):
         for r in dedup.decontaminate(corpus, benchmark, n=13).select("doc_id").collect()
     }
     assert kept == {1, 3, 5}
+
+
+def test_token_budget_sample_equals_flat_rule(spark, docs):
+    """The scale-safe two-level plan (bucket sums -> boundary window)
+    must EXACTLY equal the flat per-row cumsum rule, including null
+    and empty texts; budgets nest (a bigger budget's sample is a
+    superset); degenerate budgets behave."""
+    from pyspark.sql import Window
+
+    from sparkval.pipeline import sampling
+
+    extra = spark.createDataFrame(
+        [(90001, None, "en"), (90002, "   ", "en"), (90003, "one two", "zz")],
+        ["doc_id", "text", "lang"],
+    )
+    d = docs.select("doc_id", "text", "lang").unionByName(extra)
+
+    def flat(budget):
+        key = F.sha2(F.col("doc_id").cast("string"), 256)
+        toks = F.when(
+            F.col("text").isNull() | (F.trim(F.col("text")) == ""), F.lit(0)
+        ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        w = Window.partitionBy("lang").orderBy(key, "doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return {
+            r["doc_id"]
+            for r in d.withColumn("_c", F.sum(toks.cast("long")).over(w))
+            .filter(F.col("_c") <= budget).select("doc_id").collect()
+        }
+
+    got_3k = {
+        r["doc_id"]
+        for r in sampling.token_budget_sample(d, 3000).select("doc_id").collect()
+    }
+    assert got_3k == flat(3000)
+    got_9k = {
+        r["doc_id"]
+        for r in sampling.token_budget_sample(d, 9000).select("doc_id").collect()
+    }
+    assert got_9k == flat(9000)
+    assert got_3k <= got_9k  # nested budgets
+    # budget 0 keeps exactly the zero-token rows the flat rule keeps
+    assert {
+        r["doc_id"]
+        for r in sampling.token_budget_sample(d, 0).select("doc_id").collect()
+    } == flat(0)
+    # budget beyond the corpus keeps everything
+    n_all = d.count()
+    assert sampling.token_budget_sample(d, 10**9).count() == n_all
+    with pytest.raises(ValueError):
+        sampling.token_budget_sample(d, -1)
