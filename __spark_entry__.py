@@ -979,6 +979,38 @@ def q_dedupe_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def q_repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition stats (pipeline.text.
+    with_repetition_stats, the Gopher duplicate-line rule) over
+    documents with PLANTED repetition: every 10th doc gets its first
+    line duplicated 5x — those must flag, clean docs must not (unless
+    the source text genuinely repeats lines, which the oracle equally
+    detects). All codegen expressions; the oracle replays the rule with
+    DuckDB list lambdas."""
+    from sparkval.pipeline.text import with_repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    first_line = F.element_at(F.split(F.coalesce(F.col("text"), F.lit("")), "\n"), 1)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat_ws(
+                "\n", first_line, first_line, first_line, first_line, first_line,
+                F.col("text"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = with_repetition_stats(planted)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_char_frac", 6).alias("dup_char_frac"),
+        "is_repetitive",
+    ).orderBy("doc_id")
+
+
 def q_token_budget_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group TOKEN-budget sampling (pipeline.sampling.
     token_budget_sample): cap each language at 3000 whitespace tokens
@@ -1514,6 +1546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_report_documents": q_dedup_report_documents,
     "decontaminate_documents": q_decontaminate_documents,
     "token_budget_sample_documents": q_token_budget_sample_documents,
+    "repetition_stats_documents": q_repetition_stats_documents,
     "tdigest_lengths_documents": q_tdigest_lengths_documents,
     "hll_distinct_documents": q_hll_distinct_documents,
     "strip_validate_documents": q_strip_validate_documents,
@@ -2092,6 +2125,54 @@ ORACLE_SQL["token_budget_sample_documents"] = """
     )
     SELECT lang, doc_id FROM c WHERE cum <= 3000 ORDER BY lang, doc_id
 """
+
+# repetition oracle: same planted duplication, rule replayed with
+# DuckDB list lambdas (list_filter nested like Spark's HOFs).
+ORACLE_SQL["repetition_stats_documents"] = """
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN
+                   concat_ws(chr(10),
+                       string_split(coalesce(text, ''), chr(10))[1],
+                       string_split(coalesce(text, ''), chr(10))[1],
+                       string_split(coalesce(text, ''), chr(10))[1],
+                       string_split(coalesce(text, ''), chr(10))[1],
+                       string_split(coalesce(text, ''), chr(10))[1],
+                       text)
+               ELSE text END AS text
+        FROM documents
+    ),
+    l AS (
+        SELECT doc_id,
+               list_filter(string_split(coalesce(text, ''), chr(10)),
+                           x -> trim(x) <> '') AS lines
+        FROM planted
+    ),
+    d AS (
+        SELECT doc_id, lines,
+               list_filter(lines,
+                   x -> len(list_filter(lines, y -> y = x)) >= 2) AS dups
+        FROM l
+    ),
+    s AS (
+        SELECT doc_id,
+               len(lines)::BIGINT AS n_lines,
+               CASE WHEN len(lines) > 0
+                    THEN len(dups)::DOUBLE / len(lines) ELSE 0.0 END AS dlf,
+               -- list_sum of an EMPTY list is NULL in DuckDB
+               CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) > 0
+                    THEN coalesce(list_sum(list_transform(dups, x -> length(x))), 0)::DOUBLE
+                         / list_sum(list_transform(lines, x -> length(x)))
+                    ELSE 0.0 END AS dcf
+        FROM d
+    )
+    SELECT doc_id, n_lines,
+           round(dlf, 6) AS dup_line_frac,
+           round(dcf, 6) AS dup_char_frac,
+           (dlf > 0.30 OR dcf > 0.20) AS is_repetitive
+    FROM s ORDER BY doc_id
+"""
+
 
 
 

@@ -82,3 +82,50 @@ def with_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     return df.withColumn("fp_exact", F.md5(F.col(col).cast("binary"))).withColumn(
         "fp_normalized", F.md5(F.trim(normalized).cast("binary"))
     )
+
+
+def with_repetition_stats(df: DataFrame, col: str = "text",
+                          dup_line_frac_max: float = 0.30,
+                          dup_char_frac_max: float = 0.20) -> DataFrame:
+    """Intra-document repetition stats + flag — the Gopher-style
+    duplicate-line quality rule (docs dominated by repeated lines are
+    boilerplate/spam and poison training mixes): per doc, the fraction
+    of non-blank lines that occur more than once and the fraction of
+    characters living in such lines; ``is_repetitive`` ORs the two
+    thresholds (defaults are the published 0.30 / 0.20 style cutoffs).
+
+    Pure Column expressions, no shuffle. The duplicate test is the
+    nested higher-order filter (for each line, count equal lines) —
+    O(lines^2) per document inside codegen, fine for real documents
+    (hundreds of lines); a corpus of pathological million-line docs
+    would use an explode+groupBy variant instead."""
+    lines = F.filter(
+        F.split(F.coalesce(F.col(col), F.lit("")), "\n"),
+        lambda x: F.trim(x) != "",
+    )
+    n_lines = F.size(lines)
+    dup_lines = F.filter(
+        lines,
+        lambda x: F.size(F.filter(lines, lambda y: y == x)) >= 2,
+    )
+    n_dup = F.size(dup_lines)
+    chars_total = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    chars_dup = F.aggregate(
+        dup_lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    dup_line_frac = F.when(n_lines > 0, n_dup / n_lines).otherwise(F.lit(0.0))
+    dup_char_frac = F.when(chars_total > 0, chars_dup / chars_total).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        df.withColumn("n_lines", n_lines.cast("long"))
+        .withColumn("dup_line_frac", dup_line_frac.cast("double"))
+        .withColumn("dup_char_frac", dup_char_frac.cast("double"))
+        .withColumn(
+            "is_repetitive",
+            (dup_line_frac > dup_line_frac_max)
+            | (dup_char_frac > dup_char_frac_max),
+        )
+    )

@@ -732,3 +732,29 @@ def test_token_budget_sample_equals_flat_rule(spark, docs):
     assert sampling.token_budget_sample(d, 10**9).count() == n_all
     with pytest.raises(ValueError):
         sampling.token_budget_sample(d, -1)
+
+
+def test_repetition_stats_gopher_rule(spark):
+    """Planted repetition flags; distinct-line docs don't; blank lines
+    are ignored; null/empty texts produce zeros, not nulls."""
+    line = "this exact line repeats many times in the document"
+    rep = "\n".join([line] * 7 + ["one unique closing line"])
+    clean = "\n".join(f"distinct line number {i} here" for i in range(10))
+    blanks = "a\n\n  \nb\n\na"  # 'a' repeats among non-blank lines
+    df = spark.createDataFrame(
+        [(1, rep), (2, clean), (3, blanks), (4, None), (5, "")],
+        ["doc_id", "text"],
+    )
+    out = (
+        text.with_repetition_stats(df)
+        .select("doc_id", "n_lines", "dup_line_frac", "dup_char_frac",
+                "is_repetitive")
+        .toPandas().set_index("doc_id")
+    )
+    assert out.loc[1, "is_repetitive"] and out.loc[1, "dup_line_frac"] == 7 / 8
+    assert not out.loc[2, "is_repetitive"] and out.loc[2, "dup_line_frac"] == 0.0
+    assert out.loc[3, "n_lines"] == 3 and out.loc[3, "dup_line_frac"] == 2 / 3
+    for d in (4, 5):
+        assert out.loc[d, "n_lines"] == 0
+        assert out.loc[d, "dup_line_frac"] == 0.0
+        assert not out.loc[d, "is_repetitive"]
