@@ -137,7 +137,10 @@ def main(argv: list[str] | None = None) -> int:
 
     metrics = engine.run_metrics(result["verdicts"], result["violations"], t0)
     if args.out_dir:
-        ValidationEngine.write_metrics(metrics, f"{args.out_dir}/metrics.json")
+        # FS-API write: out_dir may be s3a://hdfs:// on a real deploy
+        ValidationEngine.write_metrics(
+            metrics, f"{args.out_dir}/metrics.json", spark=spark
+        )
     if args.json:
         print(json.dumps(metrics, default=str))
     else:

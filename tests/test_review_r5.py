@@ -129,3 +129,19 @@ def test_with_stop_releases_fused_cache_resumable_never_creates(spark, tmp_path)
         snap, base, str(tmp_path / "ckr"), expected_manifest=manifest
     )["verdicts"].count()
     assert not _SCAN_CACHES  # resumable pins the classic shape
+
+
+def test_write_metrics_fs_form(spark, tmp_path):
+    """Metrics sidecar lands through the FS API when spark is passed
+    (URI paths work); legacy local form unchanged."""
+    import json
+
+    from sparkval.io import fs_read_text
+
+    uri = f"file://{tmp_path}/m.json"
+    ValidationEngine.write_metrics({"a": 1, "b": [2, 3]}, uri, spark=spark)
+    assert json.loads(fs_read_text(spark, uri)) == {"a": 1, "b": [2, 3]}
+    local = str(tmp_path / "m2.json")
+    ValidationEngine.write_metrics({"c": 4}, local)
+    with open(local) as f:
+        assert json.load(f) == {"c": 4}
