@@ -462,6 +462,18 @@ def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multimodal plumbing (sparkval.pipeline.multimodal)
 # ---------------------------------------------------------------------------
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase with strictly
+    increasing timestamps (pipeline.events.funnel_steps): single
+    shuffle + expression fold; the oracle is the classic chained
+    min-timestamp SQL formulation the fold must equal exactly."""
+    from sparkval.pipeline.events import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    out = funnel_steps(ev, ["view", "click", "purchase"])
+    return out.orderBy("user_id")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction over the deterministic fake
     media table (decode stubbed — no media libs in this container;
@@ -1528,6 +1540,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_latest_per_user": q_events_latest_per_user,
     "events_props_extract": q_events_props_extract,
     "events_asof_click_view": q_events_asof_click_view,
+    "events_funnel": q_events_funnel,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode_images": q_multimodal_decode_images,
     "multimodal_decode_audio": q_multimodal_decode_audio,
@@ -2172,6 +2185,41 @@ ORACLE_SQL["repetition_stats_documents"] = """
            (dlf > 0.30 OR dcf > 0.20) AS is_repetitive
     FROM s ORDER BY doc_id
 """
+
+# funnel oracle: chained min-timestamp formulation; strict > at every
+# hop matches the fold's (step, last_ts) accumulator.
+ORACLE_SQL["events_funnel"] = """
+    WITH base AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    u AS (SELECT DISTINCT user_id FROM base),
+    s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM base
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT b.user_id, min(b.ts) AS t2 FROM base b
+        JOIN s1 USING (user_id)
+        WHERE b.event_type = 'click' AND b.ts > s1.t1 GROUP BY b.user_id
+    ),
+    s3 AS (
+        SELECT b.user_id, min(b.ts) AS t3 FROM base b
+        JOIN s2 USING (user_id)
+        WHERE b.event_type = 'purchase' AND b.ts > s2.t2 GROUP BY b.user_id
+    )
+    SELECT u.user_id,
+           (CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS steps_completed,
+           t3 AS completed_at
+    FROM u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    ORDER BY user_id
+"""
+
 
 
 

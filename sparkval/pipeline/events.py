@@ -177,3 +177,61 @@ def extract_props(events: DataFrame, keys: tuple[str, ...] = ("k",)) -> DataFram
             f"prop_{key}", F.get_json_object("props", f"$.{key}").cast("long")
         )
     return out
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, how many of ``steps`` were
+    completed IN ORDER with STRICTLY increasing timestamps (the classic
+    product-analytics funnel; a later step at the same instant as its
+    predecessor does not count, which also makes the result independent
+    of tie order among equal timestamps).
+
+    Shape: filter to relevant event types (scan-level pushdown), ONE
+    shuffle grouping per user, then a pure-expression fold
+    (array_sort + aggregate HOF with a (step, last_ts) accumulator) —
+    equivalent to the chained min-timestamp SQL formulation
+    (oracle-checked) but one pass and no self-joins, so k funnel steps
+    cost the same single shuffle as k=1. Per-user state is the user's
+    relevant events only; AQE splits skewed users. Users with no
+    relevant events are absent from the result (a funnel over people
+    who never entered it is not 0, it is undefined)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    relevant = events.filter(F.col(type_col).isin(list(steps)))
+    ev_sorted = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y")))
+    )
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    init = F.struct(
+        F.lit(0).alias("step"),
+        F.lit("1000-01-01 00:00:00").cast("timestamp").alias("t"),
+    )
+
+    def advance(acc, e):
+        hit = (
+            (acc["step"] < len(steps))
+            & (e["y"] == F.element_at(steps_arr, acc["step"] + 1))
+            & (e["t"] > acc["t"])
+        )
+        return F.when(
+            hit,
+            F.struct((acc["step"] + 1).alias("step"), e["t"].alias("t")),
+        ).otherwise(acc)
+
+    return (
+        relevant.groupBy(user_col)
+        .agg(F.aggregate(ev_sorted, init, advance).alias("_f"))
+        .select(
+            user_col,
+            F.col("_f.step").cast("long").alias("steps_completed"),
+            F.when(F.col("_f.step") == len(steps), F.col("_f.t")).alias(
+                "completed_at"
+            ),
+        )
+    )

@@ -110,3 +110,39 @@ def test_as_of_join_semantics(spark):
     assert out[2] == (102, 3.0)   # latest at-or-before 30
     assert out[3] == (None, None) # right row is later -> no match
     assert out[4] == (None, None) # no right rows for key
+
+
+def test_funnel_steps_strict_order(spark):
+    """Funnel semantics: steps must occur in order with strictly
+    increasing timestamps; same-instant later steps don't count;
+    users outside the funnel are absent."""
+    from datetime import datetime as dt
+
+    from sparkval.pipeline.events import funnel_steps
+
+    rows = [
+        # u1: full funnel in order
+        (1, 1, dt(2024, 1, 1, 10, 0), "view"),
+        (2, 1, dt(2024, 1, 1, 10, 5), "click"),
+        (3, 1, dt(2024, 1, 1, 10, 9), "purchase"),
+        # u2: click before view -> only the view counts
+        (4, 2, dt(2024, 1, 1, 9, 0), "click"),
+        (5, 2, dt(2024, 1, 1, 9, 30), "view"),
+        # u3: click at the SAME instant as view -> strict > blocks it
+        (6, 3, dt(2024, 1, 1, 8, 0), "view"),
+        (7, 3, dt(2024, 1, 1, 8, 0), "click"),
+        (8, 3, dt(2024, 1, 1, 8, 1), "purchase"),  # wrong step next -> ignored
+        # u4: irrelevant events only -> absent from output
+        (9, 4, dt(2024, 1, 1, 7, 0), "error"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = funnel_steps(ev, ["view", "click", "purchase"]).toPandas().set_index("user_id")
+    assert out.loc[1, "steps_completed"] == 3
+    assert out.loc[1, "completed_at"] == dt(2024, 1, 1, 10, 9)
+    assert out.loc[2, "steps_completed"] == 1
+    assert out.loc[3, "steps_completed"] == 1
+    assert 4 not in out.index
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel_steps(ev, [])
