@@ -1511,6 +1511,118 @@ def q_stream_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (pipeline.sampling.
+    hash_split): sha256(doc_id) bucket in [0,1000) mapped onto the
+    default 800/100/100 ranges. Hash-keyed, so a row never migrates
+    between splits under repartitioning or corpus growth. Pure
+    projection — no shuffle; the oracle replays the bucket arithmetic
+    exactly (sha256 is the engine-portable primitive)."""
+    from sparkval.pipeline.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs.select("doc_id")).orderBy("doc_id")
+
+
+def q_mixture_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix accounting (pipeline.sampling.mixture_report):
+    per-language doc/token counts, token share, and the resampling
+    weight that would rebalance to a uniform mix. One groupBy + a
+    broadcast one-row total — row data shuffles once."""
+    from sparkval.pipeline.sampling import mixture_report
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_report(docs, group_col="lang")
+    return out.select(
+        "lang", "n_docs", "n_tokens",
+        F.round("token_share", 6).alias("token_share"),
+        F.round("target_share", 6).alias("target_share"),
+        F.round("mix_weight", 6).alias("mix_weight"),
+    ).orderBy("lang")
+
+
+def q_pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing (pipeline.sampling.
+    pack_sequences): per-language concat-then-split-at-512-token
+    boundaries in deterministic sha256 order. The engine runs the
+    scale-safe two-level bucket plan; the oracle replays the FLAT
+    per-row running-sum rule the bucketed plan must equal exactly."""
+    from sparkval.pipeline.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_sequences(docs, ctx_tokens=512, group_col="lang")
+    return out.select(
+        "doc_id", "lang", "pack_id", "offset_in_pack", "n_tokens"
+    ).orderBy("doc_id")
+
+
+def q_gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (pipeline.text.
+    with_gopher_quality, Rae et al. 2021 §A1.1.2): word-count band,
+    mean-word-length band, symbol ratio, alpha-word fraction, distinct
+    stopword minimum. All higher-order array expressions over one
+    tokenization; the oracle replays each rule with DuckDB list
+    lambdas. Rules are evaluated on UNROUNDED values on both sides;
+    only the reported fractions are rounded."""
+    from sparkval.pipeline.text import with_gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    out = with_gopher_quality(docs)
+    return out.select(
+        "doc_id", "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        "stopword_hits", "rule_words", "rule_word_len", "rule_symbols",
+        "rule_alpha", "rule_stopwords", "gopher_keep",
+    ).orderBy("doc_id")
+
+
+def q_pii_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction accounting (pipeline.text.
+    with_pii_stats / redact_pii) over documents with PLANTED PII:
+    every 7th doc gains an email, every 11th an IPv4, every 13th a
+    phone number — so all three detectors fire on known rows (plus any
+    organic matches, which the oracle equally detects). The patterns
+    are the RE2-and-Java-compatible subset, so DuckDB replays both the
+    counts and the redacted length."""
+    from sparkval.pipeline.text import redact_pii, with_pii_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            base,
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 3,
+                   F.lit(" from 10.1.2.3")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 6,
+                   F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+        ),
+    )
+    out = redact_pii(with_pii_stats(planted))
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "has_pii",
+        F.length("text_redacted").cast("long").alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
+def q_vocab_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-50 (pipeline.text.vocab_topk): most
+    frequent lowercased whitespace terms with occurrence and
+    document-frequency counts. Explode -> two-level aggregate; top-k
+    resolves as TakeOrderedAndProject with a term-string tiebreak so
+    the cut is total-ordered and engine-reproducible."""
+    from sparkval.pipeline.text import vocab_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_topk(docs, k=50)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -1560,6 +1672,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_documents": q_decontaminate_documents,
     "token_budget_sample_documents": q_token_budget_sample_documents,
     "repetition_stats_documents": q_repetition_stats_documents,
+    "hash_split_documents": q_hash_split_documents,
+    "mixture_report_documents": q_mixture_report_documents,
+    "pack_sequences_documents": q_pack_sequences_documents,
+    "gopher_quality_documents": q_gopher_quality_documents,
+    "pii_stats_documents": q_pii_stats_documents,
+    "vocab_topk_documents": q_vocab_topk_documents,
     "tdigest_lengths_documents": q_tdigest_lengths_documents,
     "hll_distinct_documents": q_hll_distinct_documents,
     "strip_validate_documents": q_strip_validate_documents,
@@ -2220,8 +2338,162 @@ ORACLE_SQL["events_funnel"] = """
     ORDER BY user_id
 """
 
+# hash_split oracle: the bucket arithmetic replayed exactly — first 4
+# hex chars of sha256(decimal id string) mod 1000 onto 800/100/100.
+ORACLE_SQL["hash_split_documents"] = """
+    SELECT doc_id,
+           CASE WHEN b < 800 THEN 'train'
+                WHEN b < 900 THEN 'val' ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               ('0x' || substr(sha256(doc_id::VARCHAR), 1, 4))::BIGINT % 1000 AS b
+        FROM documents
+    ) ORDER BY doc_id
+"""
 
+# mixture oracle: shares/weights from UNROUNDED double division over
+# identical integer operands (bit-equal IEEE quotients), rounded only
+# for display; zero-token groups get NULL weight on both engines.
+ORACLE_SQL["mixture_report_documents"] = """
+    WITH per AS (
+        SELECT lang, count(*) AS n_docs,
+               sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END)::BIGINT AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT sum(n_tokens)::BIGINT AS total, count(*)::BIGINT AS ng FROM per
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(n_tokens::DOUBLE / greatest(total, 1), 6) AS token_share,
+           round(1.0 / ng, 6) AS target_share,
+           round(CASE WHEN n_tokens > 0
+                      THEN (1.0 / ng) / (n_tokens::DOUBLE / greatest(total, 1))
+                 END, 6) AS mix_weight
+    FROM per, tot ORDER BY lang
+"""
 
+# packing oracle: the FLAT rule — per-group sha256-ordered running
+# token sum; each doc's start offset is the cumsum minus its own
+# tokens; pack = offset // ctx. The engine's two-level bucket plan
+# must equal this exactly (the bucket key is a PREFIX of the order
+# key, so bucketing never perturbs the order).
+ORACLE_SQL["pack_sequences_documents"] = """
+    WITH t AS (
+        SELECT doc_id, lang, sha256(doc_id::VARCHAR) AS k,
+               CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+'))
+               END AS tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, tok,
+               (sum(tok) OVER (PARTITION BY lang ORDER BY k, doc_id) - tok)::BIGINT AS off
+        FROM t
+    )
+    SELECT doc_id, lang,
+           (off // 512)::BIGINT AS pack_id,
+           (off % 512)::BIGINT AS offset_in_pack,
+           tok::BIGINT AS n_tokens
+    FROM c ORDER BY doc_id
+"""
+
+# Gopher oracle: every rule replayed with DuckDB list lambdas over the
+# same whitespace tokenization; rules compare UNROUNDED doubles (the
+# divisions have identical integer operands on both engines).
+ORACLE_SQL["gopher_quality_documents"] = """
+    WITH w AS (
+        SELECT doc_id,
+               CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\\s+') END AS ws
+        FROM documents
+    ),
+    lw AS (
+        SELECT doc_id, ws,
+               list_transform(ws, x -> lower(x)) AS lws,
+               len(ws) AS n,
+               greatest(len(ws), 1)::DOUBLE AS nf
+        FROM w
+    ),
+    m AS (
+        SELECT doc_id, n, nf,
+               coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::DOUBLE / nf AS mwl,
+               len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...')
+                                        OR contains(x, '…')))::DOUBLE / nf AS swr,
+               len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / nf AS awf,
+               (list_contains(lws, 'the')::INT + list_contains(lws, 'be')::INT
+                + list_contains(lws, 'to')::INT + list_contains(lws, 'of')::INT
+                + list_contains(lws, 'and')::INT + list_contains(lws, 'that')::INT
+                + list_contains(lws, 'have')::INT
+                + list_contains(lws, 'with')::INT)::BIGINT AS sh
+        FROM lw
+    )
+    SELECT doc_id, n::BIGINT AS n_words,
+           round(mwl, 6) AS mean_word_len,
+           round(swr, 6) AS symbol_word_ratio,
+           round(awf, 6) AS alpha_word_frac,
+           sh AS stopword_hits,
+           (n >= 50 AND n <= 100000) AS rule_words,
+           (mwl >= 3.0 AND mwl <= 10.0) AS rule_word_len,
+           (swr <= 0.10) AS rule_symbols,
+           (awf >= 0.80) AS rule_alpha,
+           (sh >= 2) AS rule_stopwords,
+           ((n >= 50 AND n <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+            AND swr <= 0.10 AND awf >= 0.80 AND sh >= 2) AS gopher_keep
+    FROM m ORDER BY doc_id
+"""
+
+# PII oracle: same planting, same patterns (the RE2/Java-identical
+# subset: no backrefs/lookaround), counts on the planted text and the
+# chained-redaction length in the same email->ipv4->phone order.
+ORACLE_SQL["pii_stats_documents"] = """
+    WITH planted AS (
+        SELECT doc_id,
+               coalesce(text, '')
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 3 THEN ' from 10.1.2.3' ELSE '' END
+               || CASE WHEN doc_id % 13 = 6 THEN ' call 555-867-5309' ELSE '' END
+                   AS text
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+               len(regexp_extract_all(text,
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ipv4,
+               len(regexp_extract_all(text,
+                   '\\b\\d{3}-\\d{3}-\\d{4}\\b'))::BIGINT AS n_phone,
+               length(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[PII]', 'g'),
+                   '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PII]', 'g'))::BIGINT AS redacted_len
+        FROM planted
+    )
+    SELECT doc_id, n_email, n_ipv4, n_phone,
+           (n_email > 0 OR n_ipv4 > 0 OR n_phone > 0) AS has_pii,
+           redacted_len
+    FROM c ORDER BY doc_id
+"""
+
+# vocab oracle: unnest the same tokenization; count(*) over exploded
+# terms == the engine's sum of per-doc counts; the (count DESC, term)
+# order makes the top-50 cut total-ordered on both engines.
+ORACLE_SQL["vocab_topk_documents"] = """
+    WITH words AS (
+        SELECT doc_id,
+               lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> ''
+    )
+    SELECT term, count(*)::BIGINT AS n_occurrences,
+           count(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM words GROUP BY term
+    ORDER BY n_occurrences DESC, term LIMIT 50
+"""
 
 
 

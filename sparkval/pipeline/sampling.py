@@ -62,6 +62,144 @@ def stratified_sample(
     return df.filter(_hash_bucket(id_col) < thr)
 
 
+def hash_split(
+    df: DataFrame,
+    permille: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's hash bucket
+    (0..1000) falls into consecutive ranges sized by ``permille``
+    (default 800/100/100), taken in dict order. Being hash-keyed, the
+    split is stable under repartitioning, appends, and engine changes
+    — a row never migrates between splits when the corpus grows, which
+    row_number()-style splits cannot guarantee. Ranges must cover
+    exactly [0, 1000) so every row lands in a split.
+
+    Pure projection: one CASE over the bucket expression, no shuffle."""
+    if permille is None:
+        permille = {"train": 800, "val": 100, "test": 100}
+    if sum(permille.values()) != _BUCKETS:
+        raise ValueError(f"permille must sum to {_BUCKETS}: {permille}")
+    if any(v < 0 for v in permille.values()):
+        raise ValueError(f"negative permille: {permille}")
+    bucket = _hash_bucket(id_col)
+    expr = F.lit(None).cast("string")
+    lo = 0
+    for name, width in permille.items():
+        expr = F.when((bucket >= lo) & (bucket < lo + width), F.lit(name)).otherwise(expr)
+        lo += width
+    return df.withColumn(split_col, expr)
+
+
+def mixture_report(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    target: dict[str, float] | None = None,
+) -> DataFrame:
+    """Training-mix accounting: per group, document and whitespace-token
+    counts, the group's share of corpus tokens, and the resampling
+    weight ``target_share / token_share`` that would rebalance the mix
+    to ``target`` (default: uniform over the groups present). Weights
+    > 1 mean the group must be upsampled to hit the target mix.
+
+    Plan shape: one groupBy over (group) — map-side partial sums — then
+    a broadcast of the one-row corpus total onto the O(groups) result;
+    row data never shuffles twice and nothing is collected."""
+    toks = F.when(
+        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""), F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    per = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"), F.sum(toks.cast("long")).alias("n_tokens")
+    )
+    totals = per.agg(
+        F.sum("n_tokens").alias("_total_tokens"),
+        F.count("*").alias("_n_groups"),
+    )
+    out = per.crossJoin(F.broadcast(totals)).withColumn(
+        "token_share", F.col("n_tokens") / F.greatest(F.col("_total_tokens"), F.lit(1))
+    )
+    if target is None:
+        tgt = F.lit(1.0) / F.col("_n_groups")
+    else:
+        tgt = F.lit(0.0)
+        for name, share in sorted(target.items()):
+            tgt = F.when(F.col(group_col) == name, F.lit(float(share))).otherwise(tgt)
+    return (
+        out.withColumn("target_share", tgt)
+        .withColumn(
+            "mix_weight",
+            F.when(
+                F.col("token_share") > 0, F.col("target_share") / F.col("token_share")
+            ).otherwise(F.lit(None).cast("double")),
+        )
+        .drop("_total_tokens", "_n_groups")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx_tokens: int = 2048,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 3,
+) -> DataFrame:
+    """Sequence packing for training: lay each group's documents
+    end-to-end in deterministic hash-shuffle order and assign every
+    document the context-window pack its first token lands in
+    (``pack_id`` = start_offset // ctx, ``offset_in_pack`` = start
+    offset % ctx) — the "concat then split at ctx boundaries" packing
+    LLM loaders use, made reproducible by the sha256 order key.
+
+    Scale shape mirrors token_budget_sample: a flat
+    Window.partitionBy(group) cumsum would put an entire group in one
+    task. Instead the hash key's first ``prefix_len`` hex chars bucket
+    the group without breaking the global key order; pass 1 computes
+    per-bucket token sums whose running sum (over the tiny
+    groups x 4096 table) gives each bucket's absolute start offset;
+    pass 2's row-level window is partitioned by (group, bucket) so no
+    task sees more than ~1/4096 of a group. Exactly equal to the flat
+    per-row rule (oracle-checked)."""
+    from pyspark.sql import Window
+
+    if ctx_tokens <= 0:
+        raise ValueError(f"ctx_tokens must be positive: {ctx_tokens}")
+    key = _order_key(id_col)
+    bucket = F.substring(key, 1, prefix_len)
+    toks = F.when(
+        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""), F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    rows = (
+        df.withColumn("_ps_key", key)
+        .withColumn("_ps_bucket", bucket)
+        .withColumn("_ps_tokens", toks.cast("long"))
+    )
+
+    wb = Window.partitionBy(group_col).orderBy("_ps_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    starts = (
+        rows.groupBy(group_col, "_ps_bucket")
+        .agg(F.sum("_ps_tokens").alias("_ps_sum"))
+        .withColumn("_ps_start", F.sum("_ps_sum").over(wb) - F.col("_ps_sum"))
+        .select(group_col, "_ps_bucket", "_ps_start")
+    )
+
+    wr = Window.partitionBy(group_col, "_ps_bucket").orderBy(
+        "_ps_key", id_col
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offset = F.col("_ps_start") + F.sum("_ps_tokens").over(wr) - F.col("_ps_tokens")
+    return (
+        rows.join(F.broadcast(starts), [group_col, "_ps_bucket"])
+        .withColumn("pack_id", F.floor(offset / ctx_tokens).cast("long"))
+        .withColumn("offset_in_pack", (offset % ctx_tokens).cast("long"))
+        .withColumn("n_tokens", F.col("_ps_tokens"))
+        .drop("_ps_key", "_ps_bucket", "_ps_tokens", "_ps_start")
+    )
+
+
 def _order_key(id_col: str) -> F.Column:
     """Engine-portable deterministic shuffle order: the full sha256 hex
     of str(id) — lexicographic order any engine reproduces."""

@@ -84,6 +84,146 @@ def with_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+# Gopher-rule stopword list (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1.2): a doc
+# must contain at least 2 of these to pass the stopword rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _word_array(col: str) -> F.Column:
+    """Whitespace word array; empty/null text yields an EMPTY array
+    (a bare split of '' returns [''], which would count as one word)."""
+    return F.when(
+        F.col(col).isNull() | (F.trim(F.col(col)) == ""),
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim(F.col(col)), _WORD_SPLIT))
+
+
+def with_gopher_quality(
+    df: DataFrame,
+    col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.10,
+    min_alpha_word_frac: float = 0.80,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021 §A1.1.2),
+    the standard pre-filter of large-scale web training mixes: word
+    count band, mean-word-length band, symbol-to-word ratio (# and
+    ellipsis), fraction of words with at least one alphabetic
+    character, and a minimum distinct-stopword requirement.
+    ``gopher_keep`` ANDs the five rules.
+
+    Every rule is a pure Column expression over one tokenization
+    (higher-order filters on the word array), so the whole filter runs
+    at scan speed inside codegen — no shuffle, no UDF, and Catalyst
+    prunes the scan to the text column. Thresholds are the published
+    defaults; callers tune per corpus."""
+    words = _word_array(col)
+    n_words = F.size(words)
+    n_f = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wlen = (
+        F.aggregate(words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)) / n_f
+    )
+    symbol_words = F.size(
+        F.filter(words, lambda x: x.contains("#") | x.contains("...") | x.contains("…"))
+    )
+    alpha_words = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.array_intersect(F.transform(words, lambda x: F.lower(x)), stop_arr)
+    )
+    rule_words = (n_words >= min_words) & (n_words <= max_words)
+    rule_wlen = (mean_wlen >= min_mean_word_len) & (mean_wlen <= max_mean_word_len)
+    rule_symbol = (symbol_words / n_f) <= max_symbol_word_ratio
+    rule_alpha = (alpha_words / n_f) >= min_alpha_word_frac
+    rule_stop = stop_hits >= min_stopword_hits
+    return (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", mean_wlen.cast("double"))
+        .withColumn("symbol_word_ratio", (symbol_words / n_f).cast("double"))
+        .withColumn("alpha_word_frac", (alpha_words / n_f).cast("double"))
+        .withColumn("stopword_hits", stop_hits.cast("long"))
+        .withColumn("rule_words", rule_words)
+        .withColumn("rule_word_len", rule_wlen)
+        .withColumn("rule_symbols", rule_symbol)
+        .withColumn("rule_alpha", rule_alpha)
+        .withColumn("rule_stopwords", rule_stop)
+        .withColumn(
+            "gopher_keep",
+            rule_words & rule_wlen & rule_symbol & rule_alpha & rule_stop,
+        )
+    )
+
+
+#: PII patterns kept to the regex subset Java and RE2 evaluate
+#: identically (no backrefs, no lookaround) so oracles can replay them.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def with_pii_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document PII occurrence counts (``n_email``/``n_ipv4``/
+    ``n_phone``) + ``has_pii`` — the scrubbing pipeline's detection
+    pass. ``regexp_extract_all`` is a codegen'd JVM expression; no UDF,
+    no shuffle."""
+    out = df
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(0))).cast("long"),
+        )
+    flags = [F.col(f"n_{kind}") > 0 for kind in PII_PATTERNS]
+    has = flags[0]
+    for fl in flags[1:]:
+        has = has | fl
+    return out.withColumn("has_pii", has)
+
+
+def redact_pii(
+    df: DataFrame, col: str = "text", out_col: str = "text_redacted",
+    token: str = "[PII]",
+) -> DataFrame:
+    """Replace every PII match with ``token`` — chained
+    ``regexp_replace`` in the fixed PII_PATTERNS order (email, ipv4,
+    phone) so redaction is deterministic and engine-replayable."""
+    redacted = F.col(col)
+    for pat in PII_PATTERNS.values():
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.withColumn(out_col, redacted)
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 50, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level vocabulary top-k: the ``k`` most frequent
+    lowercased whitespace terms with total occurrences and document
+    frequency — the tokenizer-training / stopword-discovery primitive.
+
+    Plan shape: explode -> two-level aggregate. The first groupBy
+    (term, doc) benefits from map-side partial aggregation (each task
+    emits at most its distinct (term, doc) pairs, not one row per
+    occurrence), the second reduces to vocabulary size, and the top-k
+    resolves as TakeOrderedAndProject — no global sort materializes.
+    Ties break on the term string so the result is total-ordered."""
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    terms = df.select(
+        F.col(id_col), F.explode(F.transform(_word_array(col), F.lower)).alias("term")
+    )
+    per_doc = terms.groupBy("term", id_col).agg(F.count("*").alias("n"))
+    agg = per_doc.groupBy("term").agg(
+        F.sum("n").alias("n_occurrences"), F.count("*").alias("n_docs")
+    )
+    return agg.orderBy(F.desc("n_occurrences"), F.asc("term")).limit(k)
+
+
 def with_repetition_stats(df: DataFrame, col: str = "text",
                           dup_line_frac_max: float = 0.30,
                           dup_char_frac_max: float = 0.20) -> DataFrame:

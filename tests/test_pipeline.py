@@ -758,3 +758,177 @@ def test_repetition_stats_gopher_rule(spark):
         assert out.loc[d, "n_lines"] == 0
         assert out.loc[d, "dup_line_frac"] == 0.0
         assert not out.loc[d, "is_repetitive"]
+
+
+def test_hash_split_stable_and_covering(spark, docs):
+    """Every row lands in exactly one split, assignment is a pure
+    function of doc_id (stable under repartition/appends), the default
+    800/100/100 mix is roughly honored, and bad permille maps fail."""
+    from sparkval.pipeline import sampling
+
+    d = docs.select("doc_id")
+    out = sampling.hash_split(d).select("doc_id", "split")
+    pdf = out.toPandas()
+    assert pdf["split"].isin(["train", "val", "test"]).all()  # total coverage
+    n = len(pdf)
+    frac = pdf["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.05
+    # stability: a repartitioned, filtered view assigns identically
+    again = (
+        sampling.hash_split(d.repartition(7).filter(F.col("doc_id") % 2 == 0))
+        .select("doc_id", "split").toPandas().set_index("doc_id")["split"]
+    )
+    base = pdf.set_index("doc_id")["split"]
+    assert (base.loc[again.index] == again).all()
+    # nested with deterministic_sample: the split of a sampled subset
+    # matches the full corpus split (hash-keyed, not positional)
+    with pytest.raises(ValueError):
+        sampling.hash_split(d, {"train": 700, "val": 100})  # sums to 800
+    with pytest.raises(ValueError):
+        sampling.hash_split(d, {"a": 1100, "b": -100})
+
+
+def test_mixture_report_accounting(spark):
+    """Known token counts -> exact shares and rebalance weights, for
+    both the uniform default target and an explicit target mix."""
+    from sparkval.pipeline import sampling
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f", "en"), (2, "a b", "en"), (3, "x y", "de"),
+         (4, None, "de"), (5, "  ", "zz")],
+        ["doc_id", "text", "lang"],
+    )
+    out = sampling.mixture_report(df, group_col="lang").toPandas().set_index("lang")
+    assert out.loc["en", "n_docs"] == 2 and out.loc["en", "n_tokens"] == 8
+    assert out.loc["de", "n_tokens"] == 2 and out.loc["zz", "n_tokens"] == 0
+    assert abs(out.loc["en", "token_share"] - 0.8) < 1e-12
+    # uniform target over 3 groups = 1/3; weight = target/share
+    assert abs(out.loc["en", "mix_weight"] - (1 / 3) / 0.8) < 1e-12
+    assert np.isnan(out.loc["zz", "mix_weight"])  # zero-token group
+    tgt = sampling.mixture_report(
+        df, group_col="lang", target={"en": 0.5, "de": 0.5, "zz": 0.0}
+    ).toPandas().set_index("lang")
+    assert abs(tgt.loc["de", "mix_weight"] - 0.5 / 0.2) < 1e-12
+    assert tgt.loc["zz", "target_share"] == 0.0
+
+
+def test_pack_sequences_equals_flat_rule(spark, docs):
+    """The two-level bucketed packing plan must EXACTLY equal the flat
+    per-group cumsum rule; offsets are in range; pack token usage is
+    consistent (each doc's start offset == running sum of prior docs)."""
+    from pyspark.sql import Window
+
+    from sparkval.pipeline import sampling
+
+    extra = spark.createDataFrame(
+        [(90001, None, "en"), (90002, "   ", "en"), (90003, "one two", "zz")],
+        ["doc_id", "text", "lang"],
+    )
+    d = docs.select("doc_id", "text", "lang").unionByName(extra)
+    ctx = 512
+    out = sampling.pack_sequences(d, ctx_tokens=ctx, group_col="lang").select(
+        "doc_id", "lang", "pack_id", "offset_in_pack", "n_tokens"
+    ).toPandas().set_index("doc_id")
+
+    key = F.sha2(F.col("doc_id").cast("string"), 256)
+    toks = F.when(
+        F.col("text").isNull() | (F.trim(F.col("text")) == ""), F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flat = (
+        d.withColumn("_off", F.sum(toks.cast("long")).over(w) - toks)
+        .select("doc_id", "_off").toPandas().set_index("doc_id")["_off"]
+    )
+    assert len(out) == d.count()
+    for doc_id, row in out.iterrows():
+        off = flat.loc[doc_id]
+        assert row["pack_id"] == off // ctx, doc_id
+        assert row["offset_in_pack"] == off % ctx, doc_id
+    assert (out["offset_in_pack"] >= 0).all()
+    assert (out["offset_in_pack"] < ctx).all()
+    with pytest.raises(ValueError):
+        sampling.pack_sequences(d, ctx_tokens=0)
+
+
+def test_gopher_quality_each_rule(spark):
+    """One document per failure mode: each Gopher rule fires exactly
+    where designed, and a clean long doc passes all five."""
+    good = ("the quick brown fox jumps over a lazy dog and that dog did "
+            "not have any care in the world because life felt simple with "
+            "friends around every single day bringing fresh bread games "
+            "songs stories laughter kindness warmth comfort peace hope joy "
+            "and gentle rain on quiet rooftops near the old mill")
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too short to pass the word count rule"),  # < 50 words
+            (3, " ".join(["ab"] * 60)),  # mean word len 2 < 3
+            (4, " ".join(["#tag"] * 20 + ["the be to of and that have with"] * 8)),
+            (5, " ".join(["1234"] * 60)),  # no alphabetic words
+            (6, " ".join(f"w{i}x" for i in range(60))),  # no stopwords
+            (7, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = text.with_gopher_quality(df).toPandas().set_index("doc_id")
+    assert bool(out.loc[1, "gopher_keep"])
+    assert not out.loc[2, "rule_words"]
+    assert not out.loc[3, "rule_word_len"]
+    assert not out.loc[4, "rule_symbols"]
+    assert out.loc[4, "symbol_word_ratio"] == pytest.approx(20 / 84)
+    assert not out.loc[5, "rule_alpha"]
+    assert not out.loc[6, "rule_stopwords"] and out.loc[6, "stopword_hits"] == 0
+    # good text contains the/and/that/have/with -> 5 DISTINCT stopwords
+    assert out.loc[1, "stopword_hits"] == 5
+    assert out.loc[7, "n_words"] == 0 and not out.loc[7, "gopher_keep"]
+    assert not out["gopher_keep"].drop(1).any()
+
+
+def test_pii_stats_and_redaction(spark):
+    """Planted emails/IPs/phones count correctly; redaction replaces
+    every occurrence and leaves clean text untouched."""
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at a.b+c@example.co.uk or x@y.io thanks"),
+            (2, "server 10.0.0.1 talked to 192.168.1.255 today"),
+            (3, "call 555-123-4567 now"),
+            (4, "no pii here at all"),
+            (5, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = text.with_pii_stats(
+        df.withColumn("text", F.coalesce("text", F.lit("")))
+    ).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_email"] == 2 and bool(out.loc[1, "has_pii"])
+    assert out.loc[2, "n_ipv4"] == 2
+    assert out.loc[3, "n_phone"] == 1
+    assert out.loc[4].loc[["n_email", "n_ipv4", "n_phone"]].sum() == 0
+    assert not out.loc[4, "has_pii"] and not out.loc[5, "has_pii"]
+    red = text.redact_pii(
+        df.withColumn("text", F.coalesce("text", F.lit("")))
+    ).toPandas().set_index("doc_id")["text_redacted"]
+    assert red.loc[1] == "reach me at [PII] or [PII] thanks"
+    assert red.loc[2] == "server [PII] talked to [PII] today"
+    assert red.loc[3] == "call [PII] now"
+    assert red.loc[4] == "no pii here at all"
+
+
+def test_vocab_topk_counts_and_ties(spark):
+    """Exact occurrence + doc-frequency counts on a tiny corpus;
+    deterministic tie-break on the term string; k validation."""
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "Apple date")],
+        ["doc_id", "text"],
+    )
+    out = text.vocab_topk(df, k=3).toPandas()
+    assert list(out.columns) == ["term", "n_occurrences", "n_docs"]
+    assert out.iloc[0]["term"] == "apple" and out.iloc[0]["n_occurrences"] == 3
+    assert out.iloc[0]["n_docs"] == 2  # doc 1 twice counts once
+    assert out.iloc[1]["term"] == "banana" and out.iloc[1]["n_docs"] == 2
+    # cherry/date tie at 1 occurrence -> 'cherry' wins alphabetically
+    assert out.iloc[2]["term"] == "cherry"
+    with pytest.raises(ValueError):
+        text.vocab_topk(df, k=0)
