@@ -492,13 +492,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_decode_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode (round-4 verdict: finish what the sandbox
-    allows). A planted table of P6 PPM / 24bpp BMP / farbfeld payloads
-    whose pixels follow a closed-form formula runs through
+    allows). A planted table of P6 PPM / 24bpp BMP / farbfeld / PNG
+    payloads whose pixels follow a closed-form formula runs through
     extract_features with deterministic_fake=False — every feature
-    comes from multimodal.decode_image's pure-numpy decoders, no fake
-    branch. The DuckDB oracle recomputes the decoded statistics from
-    the pixel formula itself: dims, channel means, and luma-histogram
-    support must all match, across all three container formats."""
+    comes from multimodal.decode_image's pure-numpy decoders (PNG via
+    stdlib zlib with all five filter types exercised), no fake branch.
+    The DuckDB oracle recomputes the decoded statistics from the pixel
+    formula itself: dims, channel means, and luma-histogram support
+    must all match, across all four container formats."""
     from sparkval.pipeline.multimodal import extract_features, make_real_image_media
 
     media = make_real_image_media(spark, n=48)
@@ -1511,6 +1512,31 @@ def q_stream_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_dedupe_against_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus NEAR-dup decontamination (pipeline.dedup.
+    dedupe_against): the reference set holds a lightly-perturbed twin
+    (one short suffix token changed, Jaccard ~0.95) of every 20th
+    corpus doc; those docs — and only those — must be dropped at
+    threshold 0.7. Unrelated docs are random hex token streams
+    (pairwise Jaccard ~0), so the dropped set has a closed form the
+    oracle states directly. Reference side is broadcast end-to-end;
+    corpus content never shuffles."""
+    from sparkval.pipeline.dedup import dedupe_against
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = [F.hex(F.xxhash64(F.col("doc_id"), F.lit(j))) for j in range(24)]
+    corpus = docs.select(
+        "doc_id", F.concat_ws(" ", *toks, F.lit("c0")).alias("text")
+    )
+    ref = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", *toks, F.lit("r1")).alias("text"),
+    )
+    clean = dedupe_against(corpus, ref, threshold=0.7)
+    dropped = corpus.select("doc_id").exceptAll(clean.select("doc_id"))
+    return dropped.orderBy("doc_id")
+
+
 def q_hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (pipeline.sampling.
     hash_split): sha256(doc_id) bucket in [0,1000) mapped onto the
@@ -1672,6 +1698,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_documents": q_decontaminate_documents,
     "token_budget_sample_documents": q_token_budget_sample_documents,
     "repetition_stats_documents": q_repetition_stats_documents,
+    "dedupe_against_documents": q_dedupe_against_documents,
     "hash_split_documents": q_hash_split_documents,
     "mixture_report_documents": q_mixture_report_documents,
     "pack_sequences_documents": q_pack_sequences_documents,
@@ -2142,8 +2169,8 @@ ORACLE_SQL["multimodal_features"] = _multimodal_oracle_sql()
 ORACLE_SQL["multimodal_decode_images"] = """
     WITH m AS (
         SELECT i AS media_id,
-               CASE i % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
-                    ELSE 'farbfeld' END AS format,
+               CASE i % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                    WHEN 2 THEN 'farbfeld' ELSE 'png' END AS format,
                16 + (i % 9) AS w, 12 + (i % 5) AS h
         FROM range(48) t(i)
     ),
@@ -2336,6 +2363,15 @@ ORACLE_SQL["events_funnel"] = """
     LEFT JOIN s2 USING (user_id)
     LEFT JOIN s3 USING (user_id)
     ORDER BY user_id
+"""
+
+# cross-corpus near-dup oracle: closed-form planted design — the
+# reference contains a Jaccard-~0.95 twin of exactly the docs with
+# doc_id % 20 == 0, every other pair is ~0 (independent xxhash64 hex
+# streams), so the dropped set at threshold 0.7 is exactly that
+# residue class (16x4-band LSH miss probability ~1e-12 per twin).
+ORACLE_SQL["dedupe_against_documents"] = """
+    SELECT doc_id FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id
 """
 
 # hash_split oracle: the bucket arithmetic replayed exactly — first 4

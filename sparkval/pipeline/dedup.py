@@ -229,15 +229,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return _spread_small_input(df.select(id_col, text_col)).mapInArrow(gen, out_schema)
 
 
-def minhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
-                       n_bands: int = 16) -> DataFrame:
-    """LSH banding: equal band-slice -> same bucket -> candidate pair.
-
-    16 bands x 4 rows ~ catches Jaccard >= ~0.5 with high probability.
-    Pairs are deduped and ordered (a < b) for determinism.
-    """
+def _band_table(sigs: DataFrame, id_col: str, n_bands: int) -> DataFrame:
+    """(id, band, bucket) LSH banding rows: hash of each band's
+    signature slice, salted by the band index."""
     rows_per_band = _N_PERM // n_bands
-    bands = sigs.select(
+    return sigs.select(
         id_col,
         F.posexplode(
             F.transform(
@@ -246,6 +242,16 @@ def minhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
             )
         ).alias("band", "bucket"),
     )
+
+
+def minhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
+                       n_bands: int = 16) -> DataFrame:
+    """LSH banding: equal band-slice -> same bucket -> candidate pair.
+
+    16 bands x 4 rows ~ catches Jaccard >= ~0.5 with high probability.
+    Pairs are deduped and ordered (a < b) for determinism.
+    """
+    bands = _band_table(sigs, id_col, n_bands)
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (
@@ -842,3 +848,60 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
         .select(id_col).distinct()
     )
     return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+def dedupe_against(corpus: DataFrame, reference: DataFrame,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   threshold: float = 0.7, n_bands: int = 16,
+                   k_shingle: int = 5) -> DataFrame:
+    """Cross-corpus NEAR-dup decontamination: drop every corpus
+    document whose estimated Jaccard similarity to ANY reference
+    document reaches ``threshold`` — the fuzzy sibling of
+    ``decontaminate`` (which needs a verbatim 13-gram). This is the
+    rule that catches lightly-paraphrased or reformatted eval
+    contamination that exact n-gram overlap misses.
+
+    Scale shape (asymmetric by design — the reference is an eval
+    suite, orders of magnitude smaller than the training corpus):
+    both sides reduce to 64-permutation MinHash signatures via the
+    zero-copy Arrow kernel; the reference's LSH band table and
+    signature table are BROADCAST, so corpus bands die in a map-side
+    band-bucket probe and the verify join never shuffles the corpus —
+    corpus content moves zero times, corpus signatures once (into the
+    probe), and the contaminated-id set (rare) broadcasts back into a
+    LEFT ANTI. The tiny hit set is eagerly checkpointed so both
+    signature caches are released before returning (cache-ownership
+    discipline: the returned plan holds no persisted inputs)."""
+    c_sigs = minhash_signatures(corpus, text_col, id_col, k_shingle)
+    r_sigs = minhash_signatures(reference, text_col, id_col, k_shingle)
+    c_sigs.persist()
+    r_sigs.persist()
+    try:
+        c_bands = _band_table(c_sigs, id_col, n_bands)
+        r_bands = _band_table(r_sigs, id_col, n_bands).withColumnRenamed(
+            id_col, "_ref_id"
+        )
+        cand = (
+            c_bands.join(F.broadcast(r_bands), ["band", "bucket"])
+            .select(F.col(id_col).alias("a"), F.col("_ref_id").alias("b"))
+            .distinct()
+        )
+        a = c_sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
+        b = r_sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
+        agree = F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        hits = (
+            cand.join(a, "a").join(F.broadcast(b), "b")
+            .select("a", (agree / F.lit(float(_N_PERM))).alias("jaccard_est"))
+            .filter(F.col("jaccard_est") >= threshold)
+            .select(F.col("a").alias(id_col)).distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        c_sigs.unpersist()
+        r_sigs.unpersist()
+    return corpus.join(F.broadcast(hits), id_col, "left_anti")

@@ -2,9 +2,11 @@
 
 Images/audio/video travel as ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as
-mapInPandas stages over Arrow batches. The decode step itself is
-STUBBED in this container (no image/audio libs): ``decode_stub``
-raises NotImplementedError unless ``deterministic_fake=True``, which
+mapInPandas stages over Arrow batches. REAL pure-numpy decoders cover
+P6 PPM, farbfeld, 24/32bpp BMP, 8-bit RGB(A) non-interlaced PNG
+(stdlib zlib) and PCM16 WAV; formats needing external libs (jpeg,
+webp, mp4, compressed audio) stay STUBBED: ``decode_stub`` raises
+NotImplementedError unless ``deterministic_fake=True``, which
 produces a seeded fake feature vector so the Spark-side plumbing —
 schema, batching, partitioning, UDF signatures — is real and testable.
 
@@ -19,6 +21,7 @@ well under task memory.
 from __future__ import annotations
 
 import hashlib
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -121,18 +124,108 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return px[:, :, 2::-1].astype(np.float64) / 255.0  # BGR(A)->RGB
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """8-bit truecolor PNG (color type 2 RGB / 6 RGBA), non-interlaced
+    -> (h, w, 3) float64 in [0, 1]; alpha dropped. Pure stdlib zlib +
+    numpy: chunk walk, IDAT concat + inflate, per-row unfilter of all
+    five PNG filter types. None/Up are whole-row vector ops and Sub is
+    a per-channel uint8 cumsum (wrap == mod 256); Average/Paeth depend
+    on the RECONSTRUCTED left pixel, so those rows run an O(width)
+    loop of channel-vector steps — fine for fixture/thumbnail sizes;
+    megapixel hot paths belong to a native decoder. Palette, 16-bit,
+    grayscale and interlaced images raise ValueError (they fall to the
+    decode_stub contract like any other unsupported payload)."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        if ctype == b"IHDR":
+            ihdr = payload[pos + 8 : pos + 8 + length]
+        elif ctype == b"IDAT":
+            idat.append(payload[pos + 8 : pos + 8 + length])
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body skipped above + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise ValueError(
+            f"PNG unsupported: depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace} (8-bit RGB/RGBA non-interlaced only)"
+        )
+    nch = 3 if color_type == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    recon = np.zeros((h, stride), np.int64)
+    for y in range(h):
+        f = int(arr[y, 0])
+        line = arr[y, 1:].astype(np.int64)
+        prior = recon[y - 1] if y else np.zeros(stride, np.int64)
+        if f == 0:  # None
+            recon[y] = line
+        elif f == 2:  # Up
+            recon[y] = (line + prior) & 255
+        elif f == 1:  # Sub: per-channel cumsum; uint8 wrap IS mod 256
+            recon[y] = np.add.accumulate(
+                arr[y, 1:].reshape(w, nch), axis=0, dtype=np.uint8
+            ).reshape(-1)
+        elif f == 3:  # Average
+            row, pri = line.reshape(w, nch), prior.reshape(w, nch)
+            out = np.empty((w, nch), np.int64)
+            left = np.zeros(nch, np.int64)
+            for x in range(w):
+                left = (row[x] + (left + pri[x]) // 2) & 255
+                out[x] = left
+            recon[y] = out.reshape(-1)
+        elif f == 4:  # Paeth
+            row, pri = line.reshape(w, nch), prior.reshape(w, nch)
+            out = np.empty((w, nch), np.int64)
+            left = np.zeros(nch, np.int64)
+            ul = np.zeros(nch, np.int64)
+            for x in range(w):
+                b = pri[x]
+                p = left + b - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - b), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, ul)
+                )
+                left = (row[x] + pred) & 255
+                out[x] = left
+                ul = b
+            recon[y] = out.reshape(-1)
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+    return recon.reshape(h, w, nch)[:, :, :3].astype(np.float64) / 255.0
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff + decode an uncompressed image payload -> (h, w, 3)
-    float64 in [0, 1]. Raises ValueError for unrecognized magic
-    (compressed formats land in decode_stub's NotImplementedError /
-    fake branch)."""
+    """Sniff + decode an image payload -> (h, w, 3) float64 in [0, 1].
+    Real pure-numpy decoders: P6 PPM, farbfeld, 24/32bpp BMP, and
+    8-bit RGB(A) non-interlaced PNG (stdlib zlib). Raises ValueError
+    for unrecognized magic (jpeg/webp/… land in decode_stub's
+    NotImplementedError / fake branch)."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:8] == b"farbfeld":
         return _decode_farbfeld(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
-    raise ValueError("unrecognized image magic (supported: P6 PPM, farbfeld, BMP)")
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
+    raise ValueError(
+        "unrecognized image magic (supported: P6 PPM, farbfeld, BMP, PNG)"
+    )
 
 
 def encode_ppm(px: np.ndarray) -> bytes:
@@ -170,6 +263,63 @@ def encode_bmp(px: np.ndarray) -> bytes:
         + np.array([0, len(data), 2835, 2835, 0, 0], dtype="<u4").tobytes()
     )
     return header + data
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(px: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """(h, w, 3) uint8 -> 8-bit truecolor non-interlaced PNG with real
+    CRCs. ``filters`` picks the PNG filter type per row (default all 0
+    = None); passing mixed types exercises every unfilter path in
+    _decode_png against externally-valid files. Filtering is computed
+    from the RAW bytes (encoder side needs no reconstruction), all
+    whole-row vector ops."""
+    h, w, _ = px.shape
+    px = np.ascontiguousarray(px, np.uint8)
+    if filters is None:
+        filters = [0] * h
+    nch = 3
+    zeros = np.zeros(nch, np.int64)
+    lines: list[bytes] = []
+    prior = np.zeros(w * nch, np.int64)
+    for y in range(h):
+        raw = px[y].reshape(-1).astype(np.int64)
+        left = np.concatenate([zeros, raw[:-nch]])
+        f = filters[y]
+        if f == 0:
+            filt = raw
+        elif f == 1:
+            filt = (raw - left) & 255
+        elif f == 2:
+            filt = (raw - prior) & 255
+        elif f == 3:
+            filt = (raw - (left + prior) // 2) & 255
+        elif f == 4:
+            ul = np.concatenate([zeros, prior[:-nch]])
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            filt = (raw - pred) & 255
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prior = raw
+    ihdr = np.array([w, h], ">u4").tobytes() + bytes([8, 2, 0, 0, 0])
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -256,8 +406,8 @@ def image_features(px: np.ndarray) -> np.ndarray:
 
 def decode_stub(payload: bytes, kind: str, deterministic_fake: bool) -> np.ndarray:
     """Decode boundary. With ``deterministic_fake=False`` (the real
-    path), uncompressed image formats (P6 PPM, farbfeld, 24/32-bit
-    BI_RGB BMP) and PCM16 WAV decode for REAL via pure numpy;
+    path), P6 PPM, farbfeld, 24/32-bit BI_RGB BMP, 8-bit RGB(A) PNG
+    and PCM16 WAV decode for REAL via pure numpy (+ stdlib zlib);
     unrecognized/compressed formats (PIL/librosa/ffmpeg territory)
     raise NotImplementedError. With ``deterministic_fake=True`` the
     seeded hash-derived vector is ALWAYS returned — the flag is a
@@ -336,11 +486,13 @@ def make_real_image_media(spark, n: int = 48) -> DataFrame:
     """Deterministic REAL-image media table: row i is a w x h RGB
     image with pixel(x, y, c) = (x*7 + y*13 + c*29 + i*31) % 256,
     w = 16 + i%9, h = 12 + i%5, encoded round-robin as P6 PPM /
-    24bpp BMP / farbfeld. The pixel formula is closed-form, so an
-    external SQL oracle reproduces every decoded statistic exactly —
-    same discipline as make_fake_media, but the decoder is real."""
+    24bpp BMP / farbfeld / PNG (the PNG rows cycle filter type
+    (y + i) % 5 so every unfilter path runs inside the oracled query).
+    The pixel formula is closed-form, so an external SQL oracle
+    reproduces every decoded statistic exactly — same discipline as
+    make_fake_media, but the decoder is real."""
     rows = []
-    fmts = ("ppm", "bmp", "farbfeld")
+    fmts = ("ppm", "bmp", "farbfeld", "png")
     encoders = {"ppm": encode_ppm, "bmp": encode_bmp, "farbfeld": encode_farbfeld}
     for i in range(n):
         w, h = 16 + i % 9, 12 + i % 5
@@ -348,10 +500,12 @@ def make_real_image_media(spark, n: int = 48) -> DataFrame:
         y = np.arange(h)[:, None, None]
         c = np.arange(3)[None, None, :]
         px = ((x * 7 + y * 13 + c * 29 + i * 31) % 256).astype(np.uint8)
-        fmt = fmts[i % 3]
-        rows.append(
-            (i, "image", fmt, bytearray(encoders[fmt](px)), (w, h, None, 3))
-        )
+        fmt = fmts[i % 4]
+        if fmt == "png":
+            payload = encode_png(px, filters=[(row + i) % 5 for row in range(h)])
+        else:
+            payload = encoders[fmt](px)
+        rows.append((i, "image", fmt, bytearray(payload), (w, h, None, 3)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

@@ -206,19 +206,55 @@ def test_multimodal_decode_stub_raises_without_fake(spark):
 
 
 def test_image_decoders_roundtrip_bit_equal():
-    """encode->decode round-trips for all three uncompressed container
-    formats, bit-equal to each other and to v/255 (farbfeld's 16-bit
+    """encode->decode round-trips for all four container formats,
+    bit-equal to each other and to v/255 (farbfeld's 16-bit
     v*257/65535 is the same IEEE quotient as v/255)."""
     rng = np.random.default_rng(7)
     px = rng.integers(0, 256, (13, 21, 3)).astype(np.uint8)
     want = px.astype(np.float64) / 255.0
     for enc in (multimodal.encode_ppm, multimodal.encode_bmp,
-                multimodal.encode_farbfeld):
+                multimodal.encode_farbfeld, multimodal.encode_png):
         got = multimodal.decode_image(enc(px))
         assert got.shape == (13, 21, 3), enc.__name__
         assert np.array_equal(got, want), enc.__name__
     with pytest.raises(ValueError, match="magic"):
-        multimodal.decode_image(b"\x89PNG\r\n\x1a\n not actually decodable")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg has no decoder here")
+
+
+def test_png_filters_rgba_and_rejections():
+    """Every PNG filter type (and a mixed-filter image) unfilters back
+    to the source pixels; RGBA (color type 6) decodes with alpha
+    dropped; 16-bit and interlaced images are rejected loudly."""
+    import zlib
+
+    from sparkval.pipeline.multimodal import _PNG_MAGIC, _png_chunk
+
+    rng = np.random.default_rng(11)
+    h, w = 9, 14
+    px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    want = px.astype(np.float64) / 255.0
+    for filters in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h,
+                    [y % 5 for y in range(h)]):
+        got = multimodal.decode_image(multimodal.encode_png(px, filters))
+        assert np.array_equal(got, want), filters
+
+    def craft(color_type, depth, interlace, nch):
+        data = rng.integers(0, 256, (h, w, nch)).astype(np.uint8)
+        raw = b"".join(b"\x00" + data[y].tobytes() for y in range(h))
+        ihdr = (np.array([w, h], ">u4").tobytes()
+                + bytes([depth, color_type, 0, 0, interlace]))
+        payload = (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+                   + _png_chunk(b"IDAT", zlib.compress(raw))
+                   + _png_chunk(b"IEND", b""))
+        return data, payload
+
+    rgba, payload = craft(6, 8, 0, 4)
+    got = multimodal.decode_image(payload)
+    assert np.array_equal(got, rgba[:, :, :3].astype(np.float64) / 255.0)
+    for color_type, depth, interlace in ((2, 16, 0), (2, 8, 1), (3, 8, 0)):
+        _, bad = craft(color_type, depth, interlace, 3)
+        with pytest.raises(ValueError, match="unsupported"):
+            multimodal.decode_image(bad)
 
 
 def test_bmp_row_padding_and_orientation():
@@ -932,3 +968,27 @@ def test_vocab_topk_counts_and_ties(spark):
     assert out.iloc[2]["term"] == "cherry"
     with pytest.raises(ValueError):
         text.vocab_topk(df, k=0)
+
+
+def test_dedupe_against_drops_near_copies(spark):
+    """Corpus docs with an exact or near copy in the reference set are
+    dropped; unrelated reference docs drop nothing; an empty reference
+    is a no-op. Cross-corpus analog of near_duplicates_minhash."""
+    base = [
+        (i, f"doc number {i} with unique words alpha{i} beta{i} gamma{i} " * 5)
+        for i in range(30)
+    ]
+    corpus = spark.createDataFrame(base, ["doc_id", "text"])
+    ref = spark.createDataFrame(
+        [
+            (900, base[3][1]),  # exact copy of doc 3
+            (901, base[7][1].replace("alpha7", "alphaQ", 1)),  # near copy of 7
+            (902, "completely unrelated reference text about oceans and storms " * 6),
+        ],
+        ["doc_id", "text"],
+    )
+    clean = dedup.dedupe_against(corpus, ref, threshold=0.7)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert kept == set(range(30)) - {3, 7}
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.dedupe_against(corpus, empty).count() == 30
