@@ -1512,6 +1512,71 @@ def q_stream_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_cluster_embeddings_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (pipeline.similarity.
+    cluster_embeddings) on its design case — the same 8x64 planted
+    clusters as the IVF recall row: every planted group must land in
+    exactly ONE cluster, no two groups may share a cluster (8 distinct
+    ids), and every winning cosine is ~1. The farthest-point init
+    contract makes the outcome deterministic, so the invariant
+    booleans are exact, not probabilistic."""
+    from sparkval.pipeline.similarity import cluster_embeddings
+
+    embs = _clustered_embeddings(spark)
+    out = cluster_embeddings(embs, k=8, iters=3)
+    per = out.withColumn("planted", (F.col("vec_id") / 64).cast("long")).groupBy(
+        "planted"
+    ).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct("cluster").alias("n_clusters"),
+        F.min("similarity").alias("min_sim"),
+    )
+    groups = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min(F.col("n_members") == 64).alias("groups_complete"),
+        F.min(F.col("n_clusters") == 1).alias("each_group_one_cluster"),
+        F.min(F.col("min_sim") > 0.99).alias("all_tight"),
+    )
+    # global distinctness: two pure groups sharing one cluster would
+    # pass the per-group checks — this column catches that collapse
+    total = out.agg(
+        F.countDistinct("cluster").cast("long").alias("n_distinct_clusters")
+    )
+    return groups.crossJoin(F.broadcast(total))
+
+
+def q_merge_baselines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-baseline invariant (baseline.merge_baselines):
+    baselines built over a disjoint 2-way hash split of the corpus,
+    merged, must equal the one-shot full-corpus baseline in EVERY
+    column — accumulator sums, XOR'd fingerprints, renormalized
+    lang_hist, re-derived warm bands. The full-outer join reduces the
+    bit-equality to n_mismatched_rows == 0 (a key on one side only
+    also counts as a mismatch), with n_files_total globally oracled
+    (the crc32 partition key itself is pytest-covered; DuckDB cannot
+    compute it)."""
+    from sparkval import ValidationConfig
+    from sparkval.baseline import build_baseline, merge_baselines
+
+    corpus = _docs_as_corpus(spark, sf_dir)
+    cfg = ValidationConfig()
+    parts = [
+        corpus.filter(F.pmod(F.xxhash64("path"), F.lit(2)) == i) for i in range(2)
+    ]
+    merged = merge_baselines(*[build_baseline(p, cfg) for p in parts], config=cfg)
+    full = build_baseline(corpus, cfg)
+    key = ["repo_bucket", "lang"]
+    cond = F.lit(True)
+    for c in full.columns:
+        if c not in key:
+            cond = cond & (F.col(f"m.{c}") == F.col(f"f.{c}"))
+    j = merged.alias("m").join(full.alias("f"), key, "full_outer")
+    return j.agg(
+        F.sum(F.when(cond, 0).otherwise(1)).cast("long").alias("n_mismatched_rows"),
+        F.sum("f.n_files").cast("long").alias("n_files_total"),
+    )
+
+
 def q_dedupe_against_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus NEAR-dup decontamination (pipeline.dedup.
     dedupe_against): the reference set holds a lightly-perturbed twin
@@ -1698,6 +1763,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_documents": q_decontaminate_documents,
     "token_budget_sample_documents": q_token_budget_sample_documents,
     "repetition_stats_documents": q_repetition_stats_documents,
+    "merge_baselines_documents": q_merge_baselines_documents,
+    "cluster_embeddings_planted": q_cluster_embeddings_planted,
     "dedupe_against_documents": q_dedupe_against_documents,
     "hash_split_documents": q_hash_split_documents,
     "mixture_report_documents": q_mixture_report_documents,
@@ -2363,6 +2430,22 @@ ORACLE_SQL["events_funnel"] = """
     LEFT JOIN s2 USING (user_id)
     LEFT JOIN s3 USING (user_id)
     ORDER BY user_id
+"""
+
+# clustering oracle: invariant booleans on the deterministic design
+# case (farthest-point init contract) — exact recovery, not a bound.
+ORACLE_SQL["cluster_embeddings_planted"] = """
+    SELECT 8::BIGINT AS n_groups, true AS groups_complete,
+           true AS each_group_one_cluster, true AS all_tight,
+           8::BIGINT AS n_distinct_clusters
+"""
+
+# merge-baselines oracle: the invariant-boolean pattern (ivf/strip
+# precedent) — bit-equality of merged vs one-shot baseline reduces to
+# a zero mismatch count; the file total is globally oracled.
+ORACLE_SQL["merge_baselines_documents"] = """
+    SELECT 0::BIGINT AS n_mismatched_rows,
+           (SELECT count(*) FROM documents) AS n_files_total
 """
 
 # cross-corpus near-dup oracle: closed-form planted design — the

@@ -112,6 +112,67 @@ def with_precomputed_bands(hists: DataFrame, config: ValidationConfig) -> DataFr
     return hists.mapInPandas(gen, schema)
 
 
+def merge_baselines(*baselines: DataFrame, config: ValidationConfig | None = None) -> DataFrame:
+    """Merge baselines built over DISJOINT corpus slices into one
+    bit-identical to a single build over the union — the property that
+    makes incremental 100 TB validation possible: build a baseline for
+    each newly-landed partition/day and fold it in, instead of
+    rescanning the full trusted corpus (the reference's analog is
+    accumulating ButteraugliReference state per strip,
+    precompute.rs:127-152 — same monoid idea at corpus scale).
+
+    Correctness shape: the hist table's accumulator columns (n_files /
+    n_null_content / total_bytes sums, byte_hist / len_hist vector
+    sums, fingerprint XOR) form a commutative monoid, so re-merging
+    per-(bucket, lang) rows from any split equals the one-shot build
+    exactly. The DERIVED columns are recomputed after the merge:
+    lang_hist (a bucket-wide mix normalized over totals — averaging
+    two mixes would be wrong) and, when every input carried them,
+    the precomputed warm-path bands (re-derived from merged hists via
+    with_precomputed_bands under ``config`` or the build breadcrumb).
+
+    Inputs must be disjoint: overlapping slices double-count (and
+    XOR-cancel shared fingerprints) exactly as appending a duplicate
+    corpus would. Cost: a union of O(buckets x langs) tables and ONE
+    tiny shuffle — no corpus access."""
+    import warnings
+    from functools import reduce
+
+    from sparkval.histograms import PARTIAL_SCHEMA, merge_histograms_with_lang
+
+    if not baselines:
+        raise ValueError("merge_baselines needs at least one baseline")
+    cols = [f.name for f in PARTIAL_SCHEMA.fields]
+    for b in baselines:
+        missing = [c for c in cols if c not in b.columns]
+        if missing:
+            raise ValueError(f"baseline missing accumulator columns: {missing}")
+    merged = merge_histograms_with_lang(
+        reduce(lambda x, y: x.unionByName(y), [b.select(*cols) for b in baselines])
+    )
+    cfg = config
+    if cfg is None:
+        for b in baselines:
+            cfg = getattr(b, "_sparkval_build_config", None)
+            if cfg is not None:
+                break
+    had_bands = all("pre_byte" in b.columns for b in baselines)
+    if had_bands:
+        if cfg is not None:
+            merged = with_precomputed_bands(merged, cfg)
+        else:
+            warnings.warn(
+                "merge_baselines: inputs carry precomputed bands but no "
+                "config was passed and no build breadcrumb survived — "
+                "the merged baseline is returned WITHOUT bands (cold "
+                "path). Pass config= to re-derive them.",
+                stacklevel=2,
+            )
+    if cfg is not None:
+        merged._sparkval_build_config = cfg
+    return merged
+
+
 def estimated_baseline_bytes(
     config: ValidationConfig, n_langs: int = 9, precompute_bands: bool = True
 ) -> int:

@@ -199,6 +199,113 @@ def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
     return centroids
 
 
+def cluster_embeddings(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 4096,
+) -> DataFrame:
+    """Distributed spherical k-means over an embedding column — the
+    corpus-clustering primitive behind topic bucketing, mix curation,
+    and diversity sampling. Returns (id, cluster, similarity) where
+    ``similarity`` is the cosine to the winning centroid.
+
+    Scale shape: init is the deterministic bounded-sample
+    farthest-point trainer (train_centroids — TakeOrderedAndProject
+    sample, never a full collect), then ``iters`` distributed Lloyd
+    rounds. Each round is ONE corpus scan emitting <= k partial rows
+    (count, vector sum) per task from a batched matmul, merged by a
+    k-row groupBy — content never shuffles, the driver only ever
+    holds k x dim doubles. Assignment is a final scan with the same
+    matmul. Empty clusters keep their previous centroid (no
+    respawning), and everything is seed-free/deterministic, so two
+    runs over the same data agree bit-for-bit."""
+    spark = embeddings.sparkSession
+    if k <= 0 or iters < 0:
+        raise ValueError(f"bad k={k} / iters={iters}")
+    centroids = train_centroids(embeddings, k, id_col, vec_col, train_sample)
+    data = embeddings.select(id_col, vec_col)
+    partial_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType(), False),
+            T.StructField("n", T.LongType(), False),
+            T.StructField("vec_sum", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "cluster": int(pdf["cluster"].iloc[0]),
+                    "n": int(pdf["n"].sum()),
+                    "vec_sum": np.sum(np.stack(pdf["vec_sum"].to_numpy()), axis=0),
+                }
+            ]
+        )
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def partials(batches: Iterator[pd.DataFrame], _bc=bc) -> Iterator[pd.DataFrame]:
+            cents = _bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+                assign = np.argmax(mat @ cents.T, axis=1)
+                rows = []
+                for c in np.unique(assign):
+                    sel = mat[assign == c]
+                    rows.append(
+                        {"cluster": int(c), "n": len(sel), "vec_sum": sel.sum(axis=0)}
+                    )
+                yield pd.DataFrame(rows)
+
+        merged = (
+            data.mapInPandas(partials, partial_schema)
+            .groupBy("cluster")
+            .applyInPandas(_merge, partial_schema)
+            .collect()  # k rows of (count, dim-vector) — O(k*dim)
+        )
+        new = centroids.copy()
+        for r in merged:
+            m = np.asarray(r["vec_sum"], dtype=np.float64) / max(int(r["n"]), 1)
+            nrm = np.linalg.norm(m)
+            if nrm > 1e-12:
+                new[r["cluster"]] = m / nrm
+        centroids = new
+
+    bc = spark.sparkContext.broadcast(centroids)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("cluster", T.IntegerType(), False),
+            T.StructField("similarity", T.DoubleType(), False),
+        ]
+    )
+
+    def assign_final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            sims = mat @ cents.T
+            a = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cluster": a.astype(np.int32),
+                    "similarity": sims[np.arange(len(a)), a],
+                }
+            )
+
+    return data.mapInPandas(assign_final, out_schema)
+
+
 def train_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,

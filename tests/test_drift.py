@@ -456,3 +456,41 @@ def test_drill_down_bucket_attributes_to_repo(spark):
     with pytest.raises(ValueError, match="no repos"):
         # a bucket id outside the keyspace holds nothing
         drill_down_bucket(shifted, corpus, 99, cfg)
+
+
+def test_merge_baselines_bit_equal_to_full_build(spark, engine):
+    """merge(build(A), build(B), build(C)) over a disjoint 3-way split
+    must be BIT-identical to build(A+B+C) in every column — the
+    accumulator monoid, the renormalized lang_hist, the XOR'd
+    fingerprint, and the re-derived warm bands — and the merged
+    baseline must identity-short-circuit the full corpus (score 0)."""
+    from sparkval.baseline import merge_baselines
+
+    pdf = fx.make_corpus("random_mid", 900)
+    df = spark.createDataFrame(pdf)
+    parts = [
+        df.filter(F.pmod(F.xxhash64("path"), F.lit(3)) == i) for i in range(3)
+    ]
+    merged = merge_baselines(
+        *[build_baseline(p, CFG) for p in parts], config=CFG
+    )
+    full = build_baseline(df, CFG)
+    key = ["repo_bucket", "lang"]
+    m = merged.orderBy(*key).toPandas()
+    f = full.orderBy(*key).toPandas()
+    assert list(m.columns) == list(f.columns)
+    assert len(m) == len(f) and len(f) > 0
+    for col in f.columns:
+        for a, b in zip(m[col], f[col]):
+            if isinstance(b, (list, np.ndarray)):
+                assert np.array_equal(np.asarray(a), np.asarray(b)), col
+            else:
+                assert a == b, col
+    out = engine.validate(df, merged)
+    v = out["verdicts"].toPandas()
+    assert (v["verdict"] == "PASS").all()
+    assert (v["score"] == 0.0).all()  # fingerprints merged exactly
+    with pytest.raises(ValueError):
+        merge_baselines()
+    with pytest.raises(ValueError, match="accumulator"):
+        merge_baselines(df)  # a corpus is not a baseline

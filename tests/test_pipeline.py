@@ -992,3 +992,30 @@ def test_dedupe_against_drops_near_copies(spark):
     assert kept == set(range(30)) - {3, 7}
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert dedup.dedupe_against(corpus, empty).count() == 30
+
+
+def test_cluster_embeddings_recovers_planted_clusters(spark):
+    """Distributed spherical k-means on its design case: 8 tight
+    planted clusters must be recovered exactly (each planted group in
+    one cluster, 8 distinct clusters, winning cosine ~1), and the
+    whole pipeline is deterministic across runs."""
+    rng = np.random.default_rng(99)
+    C, M, D = 8, 40, 16
+    jit = rng.standard_normal((C * M, D))
+    jit = 0.02 * jit / np.linalg.norm(jit, axis=1, keepdims=True)
+    vecs = np.repeat(np.eye(C, D), M, axis=0) + jit
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(C * M)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.cluster_embeddings(df, k=C, iters=3).toPandas()
+    out["planted"] = out["vec_id"] // M
+    by_group = out.groupby("planted")["cluster"].nunique()
+    assert (by_group == 1).all()  # each planted group -> one cluster
+    assert out["cluster"].nunique() == C  # no two groups share a cluster
+    assert (out["similarity"] > 0.99).all()
+    again = similarity.cluster_embeddings(df, k=C, iters=3).toPandas()
+    assert (out.sort_values("vec_id")["cluster"].to_numpy()
+            == again.sort_values("vec_id")["cluster"].to_numpy()).all()
+    with pytest.raises(ValueError):
+        similarity.cluster_embeddings(df, k=0)
