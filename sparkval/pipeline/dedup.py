@@ -894,8 +894,11 @@ def dedupe_against(corpus: DataFrame, reference: DataFrame,
                 lambda v: v == 1,
             )
         )
+        # candidates (rare: corpus docs colliding with an eval doc's
+        # bucket) broadcast into the verify join, so corpus signatures
+        # are probed map-side rather than shuffled on the pair key
         hits = (
-            cand.join(a, "a").join(F.broadcast(b), "b")
+            a.join(F.broadcast(cand), "a").join(F.broadcast(b), "b")
             .select("a", (agree / F.lit(float(_N_PERM))).alias("jaccard_est"))
             .filter(F.col("jaccard_est") >= threshold)
             .select(F.col("a").alias(id_col)).distinct()

@@ -321,3 +321,56 @@ def test_decontaminate_plan_broadcasts_benchmark_no_corpus_shuffle(spark, sf_dir
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan  # pure codegen gram stream
+
+
+def test_gopher_and_pii_are_pure_codegen(spark, sf_dir):
+    """The quality/PII passes must run at scan speed: no python stage
+    of any kind in the plan, and the scan pruned to the columns used."""
+    from sparkval.pipeline.text import with_gopher_quality, with_pii_stats
+
+    docs = load(spark, sf_dir, "documents")
+    for op in (with_gopher_quality, with_pii_stats):
+        plan = (
+            op(docs).select("doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan, op.__name__
+        assert "ArrowEvalPython" not in plan, op.__name__
+        assert "Exchange" not in plan, op.__name__  # projection: no shuffle
+
+
+def test_pack_sequences_no_python_no_global_sort(spark, sf_dir):
+    """Sequence packing is pure SQL (windows + one broadcast of the
+    O(groups x 4096) bucket-start table): no python stage, no
+    cartesian, and no global single-partition sort."""
+    from sparkval.pipeline.sampling import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    plan = (
+        pack_sequences(docs, ctx_tokens=512, group_col="lang")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # bucket starts broadcast back
+
+
+def test_dedupe_against_returned_plan_is_broadcast_anti(spark):
+    """The plan handed back to the caller must be scan + broadcast
+    LEFT ANTI on the (checkpointed, tiny) hit set — no sort-merge, no
+    python stage; corpus content moves zero times."""
+    from sparkval.pipeline.dedup import dedupe_against
+
+    corpus = spark.createDataFrame(
+        [(i, f"text number {i} alpha{i} beta{i} " * 6) for i in range(50)],
+        ["doc_id", "text"],
+    )
+    ref = spark.createDataFrame([(900, corpus.collect()[4]["text"])],
+                                ["doc_id", "text"])
+    plan = (
+        dedupe_against(corpus, ref)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
