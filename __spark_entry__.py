@@ -1512,6 +1512,31 @@ def q_stream_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_duplicated_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicate detection (pipeline.dedup.duplicated_spans,
+    the Lee et al. 2022 substring-dedup rule) over documents with a
+    PLANTED 20-word boilerplate passage prepended to every 25th doc:
+    those docs must report a span starting at word 0 of length >= 20
+    (plus any organic duplicated spans, which the oracle — replaying
+    the rule from n-gram STRINGS, positions and island merge included —
+    equally finds)."""
+    from sparkval.pipeline.dedup import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    passage = " ".join(f"dupseg{i:02d}" for i in range(20))
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat(F.lit(passage + " "), F.coalesce(F.col("text"), F.lit(""))),
+        ).otherwise(F.col("text")),
+    )
+    out = duplicated_spans(planted, n=13)
+    return out.select("doc_id", "span_start", "span_end", "n_words").orderBy(
+        "doc_id", "span_start"
+    )
+
+
 def q_cluster_embeddings_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means (pipeline.similarity.
     cluster_embeddings) on its design case — the same 8x64 planted
@@ -1765,6 +1790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats_documents": q_repetition_stats_documents,
     "merge_baselines_documents": q_merge_baselines_documents,
     "cluster_embeddings_planted": q_cluster_embeddings_planted,
+    "duplicated_spans_documents": q_duplicated_spans_documents,
     "dedupe_against_documents": q_dedupe_against_documents,
     "hash_split_documents": q_hash_split_documents,
     "mixture_report_documents": q_mixture_report_documents,
@@ -2430,6 +2456,58 @@ ORACLE_SQL["events_funnel"] = """
     LEFT JOIN s2 USING (user_id)
     LEFT JOIN s3 USING (user_id)
     ORDER BY user_id
+"""
+
+# span-dedup oracle: the full rule replayed from n-gram STRINGS —
+# positional gram stream, corpus-wide count >= 2, per-doc island merge
+# of overlapping 13-word windows. generate_series needs CONSTANT
+# bounds in DuckDB; 544 = 512 corpus max + planted passage.
+ORACLE_SQL["duplicated_spans_documents"] = """
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 25 = 0 THEN
+                   'dupseg00 dupseg01 dupseg02 dupseg03 dupseg04 dupseg05 dupseg06 dupseg07 dupseg08 dupseg09 dupseg10 dupseg11 dupseg12 dupseg13 dupseg14 dupseg15 dupseg16 dupseg17 dupseg18 dupseg19 '
+                   || coalesce(text, '')
+               ELSE text END AS text
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS t
+        FROM planted
+    ),
+    g AS (
+        SELECT doc_id, g.i - 1 AS pos,
+               array_to_string(t[g.i : g.i + 12], ' ') AS gram
+        FROM tok, generate_series(1, 544) g(i)
+        WHERE len(t) >= 13 AND g.i + 12 <= len(t)
+    ),
+    dup AS (
+        SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+    ),
+    m AS (
+        SELECT doc_id, pos FROM g JOIN dup USING (gram)
+    ),
+    s AS (
+        SELECT doc_id, pos,
+               max(pos + 13) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS pme
+        FROM m
+    ),
+    i AS (
+        SELECT doc_id, pos,
+               sum(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM s
+    )
+    SELECT doc_id,
+           min(pos)::BIGINT AS span_start,
+           (max(pos) + 13)::BIGINT AS span_end,
+           (max(pos) + 13 - min(pos))::BIGINT AS n_words
+    FROM i GROUP BY doc_id, isl
+    ORDER BY doc_id, span_start
 """
 
 # clustering oracle: invariant booleans on the deterministic design

@@ -820,6 +820,82 @@ def ngram_hash_stream(df: DataFrame, text_col: str = "text",
     )
 
 
+def ngram_hash_positions(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 13) -> DataFrame:
+    """(id, pos, gram_hash) positional word n-gram stream — the
+    ngram_hash_stream tokenizer with posexplode, so downstream span
+    logic knows WHERE each gram starts (0-based word index). Same
+    codegen-only shape: only (8B hash + int pos) leaves the scan."""
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+    )
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.posexplode(grams).alias("pos", "gram_hash"))
+    )
+
+
+def duplicated_spans(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 13,
+                     min_count: int = 2,
+                     broadcast_dups: bool = True) -> DataFrame:
+    """SPAN-level duplicate text detection — the substring-dedup rule
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), which removes repeated PASSAGES (boilerplate,
+    licenses, templated headers) that document-level near-dup misses
+    because the containing documents differ. A word ``n``-gram
+    occurring >= ``min_count`` times corpus-wide (across OR within
+    documents) is a duplicated anchor; overlapping anchor windows
+    merge into maximal spans. Returns (id, span_start, span_end,
+    n_words) with [start, end) word indices — callers cut or drop the
+    spans.
+
+    Scale shape: the anchor table is (id, int, 8B hash) — tokens-sized
+    but narrow; the groupBy(gram_hash) count is the one inherent big
+    shuffle of corpus-wide substring dedup (the reference approach
+    uses machine-local suffix arrays; hash anchors are the
+    shuffle-native equivalent). The duplicated-hash set is SMALL for
+    clean corpora (that's the point of running dedup) and broadcasts
+    into a map-side LEFT SEMI (``broadcast_dups=False`` falls back to
+    a shuffled semi join for pathological corpora). The island merge
+    is a per-document window — rows per document are bounded by its
+    token count, never by the corpus."""
+    from pyspark.sql import Window
+
+    if n < 1 or min_count < 2:
+        raise ValueError(f"bad n={n} / min_count={min_count}")
+    grams = ngram_hash_positions(df, text_col, id_col, n)
+    dup_hashes = (
+        grams.groupBy("gram_hash").agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count).select("gram_hash")
+    )
+    if broadcast_dups:
+        dup_hashes = F.broadcast(dup_hashes)
+    marked = grams.join(dup_hashes, "gram_hash", "left_semi").withColumn(
+        "_end", F.col("pos") + n
+    )
+    w_prev = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("_end").over(w_prev)
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1
+    ).otherwise(0)
+    return (
+        marked.withColumn("_isl", F.sum(new_island).over(w_run))
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.max("_end").cast("long").alias("span_end"),
+        )
+        .withColumn("n_words", F.col("span_end") - F.col("span_start"))
+        .drop("_isl")
+    )
+
+
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   n: int = 13) -> DataFrame:

@@ -1019,3 +1019,34 @@ def test_cluster_embeddings_recovers_planted_clusters(spark):
             == again.sort_values("vec_id")["cluster"].to_numpy()).all()
     with pytest.raises(ValueError):
         similarity.cluster_embeddings(df, k=0)
+
+
+def test_duplicated_spans_planted_passages(spark):
+    """Span-level dedup: a passage shared by two documents is found as
+    one maximal merged span in each (overlapping anchors coalesce); a
+    within-document repeat also counts toward min_count; unique text
+    yields no spans; parameter validation."""
+    shared = " ".join(f"dupseg{i:02d}" for i in range(20))  # 20 words
+    uniq = lambda tag, k: " ".join(f"{tag}{i}" for i in range(k))  # noqa: E731
+    rows = [
+        (1, f"{uniq('a', 30)} {shared} {uniq('b', 10)}"),   # span at [30, 50)
+        (2, f"{shared} {uniq('c', 40)}"),                   # span at [0, 20)
+        (3, uniq("d", 60)),                                 # clean
+        (4, f"{uniq('e', 5)} {shared} {uniq('f', 3)} {shared}"),  # twice
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = (
+        dedup.duplicated_spans(df, n=13)
+        .orderBy("doc_id", "span_start").toPandas()
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end) for r in out.itertuples()
+    }
+    assert (1, 30, 50) in got
+    assert (2, 0, 20) in got
+    assert not any(r.doc_id == 3 for r in out.itertuples())
+    d4 = out[out["doc_id"] == 4]
+    assert len(d4) == 2 and set(d4["n_words"]) == {20}
+    assert (out["n_words"] == out["span_end"] - out["span_start"]).all()
+    with pytest.raises(ValueError):
+        dedup.duplicated_spans(df, min_count=1)
