@@ -1739,6 +1739,86 @@ def q_vocab_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(docs, k=50)
 
 
+def q_corpus_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (constraints.corpus_diff): per-id added/removed/
+    changed/unchanged status between two corpus versions. The
+    "current" version derives deterministically from documents: ids
+    with doc_id%7==3 are dropped (-> removed), ids with doc_id%5==1
+    get ' EDIT' appended (-> changed, unless also dropped), and
+    clones at doc_id+10000000 are appended for doc_id%11==6
+    (-> added). Plan: both sides project to (id, sha256) at the scan —
+    content never shuffles; full-outer join on id only. The oracle
+    replays the same mutations and compares text with IS NOT DISTINCT
+    FROM, independently pinning the NULL-text semantics."""
+    from sparkval.constraints import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    prev = docs.select("doc_id", "text")
+    cur = (
+        docs.filter(F.col("doc_id") % 7 != 3)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 1, F.concat(F.col("text"), F.lit(" EDIT"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 6).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(cur, prev).orderBy("doc_id", "status")
+
+
+def q_source_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix (pipeline.dedup.
+    group_overlap_matrix): exact Jaccard of distinct word-5-shingle
+    sets for every source pair — the mixture-redundancy report. Plan:
+    (source, gram-hash) distinct stream, self-equi-join ON THE GRAM
+    KEY (no group-level cross join), broadcast size dimensions. The
+    oracle recomputes from shingle STRINGS (no xxhash64 in DuckDB),
+    so it independently pins the shingle tokenizer and the count
+    semantics; hash collisions would surface as count drift."""
+    from sparkval.pipeline.dedup import group_overlap_matrix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = group_overlap_matrix(docs, group_col="source", k_shingle=5)
+    return out.orderBy("group_a", "group_b")
+
+
+def q_unigram_divergence_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution shift (stats.unigram_divergence):
+    KL(P_source || P_corpus) over lowercased whitespace unigrams with
+    token/vocab counts — the mixture-drift metric. One scan; corpus
+    marginals derive from the per-group counts table (no second
+    scan); the only cross join is the 1-row corpus-total scalar.
+    Rounded at 1e-6 so f64 summation order differences between
+    engines cannot surface."""
+    from sparkval.stats import unigram_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_divergence(docs, group_col="source")
+    return out.withColumnRenamed("group", "grp").orderBy("grp")
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (pipeline.sampling.chunk_documents):
+    chunk_size=128 / stride=96 sliding character windows per document,
+    emitted as narrow (id, idx, start, len, md5) rows — offsets +
+    fingerprints, never the chunk text. Pure codegen projection
+    (sequence + posexplode + substring), zero shuffle. The oracle
+    replays the window rule on a constant 0..63 grid (DuckDB
+    generate_series needs constant bounds; max doc is 577 chars =
+    7 chunks) and md5-hashes the same UTF-8 slices."""
+    from sparkval.pipeline.sampling import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=128, stride=96).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -1806,6 +1886,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cumulative_drift_documents": q_stream_cumulative_drift_documents,
     "stream_windowed_counts_events": q_stream_windowed_counts_events,
     "stream_dedupe_events": q_stream_dedupe_events,
+    "corpus_diff_documents": q_corpus_diff_documents,
+    "source_overlap_documents": q_source_overlap_documents,
+    "unigram_divergence_documents": q_unigram_divergence_documents,
+    "chunk_documents": q_chunk_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2692,6 +2776,104 @@ ORACLE_SQL["vocab_topk_documents"] = """
     ORDER BY n_occurrences DESC, term LIMIT 50
 """
 
+# snapshot-diff oracle: replay the deterministic version mutations and
+# classify with IS NOT DISTINCT FROM (the engine compares sha256
+# fingerprints with a NULL sentinel — same NULL semantics, no
+# collision at any realistic scale).
+ORACLE_SQL["corpus_diff_documents"] = """
+    WITH prev AS (SELECT doc_id, text FROM documents),
+    cur AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 1 THEN text || ' EDIT' ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 3
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, text
+        FROM documents WHERE doc_id % 11 = 6
+    )
+    SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+           CASE WHEN p.doc_id IS NULL THEN 'added'
+                WHEN c.doc_id IS NULL THEN 'removed'
+                WHEN c.text IS NOT DISTINCT FROM p.text THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+    ORDER BY doc_id, status
+"""
+
+# source-overlap oracle: distinct 5-shingle STRINGS per source (the
+# engine joins 64-bit shingle hashes; a collision would shift a
+# count by 1 and break the hash match — none on this data). The
+# [i : i+4] list slice is inclusive on both ends = 5 tokens.
+ORACLE_SQL["source_overlap_documents"] = """
+    WITH tok AS (
+        SELECT source,
+               string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT source, array_to_string(t[i.i : i.i + 4], ' ') AS gram
+        FROM tok, generate_series(1, 512) i(i)
+        WHERE i.i + 4 <= len(t)
+    ),
+    sz AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+    inter AS (
+        SELECT a.source AS group_a, b.source AS group_b,
+               count(*) AS n_common
+        FROM g a JOIN g b USING (gram)
+        WHERE a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.group_a, i.group_b,
+           sa.n::BIGINT AS n_grams_a, sb.n::BIGINT AS n_grams_b,
+           i.n_common::BIGINT AS n_common,
+           round(i.n_common::DOUBLE / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.source = i.group_a
+    JOIN sz sb ON sb.source = i.group_b
+    ORDER BY group_a, group_b
+"""
+
+# unigram-KL oracle: same tokenization, ln() on both engines, and the
+# same vocabulary-sized join back to corpus marginals; rounding at
+# 1e-6 absorbs f64 summation-order differences.
+ORACLE_SQL["unigram_divergence_documents"] = """
+    WITH terms AS (
+        SELECT source AS grp,
+               unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+                      '\\s+')) AS term
+        FROM documents WHERE trim(text) <> ''
+    ),
+    c AS (SELECT grp, term, count(*) AS n FROM terms GROUP BY 1, 2),
+    cc AS (SELECT term, sum(n) AS n_corpus FROM c GROUP BY 1),
+    tot AS (SELECT sum(n) AS total FROM c),
+    gt AS (SELECT grp, sum(n) AS n_tokens FROM c GROUP BY 1)
+    SELECT c.grp,
+           any_value(gt.n_tokens)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_distinct_terms,
+           round(sum((c.n::DOUBLE / gt.n_tokens)
+                     * ln((c.n::DOUBLE / gt.n_tokens)
+                          / (cc.n_corpus::DOUBLE / tot.total))), 6)
+               AS kl_vs_corpus
+    FROM c
+    JOIN cc USING (term)
+    JOIN gt USING (grp)
+    CROSS JOIN tot
+    GROUP BY c.grp ORDER BY grp
+"""
+
+# chunking oracle: constant 0..63 grid (generate_series needs constant
+# bounds; 64 * stride 96 = 6144 chars >> max doc 577) + the same
+# [i*96, i*96+128) character windows; md5 over identical UTF-8 slices.
+ORACLE_SQL["chunk_documents"] = """
+    SELECT doc_id,
+           g.i::INTEGER AS chunk_idx,
+           (g.i * 96)::BIGINT AS chunk_start,
+           length(substr(text, g.i * 96 + 1, 128))::BIGINT AS chunk_len,
+           md5(substr(text, g.i * 96 + 1, 128)) AS chunk_md5
+    FROM documents, generate_series(0, 63) g(i)
+    WHERE text IS NOT NULL AND length(text) > 0
+      AND g.i * 96 < length(text)
+    ORDER BY doc_id, chunk_idx
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -427,3 +427,55 @@ def deterministic_order(
             ties.append(F.xxhash64(*nonatomic))
         return df.orderBy(*keys, *ties).limit(max_rows)
     return df.repartition(1).sortWithinPartitions(*keys)
+
+
+def corpus_diff(
+    current: DataFrame,
+    previous: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: per-id status
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` — the data
+    versioning audit a training pipeline runs before re-deriving
+    downstream artifacts from a refreshed crawl (the cross-version
+    sibling of ``manifest_violations``, which compares against an
+    external manifest rather than a prior snapshot).
+
+    Scale shape: each side is projected to ``(id, sha256(content))``
+    AT THE SCAN, so document content never shuffles — the full-outer
+    join moves only (id, 64-char hex) pairs (~100 B/row at any content
+    size), exactly the manifest-check plan. If both snapshots are
+    bucketed by ``id_col`` the join is shuffle-free; AQE skew-join
+    covers hot ids otherwise. Multi-column content is fingerprinted
+    as a single sha256 over a 0x1F-joined projection (NULLs map to a
+    sentinel so NULL vs '' vs missing-row all classify distinctly).
+    """
+    def _fp() -> F.Column:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in content_cols
+        ]
+        return F.sha2(F.concat_ws("\x1f", *parts), 256)
+
+    cur = current.select(
+        F.col(id_col), _fp().alias("_fp_cur"), F.lit(True).alias("_in_cur")
+    )
+    prev = previous.select(
+        F.col(id_col), _fp().alias("_fp_prev"), F.lit(True).alias("_in_prev")
+    )
+    j = cur.join(prev, on=id_col, how="full_outer")
+    status = (
+        F.when(F.col("_in_prev").isNull(), F.lit("added"))
+        .when(F.col("_in_cur").isNull(), F.lit("removed"))
+        .when(F.col("_fp_cur").eqNullSafe(F.col("_fp_prev")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(id_col), status.alias("status"))
+
+
+def corpus_diff_report(diff: DataFrame) -> DataFrame:
+    """One-row-per-status accounting over a ``corpus_diff`` result —
+    the O(1)-output summary a version bump gets logged with. Single
+    narrow groupBy on a 4-value key (map-side partials collapse it)."""
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -984,3 +984,73 @@ def dedupe_against(corpus: DataFrame, reference: DataFrame,
         c_sigs.unpersist()
         r_sigs.unpersist()
     return corpus.join(F.broadcast(hits), id_col, "left_anti")
+
+
+def group_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k_shingle: int = 5,
+) -> DataFrame:
+    """Pairwise corpus-overlap matrix: for every pair of groups
+    (sources, crawl snapshots, dataset shards), the EXACT Jaccard
+    similarity of their distinct word-``k_shingle`` sets — the
+    corpus-contamination / mixture-redundancy report a training-mix
+    curator reads before weighting sources (two sources with Jaccard
+    0.8 are one source counted twice).
+
+    Scale shape: content dies at the scan — only (group, 8-byte gram
+    hash) pairs leave it, de-duplicated per group by a map-side-partial
+    groupBy. The pair counts come from a self-equi-join ON THE GRAM
+    KEY (never a doc-level or group-level cross join): each gram
+    contributes at most C(groups,2) pair rows, so the shuffled volume
+    is O(distinct grams x groups^2) with groups typically in the
+    tens. Pairs sharing ZERO shingles are omitted from the output (at
+    corpus scale the matrix is sparse; callers needing the dense
+    matrix outer-join against their group dictionary). For thousands
+    of groups, estimate with per-group MinHash signatures
+    (``minhash_signatures``) instead of exact counting.
+
+    Output: (group_a, group_b, n_grams_a, n_grams_b, n_common,
+    jaccard) with group_a < group_b, jaccard rounded to 1e-6.
+    """
+    toks = F.split(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k_shingle - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k_shingle))),
+    )
+    gset = (
+        df.filter(F.size(toks) >= k_shingle)
+        .select(F.col(group_col).alias("group_a"), F.explode(grams).alias("_gram"))
+        .distinct()
+    )
+    sizes = gset.groupBy("group_a").agg(F.count(F.lit(1)).alias("n_grams_a"))
+    inter = (
+        gset.join(
+            gset.select(
+                F.col("group_a").alias("group_b"), F.col("_gram")
+            ),
+            "_gram",
+        )
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes_b = sizes.select(
+        F.col("group_a").alias("group_b"), F.col("n_grams_a").alias("n_grams_b")
+    )
+    # per-group sizes are O(groups) rows — broadcast both dimension sides
+    out = inter.join(F.broadcast(sizes), "group_a").join(
+        F.broadcast(sizes_b), "group_b"
+    )
+    union = F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_common")
+    return out.select(
+        "group_a",
+        "group_b",
+        "n_grams_a",
+        "n_grams_b",
+        "n_common",
+        F.round(F.col("n_common") / union, 6).alias("jaccard"),
+    )

@@ -280,3 +280,63 @@ def token_budget_sample(
     )
     drop_cols = ("_tbs_key", "_tbs_bucket", "_tbs_tokens")
     return kept_full.unionByName(kept_boundary).drop(*drop_cols)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size overlapping character chunking — the context-window
+    prep step that turns documents into training/indexing units (the
+    complement of ``pack_sequences``, which concatenates SHORT docs;
+    this splits LONG ones). Chunk ``i`` covers characters
+    ``[i*stride, i*stride + chunk_size)``; chunks start while
+    ``i*stride < len`` so every character is covered and consecutive
+    chunks overlap by ``chunk_size - stride``. Empty/NULL documents
+    emit no chunks.
+
+    Pure per-row projection: ``sequence`` + ``posexplode`` +
+    ``substring`` inside codegen — no shuffle, no UDF, and output
+    order inherits scan order (callers sort if they need it). The
+    empty-doc filter runs BEFORE building the index sequence because
+    Spark's ``sequence(0, -1)`` counts DOWN (a 2-element descending
+    array), which would fabricate chunks for empty docs.
+
+    Output: (id, chunk_idx, chunk_start 0-based, chunk_len,
+    chunk_md5) — offsets + fingerprints, not the chunk text, so the
+    result stays narrow at 100 TB; callers re-slice lazily from the
+    source when materializing a chunk.
+    """
+    if chunk_size <= 0 or stride <= 0:
+        raise ValueError(
+            f"chunk_size and stride must be positive: {chunk_size}, {stride}"
+        )
+    if stride > chunk_size:
+        raise ValueError(
+            f"stride > chunk_size leaves coverage gaps: {stride} > {chunk_size}"
+        )
+    n = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    n_chunks = (F.floor((n - 1) / stride) + 1).cast("int")
+    chunk = F.substring(
+        F.col(text_col), F.col("chunk_idx") * stride + 1, chunk_size
+    )
+    return (
+        df.filter(n > 0)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+                "chunk_idx", "_v"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            (F.col("chunk_idx") * stride).cast("long").alias("chunk_start"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk.cast("binary")).alias("chunk_md5"),
+        )
+    )

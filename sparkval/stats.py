@@ -201,3 +201,48 @@ def merge_distinct_sketches(sketches: DataFrame, group_cols: list[str] | None = 
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_estimate"),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+def unigram_divergence(
+    corpus: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group distribution-shift report: KL(P_group || P_corpus)
+    over lowercased whitespace unigrams, plus token/vocabulary counts —
+    the mixture-drift metric that flags a source whose language has
+    moved away from the blend (new crawl snapshot suddenly full of
+    boilerplate, a wiki dump switching language, ...). KL is finite by
+    construction: every group term is a corpus term, so q > 0.
+
+    Plan shape: one scan -> explode -> groupBy(group, term) with
+    map-side partials (shuffled volume is per-task DISTINCT terms, not
+    occurrences); corpus marginals derive from that same counts table
+    (vocabulary-sized, NOT a second scan) and join back on the term
+    key; the final per-group reduce is O(groups). Content leaves the
+    scan only as individual terms. Sums are f64 over probabilities
+    rounded at 1e-6 — engine-replayable.
+    """
+    toks = F.split(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    terms = corpus.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(group_col).alias("group"), F.explode(toks).alias("term")
+    )
+    counts = terms.groupBy("group", "term").agg(F.count(F.lit(1)).alias("n"))
+    corpus_counts = counts.groupBy("term").agg(F.sum("n").alias("n_corpus"))
+    corpus_total = counts.agg(F.sum("n").alias("_total"))
+    group_totals = counts.groupBy("group").agg(F.sum("n").alias("n_tokens"))
+    joined = (
+        counts.join(corpus_counts, "term")
+        .join(F.broadcast(group_totals), "group")
+        .crossJoin(F.broadcast(corpus_total))  # 1-row scalar, not data
+    )
+    p = F.col("n") / F.col("n_tokens")
+    q = F.col("n_corpus") / F.col("_total")
+    return (
+        joined.groupBy("group")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_terms"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+        )
+    )

@@ -1,0 +1,248 @@
+"""Round-5 curation operators: snapshot diff, source-overlap matrix,
+unigram KL divergence, document chunking. Each op also has a driver
+oracle row (tools/check_entry.py) — these tests pin the SEMANTICS on
+hand-computable inputs plus the plan-discipline properties.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkval.constraints import corpus_diff, corpus_diff_report
+from sparkval.pipeline.dedup import group_overlap_matrix
+from sparkval.pipeline.sampling import chunk_documents
+from sparkval.stats import unigram_divergence
+
+
+# ---------------------------------------------------------------- corpus_diff
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_corpus_diff_statuses(spark):
+    prev = _docs(spark, [(1, "a"), (2, "b"), (3, "c"), (4, None)])
+    cur = _docs(spark, [(1, "a"), (2, "B!"), (5, "new"), (4, None)])
+    got = {
+        r["doc_id"]: r["status"] for r in corpus_diff(cur, prev).collect()
+    }
+    assert got == {
+        1: "unchanged", 2: "changed", 3: "removed", 5: "added", 4: "unchanged"
+    }
+
+
+def test_corpus_diff_null_vs_empty_is_changed(spark):
+    # NULL and '' must classify as changed (distinct states), which is
+    # why the fingerprint maps NULL to a sentinel instead of coalescing
+    prev = _docs(spark, [(1, "")])
+    cur = _docs(spark, [(1, None)])
+    [r] = corpus_diff(cur, prev).collect()
+    assert r["status"] == "changed"
+
+
+def test_corpus_diff_multi_content_cols(spark):
+    prev = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en")], "doc_id long, text string, lang string"
+    )
+    cur = spark.createDataFrame(
+        [(1, "a", "fr"), (2, "b", "en")], "doc_id long, text string, lang string"
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(cur, prev, content_cols=("text", "lang")).collect()
+    }
+    assert got == {1: "changed", 2: "unchanged"}
+
+
+def test_corpus_diff_report_counts(spark):
+    prev = _docs(spark, [(i, f"t{i}") for i in range(10)])
+    cur = _docs(
+        spark,
+        [(i, f"t{i}" if i % 3 else "edited") for i in range(8)]
+        + [(100, "new")],
+    )
+    rep = {
+        r["status"]: r["n_docs"]
+        for r in corpus_diff_report(corpus_diff(cur, prev)).collect()
+    }
+    # ids 0..7 survive; 0,3,6 edited (changed), 8,9 removed, 100 added
+    assert rep == {"added": 1, "removed": 2, "changed": 3, "unchanged": 5}
+
+
+def test_corpus_diff_plan_shuffles_fingerprints_not_content(spark, sf_dir):
+    from tests.conftest import load
+
+    docs = load(spark, sf_dir, "documents")
+    plan = corpus_diff(docs, docs)._jdf.queryExecution().executedPlan().toString()
+    # the Exchange partitions on the id only — the text column is
+    # consumed by the sha2 Project BELOW it and never crosses the wire
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------- group_overlap_matrix
+
+def test_group_overlap_matrix_hand_computed(spark):
+    # g1: shingles over 6 tokens -> {a b c d e, b c d e f}
+    # g2: same text             -> identical set, jaccard 1.0
+    # g3: disjoint text         -> no pair rows vs g1/g2 (sparse output)
+    df = spark.createDataFrame(
+        [
+            ("g1", "a b c d e f"),
+            ("g2", "a b c d e f"),
+            ("g3", "p q r s t u"),
+        ],
+        "source string, text string",
+    )
+    rows = group_overlap_matrix(df, k_shingle=5).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert (r["group_a"], r["group_b"]) == ("g1", "g2")
+    assert r["n_grams_a"] == r["n_grams_b"] == 2
+    assert r["n_common"] == 2 and r["jaccard"] == 1.0
+
+
+def test_group_overlap_matrix_partial_overlap(spark):
+    df = spark.createDataFrame(
+        [("g1", "a b c d e"), ("g2", "a b c d e x"), ("g2", "z z z z z")],
+        "source string, text string",
+    )
+    [r] = group_overlap_matrix(df, k_shingle=5).collect()
+    # g1={abcde}, g2={abcde, bcdex, zzzzz}: inter 1, union 3
+    assert r["n_common"] == 1 and r["n_grams_b"] == 3
+    assert r["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_group_overlap_short_docs_emit_nothing(spark):
+    df = spark.createDataFrame(
+        [("g1", "a b"), ("g2", None), ("g3", "")], "source string, text string"
+    )
+    assert group_overlap_matrix(df, k_shingle=5).count() == 0
+
+
+def test_group_overlap_plan_no_cartesian_no_python(spark, sf_dir):
+    from tests.conftest import load
+
+    docs = load(spark, sf_dir, "documents")
+    plan = (
+        group_overlap_matrix(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------- unigram_divergence
+
+def test_unigram_divergence_uniform_groups_are_zero(spark):
+    # both groups have the corpus distribution -> KL exactly 0
+    df = spark.createDataFrame(
+        [("a", "x y"), ("b", "x y")], "source string, text string"
+    )
+    for r in unigram_divergence(df).collect():
+        assert r["kl_vs_corpus"] == 0.0
+        assert r["n_tokens"] == 2 and r["n_distinct_terms"] == 2
+
+
+def test_unigram_divergence_skewed_group_positive(spark):
+    df = spark.createDataFrame(
+        [("a", "x x x y"), ("b", "y y y x")], "source string, text string"
+    )
+    got = {r["group"]: r["kl_vs_corpus"] for r in unigram_divergence(df).collect()}
+    # p=(3/4,1/4) vs q=(1/2,1/2): KL = .75*ln(1.5)+.25*ln(.5)
+    import math
+
+    expect = round(0.75 * math.log(1.5) + 0.25 * math.log(0.5), 6)
+    assert got["a"] == pytest.approx(expect, abs=2e-6)
+    assert got["b"] == pytest.approx(expect, abs=2e-6)  # symmetric here
+
+
+def test_unigram_divergence_skips_empty_docs(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", ""), ("a", None)], "source string, text string"
+    )
+    [r] = unigram_divergence(df).collect()
+    assert r["n_tokens"] == 1
+
+
+# ------------------------------------------------------------ chunk_documents
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_chunk_documents_windows_and_hashes(spark):
+    text = "abcdefghij"  # len 10, C=4, S=3 -> starts 0,3,6,9
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_size=4, stride=3).orderBy("chunk_idx").collect()
+    assert [(r["chunk_start"], r["chunk_len"]) for r in rows] == [
+        (0, 4), (3, 4), (6, 4), (9, 1)
+    ]
+    assert rows[0]["chunk_md5"] == _md5("abcd")
+    assert rows[3]["chunk_md5"] == _md5("j")
+
+
+def test_chunk_documents_empty_and_null_emit_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "ab")], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, chunk_size=4, stride=3).collect()
+    assert [(r["doc_id"], r["chunk_idx"]) for r in rows] == [(3, 0)]
+
+
+def test_chunk_documents_exact_boundary(spark):
+    # len == stride: one chunk covers everything, no phantom 2nd chunk
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_size=4, stride=3).collect()
+    assert len(rows) == 1 and rows[0]["chunk_len"] == 3
+
+
+def test_chunk_documents_full_coverage_property(spark):
+    # every character position is covered by at least one chunk
+    df = spark.createDataFrame(
+        [(i, "x" * n) for i, n in enumerate([1, 5, 96, 97, 128, 129, 577])],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, chunk_size=128, stride=96).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    lens = [1, 5, 96, 97, 128, 129, 577]
+    for i, n in enumerate(lens):
+        spans = sorted(
+            (r["chunk_start"], r["chunk_start"] + r["chunk_len"])
+            for r in by_doc[i]
+        )
+        covered = 0
+        for s, e in spans:
+            assert s <= covered  # no gap
+            covered = max(covered, e)
+        assert covered == n
+
+
+def test_chunk_documents_rejects_gappy_stride(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=0, stride=0)
+
+
+def test_chunk_documents_plan_is_shuffle_free_codegen(spark, sf_dir):
+    from tests.conftest import load
+
+    docs = load(spark, sf_dir, "documents")
+    plan = (
+        chunk_documents(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "*(1)" in plan  # single whole-stage-codegen span, scan to output
