@@ -1819,6 +1819,38 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_nll_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-proxy scoring (pipeline.text.unigram_lm
+    + with_unigram_nll): per-doc mean negative log-likelihood under a
+    unigram LM built from the EVEN-id half of the corpus, scored over
+    the held-out ODD-id half — so the OOV smoothing path (add-one,
+    p = (n+1)/(total+|V|+1)) genuinely exercises. Plan: LM is a
+    vocabulary-sized broadcastable counts table; scoring is explode ->
+    term-key join -> per-doc reduce (content never shuffles, terms
+    do). Rounded at 1e-6; per-doc token counts are small so f64
+    summation order cannot surface."""
+    from sparkval.pipeline.text import unigram_lm, with_unigram_nll
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = unigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    scored = with_unigram_nll(docs.filter(F.col("doc_id") % 2 == 1), lm)
+    return scored.orderBy("doc_id")
+
+
+def q_source_signature_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TF-IDF signature terms (pipeline.text.
+    source_signature_terms): top-5 most characteristic terms per
+    source — the qualitative complement of the unigram-KL drift
+    number. The top-k window partitions the VOCABULARY-sized
+    (source, term) table, never corpus rows; tfidf is rounded at 1e-6
+    BEFORE ranking on both engines so the (tfidf DESC, term) cut is
+    total-ordered and engine-reproducible."""
+    from sparkval.pipeline.text import source_signature_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_signature_terms(docs, k=5).orderBy("group", "rank")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -1890,6 +1922,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap_documents": q_source_overlap_documents,
     "unigram_divergence_documents": q_unigram_divergence_documents,
     "chunk_documents": q_chunk_documents,
+    "unigram_nll_documents": q_unigram_nll_documents,
+    "source_signature_documents": q_source_signature_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2873,6 +2907,64 @@ ORACLE_SQL["chunk_documents"] = """
     WHERE text IS NOT NULL AND length(text) > 0
       AND g.i * 96 < length(text)
     ORDER BY doc_id, chunk_idx
+"""
+
+# unigram-NLL oracle: same even/odd LM split, same add-one smoothing
+# p=(n+1)/(total+|V|+1), ln() in nats on both engines.
+ORACLE_SQL["unigram_nll_documents"] = """
+    WITH lm AS (
+        SELECT term, count(*)::DOUBLE AS n FROM (
+            SELECT unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+                   '\\s+')) AS term
+            FROM documents WHERE doc_id % 2 = 0 AND trim(text) <> ''
+        ) GROUP BY term
+    ),
+    s AS (SELECT sum(n) AS total, count(*) AS vsize FROM lm),
+    toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+                      '\\s+')) AS term
+        FROM documents WHERE doc_id % 2 = 1 AND trim(text) <> ''
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           round(avg(CASE WHEN lm.term IS NULL THEN 1.0 ELSE 0.0 END), 6)
+               AS oov_frac,
+           round(avg(-ln((coalesce(lm.n, 0) + 1) / (s.total + s.vsize + 1))), 6)
+               AS mean_nll
+    FROM toks LEFT JOIN lm USING (term) CROSS JOIN s
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+# TF-IDF signature oracle: tfidf rounded at 1e-6 BEFORE the
+# (tfidf DESC, term) rank on both engines, making the top-5 cut
+# deterministic.
+ORACLE_SQL["source_signature_documents"] = """
+    WITH terms AS (
+        SELECT source AS grp,
+               unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+                      '\\s+')) AS term
+        FROM documents WHERE trim(text) <> ''
+    ),
+    c AS (SELECT grp, term, count(*) AS n FROM terms GROUP BY 1, 2),
+    gt AS (SELECT grp, sum(n) AS gtot FROM c GROUP BY 1),
+    dfreq AS (SELECT term, count(*) AS gdf FROM c GROUP BY 1),
+    ng AS (SELECT count(DISTINCT grp)::DOUBLE AS ngroups FROM c),
+    scored AS (
+        SELECT c.grp, c.term, c.n,
+               round((c.n::DOUBLE / gt.gtot) * ln(ng.ngroups / dfreq.gdf), 6)
+                   AS tfidf
+        FROM c JOIN gt USING (grp) JOIN dfreq USING (term) CROSS JOIN ng
+    ),
+    ranked AS (
+        SELECT grp, term, n, tfidf,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY tfidf DESC, term) AS rnk
+        FROM scored
+    )
+    SELECT grp AS "group", rnk::INTEGER AS rank, term,
+           n::BIGINT AS n_occurrences, tfidf
+    FROM ranked WHERE rnk <= 5 ORDER BY "group", rank
 """
 
 

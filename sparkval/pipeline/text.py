@@ -269,3 +269,126 @@ def with_repetition_stats(df: DataFrame, col: str = "text",
             | (dup_char_frac > dup_char_frac_max),
         )
     )
+
+
+def unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram language model as a (term, n) counts table over the
+    lowercased whitespace tokenization — the reference-corpus half of
+    the CCNet-style perplexity filter (``with_unigram_nll``). One
+    explode + one map-side-combined groupBy; the result is
+    vocabulary-sized and is the persistable artifact (build once from
+    the trusted corpus, score every candidate snapshot against it)."""
+    toks = F.split(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    return (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def with_unigram_nll(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood (nats/token) under a
+    ``unigram_lm`` counts table — the perplexity-proxy quality signal
+    of CCNet-style pipelines (Wenzek et al. 2020): docs scoring far
+    from the reference corpus are boilerplate, spam, or off-language.
+    Add-one smoothing handles OOV: p(term) = (n + 1) / (total + |V| +
+    1) with n = 0 for unseen terms, so every token has finite NLL and
+    the OOV fraction is reported alongside.
+
+    Plan shape: docs explode to (id, term); the LM joins on the term
+    key (vocabulary-sized — Spark broadcasts it under the adaptive
+    threshold, which covers even web-scale unigram vocabularies at a
+    few hundred MB; the two LM scalars ride a 1-row broadcast); the
+    per-doc reduce shuffles (id, nll) pairs, O(tokens) x ~16 B. At
+    100 TB the explode+reduce is the honest cost of token-level
+    scoring — content itself never shuffles, only terms do.
+
+    Output adds: ``n_tokens``, ``oov_frac``, ``mean_nll`` (1e-6
+    rounded). Empty/NULL docs are excluded (no tokens to score).
+    """
+    # coalesce: an EMPTY lm (cold-start scoring) must degrade to the
+    # uniform p = 1/(0 + 0 + 1) = 1 smoothing floor, not a NULL divide
+    scalars = lm.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("double").alias("_lm_total"),
+        F.count(F.lit(1)).cast("double").alias("_lm_vsize"),
+    )
+    toks = F.split(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    terms = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), F.explode(toks).alias("term")
+    )
+    joined = terms.join(lm, "term", "left").crossJoin(F.broadcast(scalars))
+    p = (F.coalesce(F.col("n"), F.lit(0)) + 1) / (
+        F.col("_lm_total") + F.col("_lm_vsize") + 1
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.col("n").isNull().cast("double")), 6).alias("oov_frac"),
+        F.round(F.avg(-F.log(p)), 6).alias("mean_nll"),
+    )
+
+
+def source_signature_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-group TF-IDF signature terms: the ``k`` terms most
+    characteristic of each group (tf = group term frequency, idf =
+    ln(n_groups / group-document-frequency)) — the domain-signature
+    report a mixture curator reads to see WHAT a source actually
+    contains (the qualitative complement of ``unigram_divergence``'s
+    single KL number).
+
+    Plan shape: one explode -> (group, term) counts with map-side
+    partials; document frequency and group totals derive from that
+    same table; the top-k window partitions the VOCABULARY-SIZED
+    (group, term) table by group — never corpus rows. Ties break on
+    the term string so the cut is total-ordered."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    toks = F.split(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    terms = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(group_col).alias("group"), F.explode(toks).alias("term")
+    )
+    counts = terms.groupBy("group", "term").agg(F.count(F.lit(1)).alias("n"))
+    group_totals = counts.groupBy("group").agg(F.sum("n").alias("_gtot"))
+    gdf = counts.groupBy("term").agg(F.count(F.lit(1)).alias("_gdf"))
+    n_groups = counts.select("group").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("_ngroups")
+    )
+    scored = (
+        counts.join(F.broadcast(group_totals), "group")
+        .join(gdf, "term")
+        .crossJoin(F.broadcast(n_groups))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("n") / F.col("_gtot"))
+                * F.log(F.col("_ngroups") / F.col("_gdf")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("group").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("group", "rank", "term", F.col("n").alias("n_occurrences"), "tfidf")
+    )

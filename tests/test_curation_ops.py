@@ -246,3 +246,95 @@ def test_chunk_documents_plan_is_shuffle_free_codegen(spark, sf_dir):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "*(1)" in plan  # single whole-stage-codegen span, scan to output
+
+
+# ------------------------------------------------- unigram LM NLL scoring
+
+def test_unigram_nll_hand_computed(spark):
+    import math
+
+    from sparkval.pipeline.text import unigram_lm, with_unigram_nll
+
+    ref = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    lm = unigram_lm(ref)
+    assert {r["term"]: r["n"] for r in lm.collect()} == {"a": 2, "b": 1}
+    # total=3, |V|=2 -> denom 6; p(a)=3/6, p(OOV c)=1/6
+    target = spark.createDataFrame([(10, "a c")], "doc_id long, text string")
+    [r] = with_unigram_nll(target, lm).collect()
+    assert r["n_tokens"] == 2 and r["oov_frac"] == 0.5
+    assert r["mean_nll"] == pytest.approx(
+        round((math.log(2) + math.log(6)) / 2, 6), abs=1e-6
+    )
+
+
+def test_unigram_nll_empty_lm_uniform_floor(spark):
+    from sparkval.pipeline.text import unigram_lm, with_unigram_nll
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    target = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    [r] = with_unigram_nll(target, unigram_lm(empty)).collect()
+    # p = 1/(0+0+1) = 1 -> nll 0, everything OOV
+    assert r["mean_nll"] == 0.0 and r["oov_frac"] == 1.0
+
+
+def test_unigram_nll_excludes_empty_docs(spark):
+    from sparkval.pipeline.text import unigram_lm, with_unigram_nll
+
+    ref = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "a")], "doc_id long, text string"
+    )
+    rows = with_unigram_nll(target, unigram_lm(ref)).collect()
+    assert [r["doc_id"] for r in rows] == [3]
+
+
+# ------------------------------------------------- TF-IDF signature terms
+
+def test_source_signature_hand_computed(spark):
+    import math
+
+    from sparkval.pipeline.text import source_signature_terms
+
+    df = spark.createDataFrame(
+        [("g1", "x x y"), ("g2", "y z")], "source string, text string"
+    )
+    rows = source_signature_terms(df, k=5).orderBy("group", "rank").collect()
+    got = [(r["group"], r["rank"], r["term"], r["tfidf"]) for r in rows]
+    assert got == [
+        ("g1", 1, "x", pytest.approx(round(2 / 3 * math.log(2), 6))),
+        ("g1", 2, "y", 0.0),
+        ("g2", 1, "z", pytest.approx(round(1 / 2 * math.log(2), 6))),
+        ("g2", 2, "y", 0.0),
+    ]
+
+
+def test_source_signature_k_cut_and_validation(spark):
+    from sparkval.pipeline.text import source_signature_terms
+
+    df = spark.createDataFrame(
+        [("g1", "a b c d e"), ("g2", "f")], "source string, text string"
+    )
+    rows = source_signature_terms(df, k=2).collect()
+    assert max(r["rank"] for r in rows) <= 2
+    with pytest.raises(ValueError):
+        source_signature_terms(df, k=0)
+
+
+def test_nll_and_signature_plans_no_python_no_cartesian_on_data(spark, sf_dir):
+    from tests.conftest import load
+    from sparkval.pipeline.text import (
+        source_signature_terms,
+        unigram_lm,
+        with_unigram_nll,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    for out in (
+        with_unigram_nll(docs, unigram_lm(docs)),
+        source_signature_terms(docs),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        # the only nested-loop join allowed is the 1-row scalar broadcast
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
