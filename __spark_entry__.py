@@ -1851,6 +1851,46 @@ def q_source_signature_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_signature_terms(docs, k=5).orderBy("group", "rank")
 
 
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (pipeline.events.retention_cohorts):
+    cohort = ISO week of first event, per-(cohort, offset) distinct
+    active users + retention fraction. Both engines truncate weeks to
+    Monday and difference week-starts in whole days / 7, so the
+    offset arithmetic is exact. The user-key exchange is shared
+    between the first-event and distinct-activity tables; final
+    aggregates are O(weeks^2)."""
+    from sparkval.pipeline.events import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    out = retention_cohorts(ev)
+    return out.select(
+        F.date_format("cohort_week", _TS_FMT).alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        "retention",
+    ).orderBy("cohort_week", "week_offset")
+
+
+def q_random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection (pipeline.similarity.random_projection):
+    64->16 dims through the closed-form sparse sign matrix
+    R[i][j] = ((i*37 + j*211 + 7) % 3) - 1, scaled sqrt(3/(2*16)).
+    The oracle regenerates the SAME matrix from the same arithmetic
+    on a constant 0..63 x 0..15 grid and recomputes every projected
+    element (float32 inputs cast to f64 on both engines; elements
+    rounded at 1e-6, absorbing f64 summation-order differences over
+    the 64-term dot products). Result is exploded to scalar rows so
+    the driver's typed value hash covers every element."""
+    from sparkval.pipeline.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, out_dim=16)
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("dim", "value")
+    ).orderBy("vec_id", "dim")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -1924,6 +1964,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "unigram_nll_documents": q_unigram_nll_documents,
     "source_signature_documents": q_source_signature_documents,
+    "events_retention_cohorts": q_events_retention_cohorts,
+    "random_projection_embeddings": q_random_projection_embeddings,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2965,6 +3007,51 @@ ORACLE_SQL["source_signature_documents"] = """
     SELECT grp AS "group", rnk::INTEGER AS rank, term,
            n::BIGINT AS n_occurrences, tfidf
     FROM ranked WHERE rnk <= 5 ORDER BY "group", rank
+"""
+
+# retention oracle: same Monday week-truncation, whole-day differences
+# // 7 (week starts are exactly 7k days apart), exact distinct counts.
+ORACLE_SQL["events_retention_cohorts"] = """
+    WITH f AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    ),
+    sz AS (SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY 1),
+    j AS (
+        SELECT f.cohort_week,
+               (date_diff('day', f.cohort_week, a.w) // 7)::INTEGER
+                   AS week_offset,
+               a.user_id
+        FROM a JOIN f USING (user_id)
+    )
+    SELECT strftime(j.cohort_week, '%Y-%m-%d %H:%M:%S') AS cohort_week,
+           week_offset,
+           count(DISTINCT user_id)::BIGINT AS n_active,
+           any_value(sz.cohort_size)::BIGINT AS cohort_size,
+           round(count(DISTINCT user_id)::DOUBLE
+                 / any_value(sz.cohort_size), 6) AS retention
+    FROM j JOIN sz USING (cohort_week)
+    GROUP BY j.cohort_week, week_offset
+    ORDER BY 1, 2
+"""
+
+# JL-projection oracle: regenerate the closed-form sign matrix on a
+# constant grid and recompute each element; ::DOUBLE lifts the
+# float32 embedding values exactly, as numpy's astype(f64) does.
+ORACLE_SQL["random_projection_embeddings"] = """
+    SELECT vec_id,
+           j.j::INTEGER AS dim,
+           round(sum(embedding[i.i + 1]::DOUBLE
+                     * (((i.i * 37 + j.j * 211 + 7) % 3) - 1))
+                 * sqrt(3.0 / 32.0), 6) AS value
+    FROM embeddings,
+         generate_series(0, 15) j(j),
+         generate_series(0, 63) i(i)
+    GROUP BY vec_id, j.j
+    ORDER BY vec_id, dim
 """
 
 

@@ -235,3 +235,40 @@ def funnel_steps(
             ),
         )
     )
+
+
+def retention_cohorts(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Weekly cohort retention: each user joins the cohort of their
+    first event's ISO week (date_trunc 'week' = Monday on both Spark
+    and the SQL oracle); for every (cohort_week, week_offset) the
+    report counts distinct active users and the retention fraction of
+    the cohort — the standard activation/stickiness table of product
+    analytics, and for a training pipeline the freshness profile of a
+    rolling crawl (how much of week-0's producer population is still
+    emitting at week N).
+
+    Plan shape: first-event and distinct-activity tables both hash on
+    the user key, so the activity->cohort join reuses one exchange;
+    the final aggregates are O(weeks^2) rows and cohort sizes
+    broadcast back. countDistinct is exact (the row space is already
+    (user, week) distinct, so the final agg counts pre-deduped rows).
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    firsts = events.groupBy(user_col).agg(F.min(week).alias("cohort_week"))
+    active = events.select(F.col(user_col), week.alias("_week")).distinct()
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    offset = (F.datediff(F.col("_week"), F.col("cohort_week")) / 7).cast("int")
+    return (
+        active.join(firsts, user_col)
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .withColumn(
+            "retention",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6),
+        )
+    )

@@ -600,3 +600,67 @@ def dedupe_near_duplicates_cosine(
         embeddings, threshold, id_col, vec_col, n_planes, n_tables, dim
     )
     return keep_canonical_from_pairs(embeddings, pairs.select("a", "b"), id_col)
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: map each embedding to
+    ``out_dim`` dimensions through a deterministic sparse sign matrix
+    (Achlioptas-style {-1, 0, +1} entries) — the ANN cost reducer: a
+    64->16 projection cuts every downstream brute-force/LSH matmul 4x
+    while approximately preserving pairwise distances.
+
+    The matrix entry is the CLOSED FORM
+    ``R[i][j] = ((i*37 + j*211 + seed) % 3) - 1`` scaled by
+    ``sqrt(3 / (2*out_dim))`` (unit-variance entries, so squared
+    norms are preserved in expectation). A closed form rather than a
+    seeded RNG makes the projection engine-replayable: the SQL oracle
+    regenerates the identical matrix from the same arithmetic, and
+    any two runs (or engines) agree bit-for-bit on the matrix.
+
+    Scale shape: one vectorized Arrow pass (numpy matmul per batch);
+    the matrix is built once per task from the closed form (no
+    broadcast needed), embeddings cross to Python exactly once, and
+    the output is (id, out_dim floats) — 4x narrower than the input
+    at the default shape. Elements round at 1e-6.
+    """
+    if out_dim <= 0:
+        raise ValueError(f"out_dim must be positive: {out_dim}")
+    scale = float(np.sqrt(3.0 / (2.0 * out_dim)))
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("projected", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r_cache: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = mat.shape[1]
+            if d not in r_cache:
+                i = np.arange(d)[:, None]
+                j = np.arange(out_dim)[None, :]
+                r_cache[d] = (
+                    ((i * 37 + j * 211 + seed) % 3) - 1
+                ).astype(np.float64) * scale
+            proj = np.round(mat @ r_cache[d], 6)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "projected": list(proj),
+                }
+            )
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col)
+    ).mapInPandas(project, schema)

@@ -338,3 +338,121 @@ def test_nll_and_signature_plans_no_python_no_cartesian_on_data(spark, sf_dir):
         assert "CartesianProduct" not in plan
         # the only nested-loop join allowed is the 1-row scalar broadcast
         assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+# ------------------------------------------------------- retention_cohorts
+
+def test_retention_cohorts_hand_computed(spark):
+    from sparkval.pipeline.events import retention_cohorts
+
+    # Mondays: 2024-01-01, 01-08, 01-15. u1 active wk0+wk1, u2 wk0
+    # only, u3 joins wk1 and returns wk2.
+    rows = [
+        ("u1", "2024-01-02 10:00:00"), ("u1", "2024-01-09 10:00:00"),
+        ("u2", "2024-01-03 10:00:00"),
+        ("u3", "2024-01-10 10:00:00"), ("u3", "2024-01-16 10:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    got = {
+        (r["cohort_week"].isoformat(), r["week_offset"]): (
+            r["n_active"], r["cohort_size"], r["retention"]
+        )
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01T00:00:00", 0): (2, 2, 1.0),
+        ("2024-01-01T00:00:00", 1): (1, 2, 0.5),
+        ("2024-01-08T00:00:00", 0): (1, 1, 1.0),
+        ("2024-01-08T00:00:00", 1): (1, 1, 1.0),
+    }
+
+
+def test_retention_cohorts_week0_always_full(spark, sf_dir):
+    from tests.conftest import load
+    from sparkval.pipeline.events import retention_cohorts
+
+    ev = load(spark, sf_dir, "events")
+    rows = retention_cohorts(ev).collect()
+    for r in rows:
+        if r["week_offset"] == 0:
+            # every cohort member is active in their own first week
+            assert r["n_active"] == r["cohort_size"] and r["retention"] == 1.0
+        assert 0 < r["n_active"] <= r["cohort_size"]
+
+
+# ------------------------------------------------------ random_projection
+
+def test_random_projection_one_hot_recovers_matrix_row(spark):
+    import math
+
+    from sparkval.pipeline.similarity import random_projection
+
+    # projecting e_i returns row i of the scaled sign matrix
+    d, k, seed = 8, 4, 7
+    one_hot = [(i, [1.0 if j == i else 0.0 for j in range(d)]) for i in range(d)]
+    df = spark.createDataFrame(one_hot, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["projected"] for r in
+           random_projection(df, out_dim=k, seed=seed).collect()}
+    scale = math.sqrt(3.0 / (2 * k))
+    for i in range(d):
+        expect = [
+            round((((i * 37 + j * 211 + seed) % 3) - 1) * scale, 6)
+            for j in range(k)
+        ]
+        assert got[i] == expect
+
+
+def test_random_projection_deterministic_and_validated(spark, sf_dir):
+    import pytest as _pytest
+
+    from tests.conftest import load
+    from sparkval.pipeline.similarity import random_projection
+
+    emb = load(spark, sf_dir, "embeddings").limit(50)
+    a = random_projection(emb, out_dim=16).orderBy("vec_id").collect()
+    b = random_projection(emb, out_dim=16).orderBy("vec_id").collect()
+    assert [r["projected"] for r in a] == [r["projected"] for r in b]
+    assert len(a[0]["projected"]) == 16
+    with _pytest.raises(ValueError):
+        random_projection(emb, out_dim=0)
+
+
+def test_random_projection_preserves_norms_in_aggregate(spark, sf_dir):
+    import numpy as np
+
+    from tests.conftest import load
+    from sparkval.pipeline.similarity import random_projection
+
+    emb = load(spark, sf_dir, "embeddings").limit(200)
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    proj = {r["vec_id"]: np.array(r["projected"])
+            for r in random_projection(emb, out_dim=16).collect()}
+    ratios = [
+        np.linalg.norm(proj[i]) / max(np.linalg.norm(orig[i]), 1e-12)
+        for i in orig
+    ]
+    # JL with unit-variance entries: squared-norm ratio concentrates
+    # around 1; the MEAN over 200 vectors must be close even though
+    # individual vectors can deviate
+    assert 0.8 < float(np.mean(np.square(ratios))) < 1.25
+
+
+def test_retention_and_projection_plan_discipline(spark, sf_dir):
+    from tests.conftest import load
+    from sparkval.pipeline.events import retention_cohorts
+    from sparkval.pipeline.similarity import random_projection
+
+    ev = load(spark, sf_dir, "events")
+    plan = retention_cohorts(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+    emb = load(spark, sf_dir, "embeddings")
+    pplan = (
+        random_projection(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in pplan
+    assert "MapInPandas" in pplan or "ArrowEvalPython" in pplan
+    assert "Exchange" not in pplan  # projection is a pure scan-side map
