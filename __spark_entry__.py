@@ -1834,7 +1834,13 @@ def q_unigram_nll_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     lm = unigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
     scored = with_unigram_nll(docs.filter(F.col("doc_id") % 2 == 1), lm)
-    return scored.orderBy("doc_id")
+    # with_* keeps every input row (empty docs score NULL); the oracle
+    # covers the scored rows
+    return (
+        scored.filter(F.col("n_tokens").isNotNull())
+        .select("doc_id", "n_tokens", "oov_frac", "mean_nll")
+        .orderBy("doc_id")
+    )
 
 
 def q_source_signature_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1874,8 +1880,9 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection (pipeline.similarity.random_projection):
-    64->16 dims through the closed-form sparse sign matrix
-    R[i][j] = ((i*37 + j*211 + 7) % 3) - 1, scaled sqrt(3/(2*16)).
+    64->16 dims through the closed-form full-rank sign matrix
+    R[i][j] = ((((i*2654435761+7) % p) * ((j*40503+2654435789) % p))
+    % p) % 3 - 1 with p = 2^31-1, scaled sqrt(3/(2*16)).
     The oracle regenerates the SAME matrix from the same arithmetic
     on a constant 0..63 x 0..15 grid and recomputes every projected
     element (float32 inputs cast to f64 on both engines; elements
@@ -3045,7 +3052,9 @@ ORACLE_SQL["random_projection_embeddings"] = """
     SELECT vec_id,
            j.j::INTEGER AS dim,
            round(sum(embedding[i.i + 1]::DOUBLE
-                     * (((i.i * 37 + j.j * 211 + 7) % 3) - 1))
+                     * ((((((i.i * 2654435761 + 7) % 2147483647)
+                           * ((j.j * 40503 + 2654435789) % 2147483647))
+                          % 2147483647) % 3) - 1))
                  * sqrt(3.0 / 32.0), 6) AS value
     FROM embeddings,
          generate_series(0, 15) j(j),

@@ -447,16 +447,22 @@ def corpus_diff(
     join moves only (id, 64-char hex) pairs (~100 B/row at any content
     size), exactly the manifest-check plan. If both snapshots are
     bucketed by ``id_col`` the join is shuffle-free; AQE skew-join
-    covers hot ids otherwise. Multi-column content is fingerprinted
-    as a single sha256 over a 0x1F-joined projection (NULLs map to a
-    sentinel so NULL vs '' vs missing-row all classify distinctly).
+    covers hot ids otherwise. The multi-column fingerprint is
+    INJECTIVE: each column maps to either the token ``null`` (not
+    valid hex, so it can never collide with a sha256 digest) or its
+    own sha256, and the fixed-alphabet token string is hashed once —
+    separator-joined RAW values would not be ('x\\x1f' + '' would
+    equal 'x' + '\\x1f'), and a raw NULL sentinel could collide with
+    content that IS the sentinel.
     """
     def _fp() -> F.Column:
         parts = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            F.when(F.col(c).isNull(), F.lit("null")).otherwise(
+                F.sha2(F.col(c).cast("string"), 256)
+            )
             for c in content_cols
         ]
-        return F.sha2(F.concat_ws("\x1f", *parts), 256)
+        return F.sha2(F.concat(*parts), 256)
 
     cur = current.select(
         F.col(id_col), _fp().alias("_fp_cur"), F.lit(True).alias("_in_cur")

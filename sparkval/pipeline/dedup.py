@@ -1014,16 +1014,13 @@ def group_overlap_matrix(
     Output: (group_a, group_b, n_grams_a, n_grams_b, n_common,
     jaccard) with group_a < group_b, jaccard rounded to 1e-6.
     """
-    toks = F.split(
-        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
-    )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k_shingle - 1)),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k_shingle))),
-    )
+    # the contamination tokenizer/windowing, reused verbatim (id_col
+    # generalizes to the group key) — one definition of the shingle
+    # stream across decontaminate/spans/overlap
     gset = (
-        df.filter(F.size(toks) >= k_shingle)
-        .select(F.col(group_col).alias("group_a"), F.explode(grams).alias("_gram"))
+        ngram_hash_stream(df, text_col, id_col=group_col, n=k_shingle)
+        .select(F.col(group_col).alias("group_a"),
+                F.col("gram_hash").alias("_gram"))
         .distinct()
     )
     sizes = gset.groupBy("group_a").agg(F.count(F.lit(1)).alias("n_grams_a"))

@@ -615,13 +615,24 @@ def random_projection(
     64->16 projection cuts every downstream brute-force/LSH matmul 4x
     while approximately preserving pairwise distances.
 
-    The matrix entry is the CLOSED FORM
-    ``R[i][j] = ((i*37 + j*211 + seed) % 3) - 1`` scaled by
-    ``sqrt(3 / (2*out_dim))`` (unit-variance entries, so squared
-    norms are preserved in expectation). A closed form rather than a
-    seeded RNG makes the projection engine-replayable: the SQL oracle
-    regenerates the identical matrix from the same arithmetic, and
-    any two runs (or engines) agree bit-for-bit on the matrix.
+    The matrix entry is the CLOSED FORM (p = 2^31 - 1, a Mersenne
+    prime)::
+
+        a(i) = (i*2654435761 + seed)       % p
+        b(j) = (j*40503 + 2654435789)      % p
+        R[i][j] = ((a(i) * b(j)) % p) % 3 - 1
+
+    scaled by ``sqrt(3 / (2*out_dim))`` (unit-variance entries, so
+    squared norms are preserved in expectation). The MULTIPLICATIVE
+    mixing through the prime modulus is load-bearing: any
+    affine-in-(i, j) form reduced mod 3 factors through (i + j) mod 3
+    and collapses the matrix to rank 2 (distinct inputs project to
+    identical outputs) — this form is full-rank (verified to 256x32
+    in tests) with each factor < 2^31 so the product stays exact in
+    int64/BIGINT arithmetic on every engine. A closed form rather
+    than a seeded RNG makes the projection engine-replayable: the SQL
+    oracle regenerates the identical matrix from the same arithmetic,
+    and any two runs (or engines) agree bit-for-bit on the matrix.
 
     Scale shape: one vectorized Arrow pass (numpy matmul per batch);
     the matrix is built once per task from the closed form (no
@@ -648,15 +659,20 @@ def random_projection(
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             d = mat.shape[1]
             if d not in r_cache:
-                i = np.arange(d)[:, None]
-                j = np.arange(out_dim)[None, :]
-                r_cache[d] = (
-                    ((i * 37 + j * 211 + seed) % 3) - 1
-                ).astype(np.float64) * scale
+                p = 2147483647
+                i = np.arange(d, dtype=np.int64)[:, None]
+                j = np.arange(out_dim, dtype=np.int64)[None, :]
+                a = (i * 2654435761 + seed) % p
+                b = (j * 40503 + 2654435789) % p
+                r_cache[d] = ((((a * b) % p) % 3) - 1).astype(
+                    np.float64
+                ) * scale
             proj = np.round(mat @ r_cache[d], 6)
+            # the select below aliased id_col to vec_id, so the Arrow
+            # batch always carries the output name
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf[id_col].to_numpy(),
+                    "vec_id": pdf["vec_id"].to_numpy(),
                     "projected": list(proj),
                 }
             )

@@ -271,6 +271,17 @@ def with_repetition_stats(df: DataFrame, col: str = "text",
     )
 
 
+def _ws_tokens(col: str) -> F.Column:
+    """Lowercased whitespace tokenization shared by the LM / KL /
+    TF-IDF family (``unigram_lm``, ``with_unigram_nll``,
+    ``source_signature_terms``, ``stats.unigram_divergence``) and
+    replayed verbatim by their SQL oracles: trim FIRST (Pattern.split
+    emits empty boundary tokens otherwise), lowercase, split on \\s+.
+    One definition so the four ops — documented as complements of
+    each other — cannot drift apart on tokenization."""
+    return F.split(F.trim(F.lower(F.coalesce(F.col(col), F.lit("")))), r"\s+")
+
+
 def unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Unigram language model as a (term, n) counts table over the
     lowercased whitespace tokenization — the reference-corpus half of
@@ -278,12 +289,9 @@ def unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     explode + one map-side-combined groupBy; the result is
     vocabulary-sized and is the persistable artifact (build once from
     the trusted corpus, score every candidate snapshot against it)."""
-    toks = F.split(
-        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
-    )
     return (
         df.filter(F.trim(F.col(text_col)) != "")
-        .select(F.explode(toks).alias("term"))
+        .select(F.explode(_ws_tokens(text_col)).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -311,8 +319,12 @@ def with_unigram_nll(
     100 TB the explode+reduce is the honest cost of token-level
     scoring — content itself never shuffles, only terms do.
 
-    Output adds: ``n_tokens``, ``oov_frac``, ``mean_nll`` (1e-6
-    rounded). Empty/NULL docs are excluded (no tokens to score).
+    Output ADDS ``n_tokens``, ``oov_frac``, ``mean_nll`` (1e-6
+    rounded) to the input columns — the ``with_*`` contract every
+    sibling here follows, so callers can filter on the score and keep
+    their rows. Empty/NULL docs score NULL on all three (no tokens).
+    The per-doc aggregate joins back on the id key, reusing the
+    reduce's own hash partitioning.
     """
     # coalesce: an EMPTY lm (cold-start scoring) must degrade to the
     # uniform p = 1/(0 + 0 + 1) = 1 smoothing floor, not a NULL divide
@@ -320,21 +332,19 @@ def with_unigram_nll(
         F.coalesce(F.sum("n"), F.lit(0)).cast("double").alias("_lm_total"),
         F.count(F.lit(1)).cast("double").alias("_lm_vsize"),
     )
-    toks = F.split(
-        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
-    )
     terms = df.filter(F.trim(F.col(text_col)) != "").select(
-        F.col(id_col), F.explode(toks).alias("term")
+        F.col(id_col), F.explode(_ws_tokens(text_col)).alias("term")
     )
     joined = terms.join(lm, "term", "left").crossJoin(F.broadcast(scalars))
     p = (F.coalesce(F.col("n"), F.lit(0)) + 1) / (
         F.col("_lm_total") + F.col("_lm_vsize") + 1
     )
-    return joined.groupBy(id_col).agg(
+    scores = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg(F.col("n").isNull().cast("double")), 6).alias("oov_frac"),
         F.round(F.avg(-F.log(p)), 6).alias("mean_nll"),
     )
+    return df.join(scores, id_col, "left")
 
 
 def source_signature_terms(
@@ -359,11 +369,9 @@ def source_signature_terms(
 
     if k <= 0:
         raise ValueError(f"k must be positive: {k}")
-    toks = F.split(
-        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
-    )
     terms = df.filter(F.trim(F.col(text_col)) != "").select(
-        F.col(group_col).alias("group"), F.explode(toks).alias("term")
+        F.col(group_col).alias("group"),
+        F.explode(_ws_tokens(text_col)).alias("term"),
     )
     counts = terms.groupBy("group", "term").agg(F.count(F.lit(1)).alias("n"))
     group_totals = counts.groupBy("group").agg(F.sum("n").alias("_gtot"))

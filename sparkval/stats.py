@@ -221,11 +221,14 @@ def unigram_divergence(
     scan only as individual terms. Sums are f64 over probabilities
     rounded at 1e-6 — engine-replayable.
     """
-    toks = F.split(
-        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
-    )
+    # the shared LM/KL/TF-IDF tokenizer (one definition, oracles
+    # replay it verbatim); local import keeps core->pipeline layering
+    # lazy
+    from sparkval.pipeline.text import _ws_tokens
+
     terms = corpus.filter(F.trim(F.col(text_col)) != "").select(
-        F.col(group_col).alias("group"), F.explode(toks).alias("term")
+        F.col(group_col).alias("group"),
+        F.explode(_ws_tokens(text_col)).alias("term"),
     )
     counts = terms.groupBy("group", "term").agg(F.count(F.lit(1)).alias("n"))
     corpus_counts = counts.groupBy("term").agg(F.sum("n").alias("n_corpus"))

@@ -277,15 +277,23 @@ def test_unigram_nll_empty_lm_uniform_floor(spark):
     assert r["mean_nll"] == 0.0 and r["oov_frac"] == 1.0
 
 
-def test_unigram_nll_excludes_empty_docs(spark):
+def test_unigram_nll_keeps_rows_and_nulls_empty_docs(spark):
+    # the with_* contract: every input row (and column) survives;
+    # empty/NULL docs have nothing to score -> NULL metrics
     from sparkval.pipeline.text import unigram_lm, with_unigram_nll
 
     ref = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     target = spark.createDataFrame(
         [(1, ""), (2, None), (3, "a")], "doc_id long, text string"
     )
-    rows = with_unigram_nll(target, unigram_lm(ref)).collect()
-    assert [r["doc_id"] for r in rows] == [3]
+    out = with_unigram_nll(target, unigram_lm(ref))
+    assert set(out.columns) == {
+        "doc_id", "text", "n_tokens", "oov_frac", "mean_nll"
+    }
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert rows[1]["mean_nll"] is None and rows[2]["n_tokens"] is None
+    assert rows[3]["n_tokens"] == 1
 
 
 # ------------------------------------------------- TF-IDF signature terms
@@ -396,9 +404,14 @@ def test_random_projection_one_hot_recovers_matrix_row(spark):
     got = {r["vec_id"]: r["projected"] for r in
            random_projection(df, out_dim=k, seed=seed).collect()}
     scale = math.sqrt(3.0 / (2 * k))
+    p = 2147483647
     for i in range(d):
         expect = [
-            round((((i * 37 + j * 211 + seed) % 3) - 1) * scale, 6)
+            round(
+                ((((i * 2654435761 + seed) % p)
+                  * ((j * 40503 + 2654435789) % p) % p) % 3 - 1) * scale,
+                6,
+            )
             for j in range(k)
         ]
         assert got[i] == expect
@@ -456,3 +469,46 @@ def test_retention_and_projection_plan_discipline(spark, sf_dir):
     assert "BatchEvalPython" not in pplan
     assert "MapInPandas" in pplan or "ArrowEvalPython" in pplan
     assert "Exchange" not in pplan  # projection is a pure scan-side map
+
+
+def test_random_projection_matrix_is_full_rank():
+    # regression: the first closed form ((i*37 + j*211 + s) % 3) - 1
+    # factored through (i + j) mod 3 -> rank 2, collapsing distinct
+    # embeddings onto identical projections. The multiplicative
+    # mod-prime form must stay full column rank at every shape we use.
+    import numpy as np
+
+    p = 2147483647
+    for d, k in [(8, 4), (64, 16), (256, 32)]:
+        i = np.arange(d, dtype=np.int64)[:, None]
+        j = np.arange(k, dtype=np.int64)[None, :]
+        a = (i * 2654435761 + 7) % p
+        b = (j * 40503 + 2654435789) % p
+        R = (((a * b) % p) % 3) - 1
+        assert np.linalg.matrix_rank(R) == k, (d, k)
+
+
+def test_random_projection_distinct_vectors_stay_distinct(spark):
+    # the rank-2 bug's concrete failure: x and x + (e1 - e4) projected
+    # to the SAME vector. Pin that sparse differences survive.
+    from sparkval.pipeline.similarity import random_projection
+
+    base = [0.0] * 64
+    bumped = list(base)
+    bumped[1], bumped[4] = 1.0, -1.0
+    df = spark.createDataFrame(
+        [(1, base), (2, [a + b_ for a, b_ in zip(base, bumped)])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r["projected"] for r in
+            random_projection(df, out_dim=16).collect()}
+    assert rows[1] != rows[2]
+
+
+def test_corpus_diff_sentinel_literal_content_is_changed(spark):
+    # regression: content equal to a would-be NULL sentinel must not
+    # classify as unchanged vs an actual NULL (injective fingerprint)
+    prev = _docs(spark, [(1, None), (2, "x\x1f")])
+    cur = _docs(spark, [(1, "\x00"), (2, "x")])
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(cur, prev).collect()}
+    assert got == {1: "changed", 2: "changed"}
