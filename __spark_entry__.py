@@ -1898,6 +1898,51 @@ def q_random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("vec_id", "dim")
 
 
+def q_mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection (stats.mad_outliers): per-event-type
+    MAD rule (|x - median| > 3.5 * 1.4826 * MAD) over event values,
+    summarized per group. Exact interpolating percentiles on both
+    engines (Spark percentile == DuckDB quantile_cont); medians and
+    MADs rounded at 1e-6, and the flag threshold sits far from any
+    data point so a last-ulp interpolation difference cannot flip a
+    count."""
+    from sparkval.stats import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = mad_outliers(ev, "value", "event_type")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+            F.round(F.first("group_median"), 6).alias("median_value"),
+            F.round(F.first("group_mad"), 6).alias("mad_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (stats.psi_report): the production
+    drift gate between a reference (even event ids) and a current
+    snapshot (odd ids with values scaled 1.25x — a planted shift, so
+    PSI must come out positive) per event type, over fixed [0, 500)
+    10-bin histograms. Closed-form binning from explicit bounds keeps
+    PSI comparable across runs; +0.5/bin Laplace smoothing keeps
+    empty bins finite. Each side collapses to O(groups x 10) counts
+    at the scan."""
+    from sparkval.stats import psi_report
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "value", F.col("value") * 1.25
+    )
+    out = psi_report(cur, ref, "value", lo=0.0, hi=500.0, n_bins=10,
+                     group_col="event_type")
+    return out.orderBy("event_type")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -1973,6 +2018,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_signature_documents": q_source_signature_documents,
     "events_retention_cohorts": q_events_retention_cohorts,
     "random_projection_embeddings": q_random_projection_embeddings,
+    "mad_outliers_events": q_mad_outliers_events,
+    "psi_events": q_psi_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3061,6 +3108,80 @@ ORACLE_SQL["random_projection_embeddings"] = """
          generate_series(0, 63) i(i)
     GROUP BY vec_id, j.j
     ORDER BY vec_id, dim
+"""
+
+# MAD oracle: quantile_cont is the same interpolating exact quantile
+# as Spark's percentile(); the 3.5-scaled-MAD threshold sits far from
+# any data point, so a last-ulp interpolation difference cannot flip
+# an outlier count.
+ORACLE_SQL["mad_outliers_events"] = """
+    WITH e AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM e GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, abs(e.value - med.m) AS ad, med.m AS m
+        FROM e JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(ad, 0.5) AS md
+        FROM dev GROUP BY 1
+    )
+    SELECT dev.event_type,
+           count(*)::BIGINT AS n,
+           sum(CASE WHEN dev.ad > 3.5 * 1.4826 * mad.md
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           round(any_value(dev.m), 6) AS median_value,
+           round(any_value(mad.md), 6) AS mad_value
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY 1 ORDER BY 1
+"""
+
+# PSI oracle: identical closed-form binning (floor((v-lo)/50), clamped
+# to [0, 9]), +0.5 Laplace smoothing with denominator +0.5*n_bins.
+ORACLE_SQL["psi_events"] = """
+    WITH cur AS (
+        SELECT event_type, value * 1.25 AS v FROM events
+        WHERE value IS NOT NULL AND event_id % 2 = 1
+    ),
+    ref AS (
+        SELECT event_type, value AS v FROM events
+        WHERE value IS NOT NULL AND event_id % 2 = 0
+    ),
+    cb AS (
+        SELECT event_type,
+               least(greatest(floor(v / 50.0), 0), 9)::INT AS bin,
+               count(*) AS n_cur
+        FROM cur GROUP BY 1, 2
+    ),
+    rb AS (
+        SELECT event_type,
+               least(greatest(floor(v / 50.0), 0), 9)::INT AS bin,
+               count(*) AS n_ref
+        FROM ref GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT coalesce(cb.event_type, rb.event_type) AS event_type,
+               coalesce(cb.n_cur, 0) AS n_cur,
+               coalesce(rb.n_ref, 0) AS n_ref
+        FROM cb FULL OUTER JOIN rb
+          ON cb.event_type = rb.event_type AND cb.bin = rb.bin
+    ),
+    t AS (
+        SELECT event_type, sum(n_cur) AS tc, sum(n_ref) AS tr
+        FROM j GROUP BY 1
+    )
+    SELECT j.event_type,
+           round(sum(((n_cur + 0.5) / (tc + 5.0) - (n_ref + 0.5) / (tr + 5.0))
+                     * ln(((n_cur + 0.5) / (tc + 5.0))
+                          / ((n_ref + 0.5) / (tr + 5.0)))), 6) AS psi,
+           sum(n_cur)::BIGINT AS n_current,
+           sum(n_ref)::BIGINT AS n_reference
+    FROM j JOIN t USING (event_type)
+    GROUP BY 1 ORDER BY 1
 """
 
 

@@ -249,3 +249,115 @@ def unigram_divergence(
             F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier flags: a row is an outlier when its
+    absolute deviation from the group median exceeds ``k`` scaled
+    MADs (median absolute deviation x 1.4826, the consistency
+    constant that makes MAD estimate sigma under normality) — the
+    standard robust alternative to z-scores for validating numeric
+    columns whose distributions have heavy tails (mean/std are
+    themselves dragged by the outliers they should flag).
+
+    Two exact-percentile passes (median, then MAD over deviations)
+    with the O(groups) aggregates broadcast back — percentile() is
+    the interpolating exact quantile on both Spark and the SQL
+    oracle's quantile_cont. Adds ``group_median``, ``group_mad``,
+    ``abs_dev``, ``is_outlier``. A group whose MAD is 0 (>=50% of
+    values identical) flags every value differing from the median,
+    the documented MAD-rule degeneracy; callers wanting a floor pass
+    a pre-filtered frame."""
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, 0.5).alias("group_median")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "abs_dev", F.abs(F.col(value_col) - F.col("group_median"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.percentile("abs_dev", 0.5).alias("group_mad")
+    )
+    return dev.join(F.broadcast(mad), group_col).withColumn(
+        "is_outlier",
+        F.col("abs_dev") > F.lit(k) * F.lit(1.4826) * F.col("group_mad"),
+    )
+
+
+def psi_report(
+    current: DataFrame,
+    reference: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Population Stability Index between a reference snapshot's and
+    the current snapshot's distribution of ``value_col`` — the
+    standard production-ML drift gate (PSI < 0.1 stable, 0.1-0.25
+    moderate shift, > 0.25 action): PSI = sum_i (p_i - q_i) *
+    ln(p_i / q_i) over fixed-width bins.
+
+    Bins are CLOSED-FORM from explicit ``[lo, hi)`` bounds (callers
+    pin them from the reference's known domain), clamped at both
+    ends, so binning is engine-replayable and snapshot-independent —
+    data-driven bounds would make PSI values incomparable across
+    runs. Laplace smoothing (+0.5 per bin) keeps empty bins finite.
+
+    Plan shape: each side collapses to O(groups x n_bins) bin counts
+    at the scan (map-side partials); the join + PSI fold happen on
+    those tiny tables. Two scans total, nothing wider than a bin id
+    shuffles. Output: one row per group with ``psi`` (1e-6),
+    ``n_current``, ``n_reference``.
+    """
+    if n_bins <= 0 or not hi > lo:
+        raise ValueError(f"need n_bins > 0 and hi > lo: {n_bins}, {lo}, {hi}")
+    width = (hi - lo) / n_bins
+    groups = [F.col(group_col)] if group_col else [F.lit("all").alias("group")]
+    gname = group_col if group_col else "group"
+
+    def bin_counts(df: DataFrame, alias: str) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)
+            ),
+            F.lit(n_bins - 1),
+        ).cast("int")
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .select(*groups, b.alias("bin"))
+            .groupBy(gname, "bin")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    cur = bin_counts(current, "n_cur")
+    ref = bin_counts(reference, "n_ref")
+    j = cur.join(ref, [gname, "bin"], "full_outer").select(
+        gname,
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+    )
+    totals = j.groupBy(gname).agg(
+        F.sum("n_cur").alias("_tc"),
+        F.sum("n_ref").alias("_tr"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    # _nb counts OBSERVED bins; smoothing denominators use n_bins so
+    # all-empty bins (absent from both sides) contribute nothing, as
+    # if present with p == q
+    w = j.join(F.broadcast(totals), gname)
+    p = (F.col("n_cur") + 0.5) / (F.col("_tc") + 0.5 * n_bins)
+    q = (F.col("n_ref") + 0.5) / (F.col("_tr") + 0.5 * n_bins)
+    return (
+        w.groupBy(gname)
+        .agg(
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+            F.sum("n_cur").alias("n_current"),
+            F.sum("n_ref").alias("n_reference"),
+        )
+    )

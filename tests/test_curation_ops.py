@@ -512,3 +512,69 @@ def test_corpus_diff_sentinel_literal_content_is_changed(spark):
     cur = _docs(spark, [(1, "\x00"), (2, "x")])
     got = {r["doc_id"]: r["status"] for r in corpus_diff(cur, prev).collect()}
     assert got == {1: "changed", 2: "changed"}
+
+
+# ------------------------------------------------------------- mad_outliers
+
+def test_mad_outliers_hand_computed(spark):
+    from sparkval.stats import mad_outliers
+
+    # group g: values 1..9 plus an outlier 100. median=5.5, deviations
+    # {4.5,3.5,2.5,1.5,.5,.5,1.5,2.5,3.5,94.5} -> MAD=2.5;
+    # threshold 3.5*1.4826*2.5 = 12.97 -> only 100 flags
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", 100.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = mad_outliers(df, "value", "grp").collect()
+    flagged = sorted(r["value"] for r in out if r["is_outlier"])
+    assert flagged == [100.0]
+    assert out[0]["group_median"] == 5.5
+
+
+def test_mad_outliers_degenerate_mad_zero(spark):
+    from sparkval.stats import mad_outliers
+
+    # >=50% identical values -> MAD 0 -> every value != median flags
+    # (the documented MAD-rule degeneracy)
+    rows = [("g", 5.0)] * 6 + [("g", 5.1), ("g", 4.9)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = mad_outliers(df, "value", "grp").collect()
+    assert sum(r["is_outlier"] for r in out) == 2
+
+
+# --------------------------------------------------------------- psi_report
+
+def test_psi_zero_for_identical_distributions(spark):
+    from sparkval.stats import psi_report
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(100)], "value double"
+    )
+    [r] = psi_report(df, df, "value", lo=0.0, hi=100.0, n_bins=10).collect()
+    assert r["psi"] == 0.0 and r["n_current"] == r["n_reference"] == 100
+
+
+def test_psi_positive_for_shifted_distribution(spark):
+    from sparkval.stats import psi_report
+
+    ref = spark.createDataFrame([(float(v),) for v in range(100)], "value double")
+    cur = ref.select((F.col("value") + 40.0).alias("value"))
+    [r] = psi_report(cur, ref, "value", lo=0.0, hi=100.0, n_bins=10).collect()
+    assert r["psi"] > 0.25  # a 40% shift is an action-threshold drift
+
+
+def test_psi_clamps_out_of_range_values_to_edge_bins(spark):
+    from sparkval.stats import psi_report
+
+    ref = spark.createDataFrame([(-5.0,), (105.0,)], "value double")
+    [r] = psi_report(ref, ref, "value", lo=0.0, hi=100.0, n_bins=10).collect()
+    assert r["psi"] == 0.0 and r["n_reference"] == 2
+
+
+def test_psi_validates_params(spark):
+    from sparkval.stats import psi_report
+
+    df = spark.createDataFrame([(1.0,)], "value double")
+    with pytest.raises(ValueError):
+        psi_report(df, df, "value", lo=1.0, hi=1.0)
+    with pytest.raises(ValueError):
+        psi_report(df, df, "value", lo=0.0, hi=1.0, n_bins=0)
