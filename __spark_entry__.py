@@ -1943,6 +1943,44 @@ def q_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type")
 
 
+def q_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters (stats.countmin_sketches /
+    merge_countmin / countmin_estimate_expr): per-source sketches
+    merge into one global 4x2048 sketch, then the exact top-20 terms'
+    frequencies are re-estimated from the sketch with PURE codegen
+    expressions (md5-prefix hash + mod-prime mixing + element_at).
+    The whole hash chain is engine-replayable, so est_n has a FULL
+    value oracle — DuckDB rebuilds every sketch cell the top terms
+    touch from the vocabulary counts and takes the same min-over-rows
+    (deterministic: collisions only ever add, identically on both
+    engines)."""
+    from sparkval.pipeline.text import _ws_tokens
+    from sparkval.stats import (
+        countmin_estimate_expr,
+        countmin_sketches,
+        merge_countmin,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.filter(F.trim(F.col("text")) != "").select(
+        "source", F.explode(_ws_tokens("text")).alias("term")
+    )
+    sk = countmin_sketches(terms, "term", ["source"])
+    merged = merge_countmin(sk, [])
+    top = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "term")
+        .limit(20)
+    )
+    est = top.crossJoin(F.broadcast(merged.select("sketch"))).withColumn(
+        "est_n", countmin_estimate_expr("term")
+    )
+    return est.select("term", "exact_n", "est_n").orderBy(
+        F.desc("exact_n"), "term"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2020,6 +2058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "random_projection_embeddings": q_random_projection_embeddings,
     "mad_outliers_events": q_mad_outliers_events,
     "psi_events": q_psi_events,
+    "heavy_hitters_documents": q_heavy_hitters_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3182,6 +3221,35 @@ ORACLE_SQL["psi_events"] = """
            sum(n_ref)::BIGINT AS n_reference
     FROM j JOIN t USING (event_type)
     GROUP BY 1 ORDER BY 1
+"""
+
+# count-min oracle: rebuild the sketch cells from vocabulary counts
+# with the SAME hash chain (md5 prefix -> ('0x'||hex)::BIGINT ==
+# conv(,16,10) == python int(,16); mod-prime mixing with every
+# intermediate < 2^63) and take the same min over depth rows.
+ORACLE_SQL["heavy_hitters_documents"] = """
+    WITH terms AS (
+        SELECT unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+               '\\s+')) AS term
+        FROM documents WHERE trim(text) <> ''
+    ),
+    counts AS (SELECT term, count(*) AS n FROM terms GROUP BY 1),
+    top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 20),
+    vb AS (
+        SELECT c.term, c.n, j.j,
+               ((((2654435761 * (j.j + 1)) % 2147483647)
+                 * (('0x' || substr(md5(c.term), 1, 8))::BIGINT)
+                 + ((40503 * (j.j + 1) + 7) % 2147483647))
+                % 2147483647) % 2048 AS b
+        FROM counts c, generate_series(0, 3) j(j)
+    ),
+    cell AS (SELECT j, b, sum(n) AS tot FROM vb GROUP BY 1, 2)
+    SELECT t.term, t.n::BIGINT AS exact_n, min(cell.tot)::BIGINT AS est_n
+    FROM top t
+    JOIN vb ON vb.term = t.term
+    JOIN cell ON cell.j = vb.j AND cell.b = vb.b
+    GROUP BY t.term, t.n
+    ORDER BY exact_n DESC, t.term
 """
 
 

@@ -361,3 +361,130 @@ def psi_report(
             F.sum("n_ref").alias("n_reference"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# count-min heavy-hitter sketches: the 4th mergeable monoid
+# --------------------------------------------------------------------------
+
+def countmin_sketches(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Per-group count-min sketches over a categorical column — the
+    heavy-hitter companion to the histogram/t-digest/HLL monoids:
+    per-task partial sketches (mapInPandas, numpy) sum elementwise in
+    an applyInPandas merge, so persisted sketches answer frequency
+    queries over ANY group rollup without rescanning. Shuffle volume
+    is depth*width longs (~64 KB at the 4x2048 default) per (task,
+    group) — never a row per occurrence. Hashing is per distinct
+    value per batch (pre-aggregated with value_counts), and the hash
+    chain (md5 prefix + mod-prime mixing, sparkval.countmin) is
+    engine-replayable, so estimates carry a FULL value oracle."""
+    from sparkval import countmin
+
+    group_cols = group_cols if group_cols is not None else ["lang"]
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; roll up to "
+                         "global with merge_countmin(sketches, [])")
+    fields = [T.StructField(c, df.schema[c].dataType, True) for c in group_cols]
+    schema = T.StructType(
+        fields
+        + [
+            T.StructField("sketch", T.ArrayType(T.LongType()), False),
+            T.StructField("n_values", T.LongType(), False),
+        ]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for key, grp in pdf.groupby(group_cols, sort=False, dropna=False):
+                key = key if isinstance(key, tuple) else (key,)
+                vc = grp[col].dropna().value_counts()
+                sk = countmin.empty_sketch(depth, width)
+                countmin.update(
+                    sk, vc.index.to_numpy(), vc.to_numpy(), depth, width
+                )
+                out.append(
+                    dict(zip(group_cols, key))
+                    | {"sketch": sk, "n_values": int(vc.sum())}
+                )
+            yield pd.DataFrame(out)
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from sparkval import countmin as cm
+
+        merged = cm.merge(pdf["sketch"])
+        return pd.DataFrame(
+            [
+                dict(zip(group_cols, key))
+                | {"sketch": merged, "n_values": int(pdf["n_values"].sum())}
+            ]
+        )
+
+    part = df.select(*group_cols, col).mapInPandas(partials, schema)
+    return part.groupBy(*group_cols).applyInPandas(merge, schema)
+
+
+def merge_countmin(
+    sketches: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Roll count-min sketches up to coarser groups (global with
+    ``group_cols=[]``) — elementwise sum over kilobyte blobs, the
+    monoid op. Same shape as merge_distinct_sketches."""
+    group_cols = group_cols or []
+    tmp = sketches if group_cols else sketches.withColumn("_g", F.lit(0))
+    keys = group_cols or ["_g"]
+    out_fields = [
+        T.StructField(c, tmp.schema[c].dataType, True) for c in keys
+    ] + [
+        T.StructField("sketch", T.ArrayType(T.LongType()), False),
+        T.StructField("n_values", T.LongType(), False),
+    ]
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from sparkval import countmin as cm
+
+        merged = cm.merge(pdf["sketch"])
+        return pd.DataFrame(
+            [
+                dict(zip(keys, key))
+                | {"sketch": merged, "n_values": int(pdf["n_values"].sum())}
+            ]
+        )
+
+    out = tmp.groupBy(*keys).applyInPandas(merge, T.StructType(out_fields))
+    return out.drop("_g") if not group_cols else out
+
+
+def countmin_estimate_expr(
+    term_col: str,
+    sketch_col: str = "sketch",
+    depth: int = 4,
+    width: int = 2048,
+) -> F.Column:
+    """Point-frequency estimate as a PURE codegen expression over a
+    sketch array column: h0 = first 8 md5 hex chars (conv base 16),
+    bucket_j from the same mod-prime mixing as the numpy kernel, and
+    the estimate is least() over depth element_at lookups — so
+    querying a broadcast sketch costs no Python at all."""
+    from sparkval.countmin import P, row_coeffs
+
+    h0 = F.conv(
+        F.substring(F.md5(F.col(term_col).cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    ests = []
+    for j, (a, b) in enumerate(row_coeffs(depth)):
+        bucket = ((F.lit(a) * h0 + F.lit(b)) % F.lit(P)) % F.lit(width)
+        ests.append(
+            F.element_at(
+                F.col(sketch_col), (F.lit(j * width) + bucket + 1).cast("int")
+            )
+        )
+    return F.least(*ests)

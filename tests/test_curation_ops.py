@@ -578,3 +578,62 @@ def test_psi_validates_params(spark):
         psi_report(df, df, "value", lo=1.0, hi=1.0)
     with pytest.raises(ValueError):
         psi_report(df, df, "value", lo=0.0, hi=1.0, n_bins=0)
+
+
+# ---------------------------------------------------------- count-min sketch
+
+def test_countmin_kernel_overestimates_never_under():
+    import numpy as np
+
+    from sparkval import countmin as cm
+
+    rng_terms = [f"t{i}" for i in range(500)]
+    counts = [(i % 17) + 1 for i in range(500)]
+    sk = cm.update(cm.empty_sketch(), rng_terms, counts)
+    for t, n in zip(rng_terms, counts):
+        assert cm.estimate(sk, t) >= n
+
+
+def test_countmin_merge_equals_combined_build():
+    from sparkval import countmin as cm
+
+    a = cm.update(cm.empty_sketch(), ["x", "y"], [3, 4])
+    b = cm.update(cm.empty_sketch(), ["y", "z"], [1, 9])
+    both = cm.update(cm.empty_sketch(), ["x", "y", "z"], [3, 5, 9])
+    assert (cm.merge([a, b]) == both).all()
+
+
+def test_countmin_expr_matches_python_kernel(spark):
+    from sparkval import countmin as cm
+    from sparkval.stats import countmin_estimate_expr
+
+    terms = ["alpha", "beta", "gamma", "的", "x" * 50]
+    sk = cm.update(cm.empty_sketch(), terms, [10, 20, 30, 40, 50])
+    df = spark.createDataFrame(
+        [(t, [int(v) for v in sk]) for t in terms + ["absent"]],
+        "term string, sketch array<long>",
+    )
+    got = {
+        r["term"]: r["est"]
+        for r in df.select(
+            "term", countmin_estimate_expr("term").alias("est")
+        ).collect()
+    }
+    for t in terms + ["absent"]:
+        assert got[t] == cm.estimate(sk, t), t
+
+
+def test_countmin_sketches_group_merge_matches_direct(spark):
+    from sparkval import countmin as cm
+    from sparkval.stats import countmin_sketches, merge_countmin
+
+    rows = [("g1", "a")] * 5 + [("g1", "b")] * 2 + [("g2", "a")] * 3
+    df = spark.createDataFrame(rows, "grp string, term string")
+    sk = countmin_sketches(df, "term", ["grp"])
+    assert sk.count() == 2
+    [merged] = merge_countmin(sk, []).collect()
+    assert merged["n_values"] == 10
+    direct = cm.update(cm.empty_sketch(), ["a", "b"], [8, 2])
+    assert list(merged["sketch"]) == [int(v) for v in direct]
+    with pytest.raises(ValueError):
+        countmin_sketches(df, "term", [])
