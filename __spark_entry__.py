@@ -1981,6 +1981,60 @@ def q_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters (streaming.stream_heavy_hitters): the
+    term stream is split into 3 files consumed one per micro-batch
+    (maxFilesPerTrigger=1); each batch appends per-source count-min
+    partial sketches, and the final answer merges the WHOLE append-only
+    sketch log. Because the sketch is a monoid, stream == batch bit
+    for bit, so the SAME cell-reconstruction oracle as
+    heavy_hitters_documents pins the streamed estimates exactly;
+    n_batches == 3 pins that retained cross-batch merging (not a
+    single batch) produced them."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from sparkval.pipeline.text import _ws_tokens
+    from sparkval.stats import countmin_estimate_expr, merge_countmin
+    from sparkval.streaming import stream_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.filter(F.trim(F.col("text")) != "").select(
+        "source", F.explode(_ws_tokens("text")).alias("term")
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkval_shh_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    src, out, ckpt = f"{tmp}/terms", f"{tmp}/out", f"{tmp}/ckpt"
+    terms.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(terms.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_heavy_hitters(stream, "term", out, ckpt, ["source"])
+    q.awaitTermination()
+
+    log = spark.read.parquet(out)
+    merged = merge_countmin(log.drop("batch_id"), [])
+    batches = log.agg(F.count_distinct("batch_id").alias("n_batches"))
+    top = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "term")
+        .limit(10)
+    )
+    est = (
+        top.crossJoin(F.broadcast(merged.select("sketch")))
+        .withColumn("est_n", countmin_estimate_expr("term"))
+        .crossJoin(F.broadcast(batches))
+    )
+    return est.select("term", "exact_n", "est_n", "n_batches").orderBy(
+        F.desc("exact_n"), "term"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2059,6 +2113,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outliers_events": q_mad_outliers_events,
     "psi_events": q_psi_events,
     "heavy_hitters_documents": q_heavy_hitters_documents,
+    "stream_heavy_hitters_documents": q_stream_heavy_hitters_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3245,6 +3300,35 @@ ORACLE_SQL["heavy_hitters_documents"] = """
     ),
     cell AS (SELECT j, b, sum(n) AS tot FROM vb GROUP BY 1, 2)
     SELECT t.term, t.n::BIGINT AS exact_n, min(cell.tot)::BIGINT AS est_n
+    FROM top t
+    JOIN vb ON vb.term = t.term
+    JOIN cell ON cell.j = vb.j AND cell.b = vb.b
+    GROUP BY t.term, t.n
+    ORDER BY exact_n DESC, t.term
+"""
+
+# streaming count-min oracle: the monoid makes stream == batch
+# exactly, so the same cell reconstruction applies; n_batches pins
+# the 3-file/3-micro-batch source layout.
+ORACLE_SQL["stream_heavy_hitters_documents"] = """
+    WITH terms AS (
+        SELECT unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+               '\\s+')) AS term
+        FROM documents WHERE trim(text) <> ''
+    ),
+    counts AS (SELECT term, count(*) AS n FROM terms GROUP BY 1),
+    top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 10),
+    vb AS (
+        SELECT c.term, c.n, j.j,
+               ((((2654435761 * (j.j + 1)) % 2147483647)
+                 * (('0x' || substr(md5(c.term), 1, 8))::BIGINT)
+                 + ((40503 * (j.j + 1) + 7) % 2147483647))
+                % 2147483647) % 2048 AS b
+        FROM counts c, generate_series(0, 3) j(j)
+    ),
+    cell AS (SELECT j, b, sum(n) AS tot FROM vb GROUP BY 1, 2)
+    SELECT t.term, t.n::BIGINT AS exact_n, min(cell.tot)::BIGINT AS est_n,
+           3::BIGINT AS n_batches
     FROM top t
     JOIN vb ON vb.term = t.term
     JOIN cell ON cell.j = vb.j AND cell.b = vb.b

@@ -222,3 +222,47 @@ def windowed_lang_counts(
             F.col("n"),
         )
     )
+
+
+def stream_heavy_hitters(
+    stream: DataFrame,
+    col: str,
+    out_path: str,
+    checkpoint: str,
+    group_cols: list[str] | None = None,
+    depth: int = 4,
+    width: int = 2048,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming heavy-hitter monitor: each micro-batch collapses to
+    per-group count-min partial sketches (stats.countmin_sketches)
+    appended with its batch id to ``out_path`` — and because the
+    sketch is a monoid, the append-only log IS the queryable
+    artifact: the running frequency estimate at any moment is
+    ``merge_countmin`` over the rows written so far (optionally
+    filtered to a batch/group range), with no reprocessing and no
+    unbounded key state in the stream itself (state per batch is the
+    fixed depth x width grid, unlike a streaming groupBy(term) whose
+    state grows with the vocabulary). The batch/stream parity is
+    exact, not approximate-by-window: merging the per-batch sketches
+    equals the sketch of the full corpus, bit for bit."""
+    from sparkval.stats import countmin_sketches
+
+    group_cols = group_cols or ["lang"]
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = countmin_sketches(batch_df, col, group_cols, depth, width)
+        sk.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -637,3 +637,29 @@ def test_countmin_sketches_group_merge_matches_direct(spark):
     assert list(merged["sketch"]) == [int(v) for v in direct]
     with pytest.raises(ValueError):
         countmin_sketches(df, "term", [])
+
+
+def test_stream_heavy_hitters_monoid_equals_batch(spark, tmp_path):
+    from sparkval import countmin as cm
+    from sparkval.stats import merge_countmin
+    from sparkval.streaming import stream_heavy_hitters
+
+    rows = [("g", "a")] * 7 + [("g", "b")] * 4 + [("g", "c")] * 1
+    df = spark.createDataFrame(rows, "lang string, term string")
+    src = str(tmp_path / "src")
+    df.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_heavy_hitters(stream, "term", out, ckpt, ["lang"])
+    q.awaitTermination()
+
+    log = spark.read.parquet(out)
+    assert log.select("batch_id").distinct().count() == 2
+    [merged] = merge_countmin(log.drop("batch_id"), []).collect()
+    direct = cm.update(cm.empty_sketch(), ["a", "b", "c"], [7, 4, 1])
+    assert list(merged["sketch"]) == [int(v) for v in direct]
+    assert merged["n_values"] == 12
