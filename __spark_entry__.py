@@ -2035,6 +2035,28 @@ def q_stream_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def q_bloom_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase Bloom decontamination (pipeline.dedup.bloom_decontaminate):
+    benchmark = every 50th document folds its distinct 13-grams into a
+    single 128 KB Bloom filter (sparkval.bloom — fixed-size broadcast
+    no matter how large the benchmark); the training side (all other
+    docs) probes every gram map-side with pure JVM expressions, and
+    only bloom-flagged docs enter the exact-hash verify. Per-doc
+    report: (n_grams, bloom_hits, exact_hits, contaminated) with
+    false positives ACCOUNTED rather than silently dropping docs.
+    The hash chain (md5 prefix + mod-Mersenne-prime mixing, shared
+    with count-min) is engine-replayable, so the oracle recomputes
+    the k=4 bit positions of every gram in DuckDB and pins
+    bloom_hits — the probabilistic column — EXACTLY, alongside the
+    string-level exact_hits."""
+    from sparkval.pipeline.dedup import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 5).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 50 != 5)
+    return bloom_decontaminate(corpus, benchmark, n=13).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2114,6 +2136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "psi_events": q_psi_events,
     "heavy_hitters_documents": q_heavy_hitters_documents,
     "stream_heavy_hitters_documents": q_stream_heavy_hitters_documents,
+    "bloom_decontaminate_documents": q_bloom_decontaminate_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3334,6 +3357,66 @@ ORACLE_SQL["stream_heavy_hitters_documents"] = """
     JOIN cell ON cell.j = vb.j AND cell.b = vb.b
     GROUP BY t.term, t.n
     ORDER BY exact_n DESC, t.term
+"""
+
+
+# bloom decontamination oracle: the bloom hash chain is
+# engine-replayable (md5 prefix + mod-prime mixing, k=4 positions mod
+# 2^20 bits), so DuckDB recomputes every gram's bit positions and a
+# gram is "in the filter" iff all 4 of its positions appear in the
+# benchmark position set — pinning bloom_hits exactly, false
+# positives included. exact_hits recomputes string-level overlap.
+ORACLE_SQL["bloom_decontaminate_documents"] = """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT DISTINCT array_to_string(t[g.i : g.i + 12], ' ') AS g
+        FROM tok, generate_series(1, 512) g(i)
+        WHERE doc_id % 50 = 5 AND g.i + 12 <= len(t)
+    ),
+    bpos AS (
+        SELECT DISTINCT j.j,
+               ((((2654435761 * (j.j + 1)) % 2147483647)
+                 * (('0x' || substr(md5(g), 1, 8))::BIGINT)
+                 + ((40503 * (j.j + 1) + 7) % 2147483647))
+                % 2147483647) % 1048576 AS p
+        FROM bg, generate_series(0, 3) j(j)
+    ),
+    cg AS (
+        SELECT DISTINCT doc_id, array_to_string(t[g.i : g.i + 12], ' ') AS g
+        FROM tok, generate_series(1, 512) g(i)
+        WHERE doc_id % 50 <> 5 AND g.i + 12 <= len(t)
+    ),
+    cpos AS (
+        SELECT doc_id, g, j.j,
+               ((((2654435761 * (j.j + 1)) % 2147483647)
+                 * (('0x' || substr(md5(g), 1, 8))::BIGINT)
+                 + ((40503 * (j.j + 1) + 7) % 2147483647))
+                % 2147483647) % 1048576 AS p
+        FROM cg, generate_series(0, 3) j(j)
+    ),
+    inb AS (
+        SELECT doc_id, g
+        FROM cpos LEFT JOIN bpos ON bpos.j = cpos.j AND bpos.p = cpos.p
+        GROUP BY doc_id, g
+        HAVING count(bpos.p) = 4
+    ),
+    ex AS (SELECT DISTINCT cg.doc_id, cg.g FROM cg JOIN bg USING (g))
+    SELECT c.doc_id,
+           count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN i.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS bloom_hits,
+           sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS exact_hits,
+           bool_or(e.g IS NOT NULL) AS contaminated
+    FROM cg c
+    LEFT JOIN inb i ON i.doc_id = c.doc_id AND i.g = c.g
+    LEFT JOIN ex e ON e.doc_id = c.doc_id AND e.g = c.g
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
 """
 
 

@@ -1051,3 +1051,100 @@ def group_overlap_matrix(
         "n_common",
         F.round(F.col("n_common") / union, 6).alias("jaccard"),
     )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    k: int = 4,
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """Two-phase benchmark decontamination with a FIXED-SIZE probe:
+    phase 1 folds the benchmark's word ``n``-grams into a Bloom
+    filter (sparkval.bloom — m_bits/8 bytes, 128 KB at the default)
+    and probes every corpus gram against it with pure JVM
+    expressions; phase 2 re-derives grams for ONLY the flagged docs
+    and verifies them exactly against the benchmark's distinct gram
+    hashes. Returns a per-document report (id, n_grams, bloom_hits,
+    exact_hits, contaminated) over corpus docs with >= 1 gram, where
+    contaminated = exact_hits > 0 — so false positives are
+    ACCOUNTED (bloom_hits > 0, exact_hits = 0), never silently
+    dropped docs (the filter has no false negatives).
+
+    Scale shape vs plain ``decontaminate``: the exact path broadcasts
+    the benchmark's distinct 8-byte gram hashes — linear in benchmark
+    size; this path broadcasts ONE 128 KB row no matter how large the
+    benchmark grows, and the corpus-side probe dies map-side inside a
+    higher-order filter() over per-doc gram arrays (array_distinct
+    keeps it one entry per distinct gram — matching the oracle's
+    distinct-gram counting — and no gram string ever leaves the
+    projection). The exact-verify broadcast still exists but probes
+    only the flagged docs' gram stream, which is contamination-rare.
+    The report is localCheckpointed (O(docs) narrow rows — the op's
+    own output) so candidate selection does not re-run the probe
+    scan."""
+    from sparkval.stats import bloom_contains_expr, bloom_filters, merge_bloom
+
+    if n < 1:
+        raise ValueError(f"bad n={n}")
+    toks = F.split(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    # phase-1 build: exploded bench grams fold straight into per-task
+    # bit arrays; no distinct() needed — OR-adds are idempotent, so
+    # cross-partition duplicate grams cost nothing and nothing but
+    # 128 KB partials ever shuffles
+    bench_grams = (
+        benchmark.filter(F.size(toks) >= n)
+        .select(F.explode(grams).alias("gram"), F.lit(0).alias("_g"))
+    )
+    filt = merge_bloom(
+        bloom_filters(bench_grams, "gram", ["_g"], k, m_bits), []
+    ).select("filter")
+
+    probed = (
+        corpus.filter(F.size(toks) >= n)
+        .select(F.col(id_col), grams.alias("_grams"))
+        .crossJoin(F.broadcast(filt))
+        .select(
+            id_col,
+            F.size("_grams").cast("long").alias("n_grams"),
+            F.size(
+                F.filter(
+                    "_grams",
+                    lambda g: bloom_contains_expr(g, "filter", k, m_bits),
+                )
+            ).cast("long").alias("bloom_hits"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    cand = probed.filter(F.col("bloom_hits") > 0).select(id_col)
+    bench_hashes = (
+        ngram_hash_stream(benchmark, text_col, id_col, n)
+        .select("gram_hash").distinct()
+    )
+    exact = (
+        ngram_hash_stream(
+            corpus.join(F.broadcast(cand), id_col, "left_semi"),
+            text_col, id_col, n,
+        )
+        .distinct()
+        .join(F.broadcast(bench_hashes), "gram_hash", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("exact_hits"))
+    )
+    return (
+        probed.join(exact, id_col, "left")
+        .withColumn("exact_hits", F.coalesce("exact_hits", F.lit(0)))
+        .withColumn("contaminated", F.col("exact_hits") > 0)
+    )

@@ -488,3 +488,130 @@ def countmin_estimate_expr(
             )
         )
     return F.least(*ests)
+
+
+def bloom_filters(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    k: int = 4,
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """Per-group Bloom filters over a value column — the MEMBERSHIP
+    monoid (sparkval.bloom) beside the frequency one: per-task
+    partial bit arrays (mapInPandas, numpy) OR together in an
+    applyInPandas merge, so persisted filters answer "seen in ANY
+    group union" without rescanning. Shuffle volume is m_bits/64
+    longs (~128 KB at the 2^20 default) per (task, group) — never a
+    row per value — and the merged filter broadcasts as ONE ROW no
+    matter how many values went in, unlike a distinct-hash-set
+    broadcast that grows with the input. Hashing is per distinct
+    value per batch, engine-replayable (md5 prefix + mod-prime
+    chain), so membership answers carry a FULL value oracle."""
+    from sparkval import bloom
+
+    group_cols = group_cols if group_cols is not None else ["lang"]
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; roll up to "
+                         "global with merge_bloom(filters, [])")
+    fields = [T.StructField(c, df.schema[c].dataType, True) for c in group_cols]
+    schema = T.StructType(
+        fields
+        + [
+            T.StructField("filter", T.ArrayType(T.LongType()), False),
+            T.StructField("n_values", T.LongType(), False),
+        ]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for key, grp in pdf.groupby(group_cols, sort=False, dropna=False):
+                key = key if isinstance(key, tuple) else (key,)
+                vals = grp[col].dropna()
+                f = bloom.empty_filter(m_bits)
+                bloom.add(f, vals.unique(), k, m_bits)
+                out.append(
+                    dict(zip(group_cols, key))
+                    | {"filter": f, "n_values": int(len(vals))}
+                )
+            yield pd.DataFrame(out)
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from sparkval import bloom as bl
+
+        merged = bl.merge(pdf["filter"])
+        return pd.DataFrame(
+            [
+                dict(zip(group_cols, key))
+                | {"filter": merged, "n_values": int(pdf["n_values"].sum())}
+            ]
+        )
+
+    part = df.select(*group_cols, col).mapInPandas(partials, schema)
+    return part.groupBy(*group_cols).applyInPandas(merge, schema)
+
+
+def merge_bloom(
+    filters: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Roll Bloom filters up to coarser groups (global with
+    ``group_cols=[]``) — elementwise bitwise OR, the monoid op."""
+    group_cols = group_cols or []
+    tmp = filters if group_cols else filters.withColumn("_g", F.lit(0))
+    keys = group_cols or ["_g"]
+    out_fields = [
+        T.StructField(c, tmp.schema[c].dataType, True) for c in keys
+    ] + [
+        T.StructField("filter", T.ArrayType(T.LongType()), False),
+        T.StructField("n_values", T.LongType(), False),
+    ]
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from sparkval import bloom as bl
+
+        merged = bl.merge(pdf["filter"])
+        return pd.DataFrame(
+            [
+                dict(zip(keys, key))
+                | {"filter": merged, "n_values": int(pdf["n_values"].sum())}
+            ]
+        )
+
+    out = tmp.groupBy(*keys).applyInPandas(merge, T.StructType(out_fields))
+    return out.drop("_g") if not group_cols else out
+
+
+def bloom_contains_expr(
+    term_col,
+    filter_col: str = "filter",
+    k: int = 4,
+    m_bits: int = 1 << 20,
+) -> F.Column:
+    """Membership probe as a PURE codegen boolean expression over a
+    filter array column: h0 = first 8 md5 hex chars (conv base 16),
+    the k bit positions from the same mod-prime mixing as the numpy
+    kernel, each tested with getbit() on the packed long — so probing
+    a broadcast filter costs no Python at all and the whole probe
+    dies map-side inside WholeStageCodegen. ``term_col`` may be a
+    column name or an arbitrary string-typed Column (e.g. an n-gram
+    expression that never materializes outside the projection)."""
+    from sparkval.bloom import P, row_coeffs
+
+    term = F.col(term_col) if isinstance(term_col, str) else term_col
+    h0 = F.conv(F.substring(F.md5(term.cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    bits = []
+    for a, b in row_coeffs(k):
+        pos = ((F.lit(a) * h0 + F.lit(b)) % F.lit(P)) % F.lit(m_bits)
+        word = F.element_at(
+            F.col(filter_col), F.shiftright(pos, 6).cast("int") + F.lit(1)
+        )
+        bits.append(F.getbit(word, (pos % F.lit(64)).cast("int")) == F.lit(1))
+    out = bits[0]
+    for bit in bits[1:]:
+        out = out & bit
+    return out

@@ -663,3 +663,106 @@ def test_stream_heavy_hitters_monoid_equals_batch(spark, tmp_path):
     direct = cm.update(cm.empty_sketch(), ["a", "b", "c"], [7, 4, 1])
     assert list(merged["sketch"]) == [int(v) for v in direct]
     assert merged["n_values"] == 12
+
+
+def test_bloom_kernel_membership_merge_and_fp_accounting():
+    import numpy as np
+
+    from sparkval import bloom
+
+    f = bloom.empty_filter()
+    bloom.add(f, ["alpha", "beta", "gamma"])
+    assert all(bloom.contains(f, t) for t in ["alpha", "beta", "gamma"])
+    assert not bloom.contains(f, "never-added-1")
+    assert 0 < bloom.fill_ratio(f) <= 12 / bloom.M_BITS
+
+    # merge == union: a term added to either side is in the merge
+    g = bloom.empty_filter()
+    bloom.add(g, ["delta"])
+    m = bloom.merge([f, g])
+    assert all(bloom.contains(m, t) for t in ["alpha", "beta", "gamma", "delta"])
+    fx = bloom.empty_filter()
+    bloom.add(fx, ["alpha", "beta", "gamma", "delta"])
+    assert np.array_equal(m, fx)  # OR of parts == filter of the union
+
+    # no false negatives EVER, even fully saturated; tiny filter
+    # forces false positives, which is the accounted failure mode
+    tiny = bloom.empty_filter(64)
+    bloom.add(tiny, [f"t{i}" for i in range(50)], m_bits=64)
+    assert all(bloom.contains(tiny, f"t{i}", m_bits=64) for i in range(50))
+    assert any(bloom.contains(tiny, f"u{i}", m_bits=64) for i in range(20))
+
+    with pytest.raises(ValueError):
+        bloom.empty_filter(100)
+
+
+def test_bloom_filters_group_merge_matches_direct(spark):
+    from sparkval import bloom
+    from sparkval.stats import bloom_filters, merge_bloom
+
+    rows = [("a", "x"), ("a", "y"), ("a", "x"), ("b", "z"), ("b", None)]
+    df = spark.createDataFrame(rows, "lang string, term string")
+    sk = {r["lang"]: r for r in bloom_filters(df, "term", ["lang"]).collect()}
+    fa = bloom.add(bloom.empty_filter(), ["x", "y"])
+    fb = bloom.add(bloom.empty_filter(), ["z"])
+    assert list(sk["a"]["filter"]) == [int(v) for v in fa]
+    assert list(sk["b"]["filter"]) == [int(v) for v in fb]
+    assert sk["a"]["n_values"] == 3 and sk["b"]["n_values"] == 1  # nulls dropped
+
+    [merged] = merge_bloom(
+        bloom_filters(df, "term", ["lang"]), []
+    ).collect()
+    assert list(merged["filter"]) == [int(v) for v in bloom.merge([fa, fb])]
+    assert merged["n_values"] == 4
+    with pytest.raises(ValueError):
+        bloom_filters(df, "term", [])
+
+
+def test_bloom_contains_expr_matches_kernel(spark):
+    import pandas as pd
+
+    from sparkval import bloom
+    from sparkval.stats import bloom_contains_expr
+
+    vocab = [f"word-{i}" for i in range(64)]
+    f = bloom.add(bloom.empty_filter(), vocab)
+    probes = vocab + [f"miss-{i}" for i in range(64)]
+    got = (
+        spark.createDataFrame([(t,) for t in probes], "term string")
+        .crossJoin(
+            F.broadcast(spark.createDataFrame(pd.DataFrame([{"filter": f}])))
+        )
+        .withColumn("member", bloom_contains_expr("term"))
+        .toPandas()
+    )
+    for term, member in zip(got["term"], got["member"]):
+        assert member == bloom.contains(f, term), term
+
+
+def test_bloom_decontaminate_planted(spark):
+    from sparkval.pipeline.dedup import bloom_decontaminate
+
+    w = lambda pfx, n: " ".join(f"{pfx}{i}" for i in range(n))
+    bench = spark.createDataFrame(
+        [(100, w("b", 20)), (101, w("c", 15))], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, w("x", 20)),                        # clean
+            (2, w("b", 13)),                        # verbatim bench 13-gram
+            (3, w("y", 10)),                        # < 13 tokens: excluded
+            (4, w("z", 14) + " " + w("b", 13)),     # bench gram mid-doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(corpus, bench).collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    assert rows[1]["bloom_hits"] == 0 and not rows[1]["contaminated"]
+    assert rows[2]["n_grams"] == 1 and rows[2]["exact_hits"] == 1
+    assert rows[4]["contaminated"] and rows[4]["exact_hits"] == 1
+    # the filter never false-negatives: every exact hit was bloom-flagged
+    for r in rows.values():
+        assert r["bloom_hits"] >= r["exact_hits"]

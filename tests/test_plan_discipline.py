@@ -374,3 +374,52 @@ def test_dedupe_against_returned_plan_is_broadcast_anti(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bloom_decontaminate_probe_and_verify_are_jvm_side(spark, sf_dir):
+    """Bloom decontamination plan shape: (a) the gram probe is pure
+    JVM expressions over a 1-row broadcast filter — no BatchEvalPython
+    in the probe stage (the only Python in the op is the Arrow-batched
+    filter BUILD, which runs once over the small benchmark side); (b)
+    the exact-verify phase broadcasts the candidate-id and benchmark-
+    hash sets — corpus grams never sort-merge."""
+    import pandas as pd
+
+    from sparkval import bloom
+    from sparkval.stats import bloom_contains_expr
+
+    docs = load(spark, sf_dir, "documents")
+    filt = spark.createDataFrame(
+        pd.DataFrame([{"filter": bloom.add(bloom.empty_filter(), ["probe"])}])
+    )
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 12),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 13)),
+        )
+    )
+    probe = (
+        docs.filter(F.size(toks) >= 13)
+        .select("doc_id", grams.alias("_grams"))
+        .crossJoin(F.broadcast(filt))
+        .select(
+            "doc_id",
+            F.size(
+                F.filter("_grams", lambda g: bloom_contains_expr(g, "filter"))
+            ).alias("bloom_hits"),
+        )
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+    from sparkval.pipeline.dedup import bloom_decontaminate
+
+    bench = docs.filter(F.col("doc_id") % 50 == 5).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 50 != 5)
+    report = bloom_decontaminate(corpus, bench, n=13)
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

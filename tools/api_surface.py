@@ -43,6 +43,7 @@ MODULES = [
     "sparkval.stats",
     "sparkval.streaming",
     "sparkval.tdigest",
+    "sparkval.bloom",
     "sparkval.countmin",
     "sparkval.pipeline",
     "sparkval.pipeline.dedup",
