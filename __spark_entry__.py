@@ -2057,6 +2057,22 @@ def q_bloom_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFra
     return bloom_decontaminate(corpus, benchmark, n=13).orderBy("doc_id")
 
 
+def q_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (pipeline.text.bm25_scores) for the
+    3-term query [hash, join, vector]: standard Okapi/Lucene idf and
+    tf-saturation over the shared lowercased-whitespace tokenization.
+    Zero row-wise shuffles — per-term tf is a higher-order filter
+    over each doc's token array and the (N, avgdl, df) stats row
+    broadcasts into the scoring pass. The score is a fixed-arity
+    expression tree, so DuckDB replays it exactly (same ln, same
+    operand order) and the float compare at 6 significant digits
+    pins every doc's score."""
+    from sparkval.pipeline.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["hash", "join", "vector"]).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2137,6 +2153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters_documents": q_heavy_hitters_documents,
     "stream_heavy_hitters_documents": q_stream_heavy_hitters_documents,
     "bloom_decontaminate_documents": q_bloom_decontaminate_documents,
+    "bm25_documents": q_bm25_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3417,6 +3434,49 @@ ORACLE_SQL["bloom_decontaminate_documents"] = """
     LEFT JOIN ex e ON e.doc_id = c.doc_id AND e.g = c.g
     GROUP BY c.doc_id
     ORDER BY c.doc_id
+"""
+
+
+# BM25 oracle: fixed-arity expression tree — same ln, same operand
+# order on both engines, so scores agree to the driver's 6 significant
+# digits with no variable-order float summation anywhere.
+ORACLE_SQL["bm25_documents"] = """
+    WITH d AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    ),
+    base AS (
+        SELECT doc_id, len(t) AS dl,
+               len(list_filter(t, x -> x = 'hash'))   AS tf0,
+               len(list_filter(t, x -> x = 'join'))   AS tf1,
+               len(list_filter(t, x -> x = 'vector')) AS tf2
+        FROM d
+    ),
+    s AS (
+        SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2
+        FROM base
+    )
+    SELECT doc_id,
+           ((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END))::BIGINT AS matched_terms,
+           (  ln(1.0 + (n::DOUBLE - df0::DOUBLE + 0.5) / (df0::DOUBLE + 0.5))
+                * tf0::DOUBLE * 2.2
+                / (tf0::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl))
+            + ln(1.0 + (n::DOUBLE - df1::DOUBLE + 0.5) / (df1::DOUBLE + 0.5))
+                * tf1::DOUBLE * 2.2
+                / (tf1::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl))
+            + ln(1.0 + (n::DOUBLE - df2::DOUBLE + 0.5) / (df2::DOUBLE + 0.5))
+                * tf2::DOUBLE * 2.2
+                / (tf2::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl))
+           ) AS score
+    FROM base, s
+    WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+    ORDER BY doc_id
 """
 
 

@@ -400,3 +400,84 @@ def source_signature_terms(
         .filter(F.col("rank") <= k)
         .select("group", "rank", "term", F.col("n").alias("n_occurrences"), "tfidf")
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance scores for a fixed query over the corpus — the
+    retrieval primitive a curation pipeline uses for quality-targeted
+    sampling and retrieval-based contamination audits (find the
+    training docs most similar to an eval question). Standard
+    Okapi/Lucene form: idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    tf saturation k1, length normalization b against the mean doc
+    length. Returns (id, matched_terms, score) for documents matching
+    at least one query term.
+
+    Scale shape: ZERO row-wise shuffles. Per-term tf is a
+    higher-order filter over the per-doc token array (pure JVM, dies
+    in the scan projection); pass 1 folds (N, avgdl, df per term)
+    into ONE scalar row — the persistable "index stats" artifact —
+    which broadcasts into the scoring pass. Two corpus scans total,
+    both map-side; the score is a fixed-arity expression tree, so
+    engines replay it bit-for-bit (no variable-order float
+    summation)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+
+    base = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), _ws_tokens(text_col).alias("_toks")
+    )
+    def _eq(term: str):
+        # NB: a two-parameter lambda would make Spark bind the second
+        # arg to the array INDEX — close over the term instead
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter("_toks", _eq(t))).alias(f"_tf{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    scored = base.select(
+        id_col, F.size("_toks").alias("_dl"), *tf_cols
+    )
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    parts = []
+    for i in range(len(query_terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        dfreq = F.col(f"_df{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n").cast("double") - dfreq + F.lit(0.5))
+            / (dfreq + F.lit(0.5))
+        )
+        norm = F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("_dl").cast("double") / F.col("_avgdl")
+        )
+        parts.append(idf * tf * F.lit(k1 + 1.0) / (tf + norm))
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    matched = sum(
+        (F.col(f"_tf{i}") > 0).cast("long") for i in range(len(query_terms))
+    )
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .withColumn("matched_terms", matched)
+        .filter(F.col("matched_terms") >= 1)
+        .select(id_col, "matched_terms", score.alias("score"))
+    )

@@ -766,3 +766,42 @@ def test_bloom_decontaminate_planted(spark):
     # the filter never false-negatives: every exact hit was bloom-flagged
     for r in rows.values():
         assert r["bloom_hits"] >= r["exact_hits"]
+
+
+def test_bm25_scores_match_closed_form(spark):
+    import math
+
+    from sparkval.pipeline.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "c c c c"), (4, "b b"), (5, "  ")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in bm25_scores(docs, ["a", "c"]).collect()
+    }
+    # doc 4 matches nothing, doc 5 is blank: excluded
+    assert set(got) == {1, 2, 3}
+    n, avgdl, k1, b = 3, 3.0, 1.2, 0.75  # docs 1-3 (blank excluded from N? no:
+    # N counts non-blank docs = 4 (doc 4 included), avgdl over 1-4
+    n, avgdl = 4, (3 + 2 + 4 + 2) / 4
+
+    def bm25(tf, dl, df):
+        if tf == 0:
+            return 0.0
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    expect = {
+        1: bm25(2, 3, 1) + bm25(0, 3, 2),
+        2: bm25(0, 2, 1) + bm25(1, 2, 2),
+        3: bm25(0, 4, 1) + bm25(4, 4, 2),
+    }
+    for doc_id, row in got.items():
+        assert abs(row["score"] - expect[doc_id]) < 1e-12, doc_id
+    assert got[1]["matched_terms"] == 1 and got[2]["matched_terms"] == 1
+
+    with pytest.raises(ValueError):
+        bm25_scores(docs, [])
+    with pytest.raises(ValueError):
+        bm25_scores(docs, ["a", "a"])

@@ -423,3 +423,20 @@ def test_bloom_decontaminate_probe_and_verify_are_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_no_row_shuffle(spark, sf_dir):
+    """BM25 plan shape: per-term tf dies in the scan projection
+    (higher-order filter, no explode shuffle) and the only exchange
+    feeds the scalar stats row — no SortMergeJoin, no per-row Python,
+    the stats side broadcasts."""
+    from sparkval.pipeline.text import bm25_scores
+
+    docs = load(spark, sf_dir, "documents")
+    plan = (
+        bm25_scores(docs, ["hash", "join"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats crossJoin
