@@ -2073,6 +2073,47 @@ def q_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, ["hash", "join", "vector"]).orderBy("doc_id")
 
 
+def q_contamination_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level contamination localization
+    (pipeline.dedup.contamination_spans): for every training doc
+    sharing a 13-gram with the benchmark split (doc_id % 50 == 5),
+    the maximal [span_start, span_end) token spans covering the
+    shared grams — decontaminate says WHICH docs, this says WHERE, so
+    the remedy can be a surgical cut instead of dropping the doc.
+    Anchors are (id, pos, 8B hash) probing a broadcast benchmark hash
+    set; the oracle recomputes anchors from gram STRINGS and replays
+    the same gaps-and-islands merge in window SQL.
+
+    The corpus splits share no natural 13-gram at this sf, so the
+    corpus is augmented with PLANTED part-copies derived from each
+    >=30-token benchmark doc: tokens[1..15] + 5 unique filler words +
+    tokens[16..30]. Each planted doc must come back as exactly the
+    spans [0, 15) and [20, 35) — two islands with the filler gap
+    verbatim — plus whatever cross-doc gram sharing truly exists."""
+    from sparkval.pipeline.dedup import contamination_spans
+    from sparkval.pipeline.text import _ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 5).select("doc_id", "text")
+    toks = _ws_tokens("text")
+    filler = F.array(*[F.lit(f"zqfill{i}") for i in range(1, 6)])
+    planted = benchmark.filter(F.size(toks) >= 30).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.slice(toks, 1, 15), filler, F.slice(toks, 16, 15)),
+        ).alias("text"),
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 50 != 5)
+        .select("doc_id", "text")
+        .unionAll(planted)
+    )
+    return contamination_spans(corpus, benchmark, n=13).orderBy(
+        "doc_id", "span_start"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2154,6 +2195,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_heavy_hitters_documents": q_stream_heavy_hitters_documents,
     "bloom_decontaminate_documents": q_bloom_decontaminate_documents,
     "bm25_documents": q_bm25_documents,
+    "contamination_spans_documents": q_contamination_spans_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3477,6 +3519,56 @@ ORACLE_SQL["bm25_documents"] = """
     FROM base, s
     WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
     ORDER BY doc_id
+"""
+
+
+# contamination-spans oracle: anchors from gram STRINGS (no xxhash64
+# in DuckDB), then the identical gaps-and-islands merge in window SQL
+# — pos is the 0-based word index (engine posexplode), i.e. g.i - 1.
+ORACLE_SQL["contamination_spans_documents"] = """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT DISTINCT array_to_string(t[g.i : g.i + 12], ' ') AS g
+        FROM tok, generate_series(1, 512) g(i)
+        WHERE doc_id % 50 = 5 AND g.i + 12 <= len(t)
+    ),
+    ctok AS (
+        SELECT doc_id, t FROM tok WHERE doc_id % 50 <> 5
+        UNION ALL
+        SELECT doc_id + 10000000,
+               string_split_regex(
+                   array_to_string(t[1:15], ' ')
+                   || ' zqfill1 zqfill2 zqfill3 zqfill4 zqfill5 '
+                   || array_to_string(t[16:30], ' '), '\\s+')
+        FROM tok WHERE doc_id % 50 = 5 AND len(t) >= 30
+    ),
+    anchors AS (
+        SELECT doc_id, g.i - 1 AS pos, g.i + 12 AS e
+        FROM ctok, generate_series(1, 512) g(i)
+        WHERE g.i + 12 <= len(t)
+          AND array_to_string(t[g.i : g.i + 12], ' ') IN (SELECT g FROM bg)
+    ),
+    ni AS (
+        SELECT doc_id, pos, e,
+               CASE WHEN max(e) OVER w IS NULL OR pos > max(e) OVER w
+                    THEN 1 ELSE 0 END AS new_island
+        FROM anchors
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    grp AS (
+        SELECT doc_id, pos, e,
+               sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM ni
+    )
+    SELECT doc_id, min(pos)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
+           (max(e) - min(pos))::BIGINT AS n_words
+    FROM grp GROUP BY doc_id, isl
+    ORDER BY doc_id, span_start
 """
 
 

@@ -1148,3 +1148,58 @@ def bloom_decontaminate(
         .withColumn("exact_hits", F.coalesce("exact_hits", F.lit(0)))
         .withColumn("contaminated", F.col("exact_hits") > 0)
     )
+
+
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """WHERE the contamination is: for every corpus document sharing a
+    word ``n``-gram with the benchmark set, the maximal overlapping
+    token spans [span_start, span_end) covering the shared grams —
+    ``decontaminate`` says WHICH docs to drop; this says WHERE the
+    overlap sits, so a curator can surgically CUT the contaminated
+    passage (the usual remedy when a long document merely quotes one
+    eval question) instead of dropping the whole doc.
+
+    Plan: positional corpus grams (``ngram_hash_positions`` — only
+    (id, pos, 8B hash) leaves the scan) probe the benchmark's
+    broadcast DISTINCT hash set map-side; surviving anchors (rare)
+    merge into maximal spans with the same per-document
+    gaps-and-islands window as ``duplicated_spans`` — rows per doc
+    bounded by its token count, never the corpus. Same shapes, same
+    100 TB budget as decontaminate + duplicated_spans."""
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"bad n={n}")
+    bench_grams = (
+        ngram_hash_stream(benchmark, text_col, id_col, n)
+        .select("gram_hash").distinct()
+    )
+    marked = (
+        ngram_hash_positions(corpus, text_col, id_col, n)
+        .join(F.broadcast(bench_grams), "gram_hash", "left_semi")
+        .withColumn("_end", F.col("pos") + n)
+    )
+    w_prev = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("_end").over(w_prev)
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1
+    ).otherwise(0)
+    return (
+        marked.withColumn("_isl", F.sum(new_island).over(w_run))
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.max("_end").cast("long").alias("span_end"),
+        )
+        .withColumn("n_words", F.col("span_end") - F.col("span_start"))
+        .drop("_isl")
+    )

@@ -805,3 +805,27 @@ def test_bm25_scores_match_closed_form(spark):
         bm25_scores(docs, [])
     with pytest.raises(ValueError):
         bm25_scores(docs, ["a", "a"])
+
+
+def test_contamination_spans_island_merge(spark):
+    from sparkval.pipeline.dedup import contamination_spans
+
+    w = lambda pfx, a, b: " ".join(f"{pfx}{i}" for i in range(a, b))
+    bench = spark.createDataFrame(
+        [(100, w("b", 0, 40))], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # b0..b14, gap, b20..b34: two islands [0,15) and [20,35)
+            (1, w("b", 0, 15) + " " + w("f", 0, 5) + " " + w("b", 20, 35)),
+            # overlapping anchors merge: b0..b25 is one island [0,26)
+            (2, w("b", 0, 26)),
+            (3, w("x", 0, 20)),  # clean: no spans
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_words"])
+        for r in contamination_spans(corpus, bench, n=13).collect()
+    )
+    assert spans == [(1, 0, 15, 15), (1, 20, 35, 15), (2, 0, 26, 26)]
