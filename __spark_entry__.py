@@ -2114,6 +2114,19 @@ def q_contamination_spans_documents(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_embedding_stats_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding diagnostics (pipeline.similarity.embedding_stats):
+    per-dimension mean/std from the (sum, sumsq, n) moment monoid
+    plus the anisotropy collapse ratio ||mean vec|| / mean ||x||.
+    Plan is pure JVM: posexplode partial-aggregates to n_dims rows
+    per task before the exchange; the oracle unnests with a constant
+    64-dim grid and recomputes the identical moment formulas."""
+    from sparkval.pipeline.similarity import embedding_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_stats(emb, "embedding").orderBy("dim")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2196,6 +2209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_decontaminate_documents": q_bloom_decontaminate_documents,
     "bm25_documents": q_bm25_documents,
     "contamination_spans_documents": q_contamination_spans_documents,
+    "embedding_stats_embeddings": q_embedding_stats_embeddings,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3569,6 +3583,39 @@ ORACLE_SQL["contamination_spans_documents"] = """
            (max(e) - min(pos))::BIGINT AS n_words
     FROM grp GROUP BY doc_id, isl
     ORDER BY doc_id, span_start
+"""
+
+
+# embedding-stats oracle: constant 64-dim unnest grid (DuckDB
+# generate_series needs constant bounds), double-cast before any
+# arithmetic to match the engine, same moment formulas.
+ORACLE_SQL["embedding_stats_embeddings"] = """
+    WITH v AS (
+        SELECT g.i - 1 AS dim, embedding[g.i]::DOUBLE AS val
+        FROM embeddings, generate_series(1, 64) g(i)
+        WHERE g.i <= len(embedding)
+    ),
+    per_dim AS (
+        SELECT dim,
+               sum(val) / count(*) AS mean_v,
+               sqrt(greatest(
+                   sum(val * val) / count(*)
+                   - (sum(val) / count(*)) * (sum(val) / count(*)), 0.0))
+                   AS std_v
+        FROM v GROUP BY dim
+    ),
+    mean_norm AS (
+        SELECT sqrt(sum(mean_v * mean_v)) AS mn FROM per_dim
+    ),
+    avg_norm AS (
+        SELECT avg(sqrt(list_sum(
+                   list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))))
+               AS an
+        FROM embeddings
+    )
+    SELECT dim::INT AS dim, mean_v, std_v, (mn / an) AS anisotropy
+    FROM per_dim, mean_norm, avg_norm
+    ORDER BY dim
 """
 
 

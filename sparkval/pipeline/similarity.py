@@ -680,3 +680,60 @@ def random_projection(
     return embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col)
     ).mapInPandas(project, schema)
+
+
+def embedding_stats(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Embedding-quality diagnostics: per-dimension mean and
+    population std plus the corpus ANISOTROPY ratio
+    ||mean vector|| / mean ||x|| — the collapse check an embedding
+    pipeline runs before trusting downstream ANN/dedup (a ratio near
+    1 means every vector points the same way and cosine similarity
+    is meaningless; a healthy corpus sits near 0). Returns one row
+    per dimension: (dim, mean_v, std_v, anisotropy), 0-based dim,
+    with the scalar anisotropy repeated on each row.
+
+    Scale shape: pure JVM — posexplode(dim, v) feeds a
+    groupBy(dim) whose map-side partial hash-agg collapses each
+    task to n_dims partial rows BEFORE the exchange, so the shuffle
+    is O(tasks x dims), never O(rows x dims); the norm pass is one
+    scalar agg over a higher-order fold. Variance comes from the
+    (sum, sumsq, n) moment monoid — the same partials a persisted
+    per-shard stats table would merge."""
+    exploded = df.select(
+        F.posexplode(F.col(col)).alias("dim", "_v")
+    ).select("dim", F.col("_v").cast("double").alias("_v"))
+    per_dim = exploded.groupBy("dim").agg(
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_ss"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    avg_norm = df.select(norm.alias("_norm")).agg(
+        F.avg("_norm").alias("_avg_norm")
+    )
+    mean_v = F.col("_s") / F.col("_n")
+    var_v = F.col("_ss") / F.col("_n") - mean_v * mean_v
+    moments = per_dim.select(
+        "dim",
+        mean_v.alias("mean_v"),
+        F.sqrt(F.greatest(var_v, F.lit(0.0))).alias("std_v"),
+    )
+    mean_norm = moments.agg(
+        F.sqrt(F.sum(F.col("mean_v") * F.col("mean_v"))).alias("_mean_norm")
+    )
+    return (
+        moments.crossJoin(F.broadcast(mean_norm))
+        .crossJoin(F.broadcast(avg_norm))
+        .select(
+            "dim",
+            "mean_v",
+            "std_v",
+            (F.col("_mean_norm") / F.col("_avg_norm")).alias("anisotropy"),
+        )
+    )

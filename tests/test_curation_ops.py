@@ -829,3 +829,33 @@ def test_contamination_spans_island_merge(spark):
         for r in contamination_spans(corpus, bench, n=13).collect()
     )
     assert spans == [(1, 0, 15, 15), (1, 20, 35, 15), (2, 0, 26, 26)]
+
+
+def test_embedding_stats_matches_numpy(spark):
+    import numpy as np
+
+    from sparkval.pipeline.similarity import embedding_stats
+
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(40, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(m)],
+        "vec_id long, embedding array<float>",
+    )
+    got = embedding_stats(df).orderBy("dim").toPandas()
+    md = m.astype(np.float64)
+    assert np.allclose(got["mean_v"], md.mean(axis=0), atol=1e-12)
+    assert np.allclose(got["std_v"], md.std(axis=0), atol=1e-9)
+    expect_aniso = float(
+        np.linalg.norm(md.mean(axis=0)) / np.linalg.norm(md, axis=1).mean()
+    )
+    assert np.allclose(got["anisotropy"], expect_aniso, atol=1e-12)
+    assert list(got["dim"]) == list(range(8))
+
+    # collapse detector: identical vectors -> anisotropy == 1
+    one = spark.createDataFrame(
+        [(i, [1.0, 2.0, 2.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    aniso = embedding_stats(one).collect()[0]["anisotropy"]
+    assert abs(aniso - 1.0) < 1e-12
