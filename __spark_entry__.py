@@ -2127,6 +2127,34 @@ def q_embedding_stats_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_stats(emb, "embedding").orderBy("dim")
 
 
+def q_pmi_bigrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (pipeline.text.pmi_bigrams): adjacent
+    bigrams with count >= 5 scored by pointwise mutual information
+    against unigram marginals. Bigrams pair adjacent tokens inside
+    the token array (higher-order transform), so the only shuffles
+    are map-side-combined counts; the pmi float tree is fixed-arity
+    and the oracle replays it with identical operand order."""
+    from sparkval.pipeline.text import pmi_bigrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_bigrams(docs, min_count=5).orderBy("x", "y")
+
+
+def q_temperature_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing
+    (pipeline.sampling.temperature_mixture) at T = 0.7 with a 1M-token
+    budget: per source, raw vs temperature sampling shares, the
+    up/down-sampling factor, and the implied epochs over each source —
+    the standard multilingual/multi-source mixing rule. One groupBy to
+    O(groups) rows + one broadcast totals row."""
+    from sparkval.pipeline.sampling import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mixture(
+        docs, "source", temperature=0.7, budget_tokens=1_000_000
+    ).orderBy("source")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2210,6 +2238,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_documents": q_bm25_documents,
     "contamination_spans_documents": q_contamination_spans_documents,
     "embedding_stats_embeddings": q_embedding_stats_embeddings,
+    "pmi_bigrams_documents": q_pmi_bigrams_documents,
+    "temperature_mixture_documents": q_temperature_mixture_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3616,6 +3646,61 @@ ORACLE_SQL["embedding_stats_embeddings"] = """
     SELECT dim::INT AS dim, mean_v, std_v, (mn / an) AS anisotropy
     FROM per_dim, mean_norm, avg_norm
     ORDER BY dim
+"""
+
+
+# PMI oracle: bigram/unigram counts from the constant position grid,
+# then ln((c_xy/N_b) / ((c_x/N_u)*(c_y/N_u))) with the engine's
+# operand order. N_b sums over ALL bigrams (pre-min_count filter).
+ORACLE_SQL["pmi_bigrams_documents"] = """
+    WITH base AS (
+        SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    ),
+    ucnt AS (
+        SELECT w, count(*) AS n
+        FROM (SELECT unnest(t) AS w FROM base) GROUP BY w
+    ),
+    nu AS (SELECT sum(n)::BIGINT AS nu FROM ucnt),
+    bcnt AS (
+        SELECT x, y, count(*) AS n_xy
+        FROM (
+            SELECT t[g.i] AS x, t[g.i + 1] AS y
+            FROM base, generate_series(1, 512) g(i)
+            WHERE g.i + 1 <= len(t)
+        ) GROUP BY x, y
+    ),
+    nb AS (SELECT sum(n_xy)::BIGINT AS nb FROM bcnt)
+    SELECT b.x, b.y, b.n_xy::BIGINT AS n_xy,
+           ln((b.n_xy::DOUBLE / nb::DOUBLE)
+              / ((cx.n::DOUBLE / nu::DOUBLE) * (cy.n::DOUBLE / nu::DOUBLE)))
+               AS pmi
+    FROM bcnt b
+    JOIN ucnt cx ON cx.w = b.x
+    JOIN ucnt cy ON cy.w = b.y, nu, nb
+    WHERE b.n_xy >= 5
+    ORDER BY b.x, b.y
+"""
+
+# temperature-mixture oracle: same token-count convention as
+# mixture_report; pow/divisions in the engine's operand order.
+ORACLE_SQL["temperature_mixture_documents"] = """
+    WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END)::BIGINT AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    p2 AS (SELECT *, pow(n_tokens::DOUBLE, 0.7) AS w FROM per),
+    tot AS (SELECT sum(n_tokens)::BIGINT AS tt, sum(w) AS tw FROM p2)
+    SELECT source, n_docs, n_tokens,
+           n_tokens::DOUBLE / tt::DOUBLE AS raw_share,
+           w / tw AS temp_share,
+           (w / tw) / (n_tokens::DOUBLE / tt::DOUBLE) AS sample_factor,
+           (w / tw) * 1000000.0 AS target_tokens,
+           ((w / tw) * 1000000.0) / n_tokens::DOUBLE AS epochs
+    FROM p2, tot ORDER BY source
 """
 
 

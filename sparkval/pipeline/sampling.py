@@ -340,3 +340,57 @@ def chunk_documents(
             F.md5(chunk.cast("binary")).alias("chunk_md5"),
         )
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    temperature: float = 0.7,
+    budget_tokens: int | None = None,
+) -> DataFrame:
+    """Temperature-weighted source mixing — the standard LLM
+    data-mixing rule (multilingual/multi-source sampling a la the
+    GPT-3 / mT5 mixes): sampling share p_i ∝ n_i^T for temperature
+    T in (0, 1], which upweights small sources relative to their raw
+    token share (T = 1 reproduces raw shares; T -> 0 approaches
+    uniform). Per group: raw token counts, raw share, temperature
+    share, the implied up/down-sampling factor, and — when
+    ``budget_tokens`` is given — the target token draw and the
+    number of EPOCHS over the source it implies (epochs > ~4 is the
+    overfitting red flag for small upweighted sources).
+
+    Plan shape: identical budget to ``mixture_report`` — one
+    map-side-combined groupBy to O(groups) rows, one broadcast
+    scalar total; pow/division are fixed-arity float expressions the
+    oracle replays exactly."""
+    if not (0.0 < temperature <= 1.0):
+        raise ValueError(f"temperature must be in (0, 1], got {temperature}")
+    toks = F.when(
+        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""), F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    per = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"), F.sum(toks.cast("long")).alias("n_tokens")
+    )
+    powed = per.withColumn(
+        "_w", F.pow(F.col("n_tokens").cast("double"), F.lit(temperature))
+    )
+    totals = powed.agg(
+        F.sum("n_tokens").alias("_total_tokens"), F.sum("_w").alias("_total_w")
+    )
+    out = (
+        powed.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "raw_share",
+            F.col("n_tokens").cast("double") / F.col("_total_tokens").cast("double"),
+        )
+        .withColumn("temp_share", F.col("_w") / F.col("_total_w"))
+        .withColumn("sample_factor", F.col("temp_share") / F.col("raw_share"))
+    )
+    if budget_tokens is not None:
+        out = out.withColumn(
+            "target_tokens", F.col("temp_share") * F.lit(float(budget_tokens))
+        ).withColumn(
+            "epochs", F.col("target_tokens") / F.col("n_tokens").cast("double")
+        )
+    return out.drop("_w", "_total_tokens", "_total_w")

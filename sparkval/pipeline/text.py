@@ -481,3 +481,75 @@ def bm25_scores(
         .filter(F.col("matched_terms") >= 1)
         .select(id_col, "matched_terms", score.alias("score"))
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    broadcast_unigrams: bool = True,
+) -> DataFrame:
+    """Adjacent-bigram collocation mining by pointwise mutual
+    information — the tokenizer/vocab-curation pass that surfaces
+    multi-word expressions ("new york", "machine learning") worth
+    merging before BPE training, and boilerplate n-grams worth
+    inspecting. For bigram (x, y):
+
+        pmi = ln( (c_xy / N_b) / ((c_x / N_u) * (c_y / N_u)) )
+
+    with c_xy the adjacent-pair count, c_x/c_y unigram counts, N_b
+    total bigrams, N_u total tokens. Returns (x, y, n_xy, pmi) for
+    pairs with n_xy >= min_count.
+
+    Scale shape: bigrams pair adjacent tokens INSIDE the token array
+    (higher-order transform — pure JVM), so the only shuffles are
+    map-side-combined counts: O(distinct bigrams) + O(vocabulary)
+    rows, never O(tokens). The unigram table is vocabulary-sized and
+    broadcasts into the join (``broadcast_unigrams=False`` falls
+    back to a shuffled join for pathological vocabularies); scalar
+    totals ride along as one broadcast row. The pmi expression is a
+    fixed-arity float tree — engine-replayable."""
+    toks = _ws_tokens(text_col)
+    base = df.filter(F.trim(F.col(text_col)) != "").select(
+        toks.alias("_toks")
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - 1),
+        lambda i: F.struct(
+            F.element_at("_toks", i).alias("x"),
+            F.element_at("_toks", i + 1).alias("y"),
+        ),
+    )
+    bigrams = (
+        base.filter(F.size("_toks") >= 2)
+        .select(F.explode(pairs).alias("_p"))
+        .select("_p.x", "_p.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    unigrams = (
+        base.select(F.explode("_toks").alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    if broadcast_unigrams:
+        unigrams = F.broadcast(unigrams)
+    totals = F.broadcast(unigrams.agg(F.sum("_n").alias("_nu")))
+    nb = F.broadcast(bigrams.agg(F.sum("n_xy").alias("_nb")))
+    ux = unigrams.select(F.col("_t").alias("x"), F.col("_n").alias("_cx"))
+    uy = unigrams.select(F.col("_t").alias("y"), F.col("_n").alias("_cy"))
+    pmi = F.log(
+        (F.col("n_xy").cast("double") / F.col("_nb").cast("double"))
+        / (
+            (F.col("_cx").cast("double") / F.col("_nu").cast("double"))
+            * (F.col("_cy").cast("double") / F.col("_nu").cast("double"))
+        )
+    )
+    return (
+        bigrams.filter(F.col("n_xy") >= min_count)
+        .join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(totals)
+        .crossJoin(nb)
+        .select("x", "y", "n_xy", pmi.alias("pmi"))
+    )

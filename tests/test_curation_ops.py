@@ -859,3 +859,61 @@ def test_embedding_stats_matches_numpy(spark):
     )
     aniso = embedding_stats(one).collect()[0]["anisotropy"]
     assert abs(aniso - 1.0) < 1e-12
+
+
+def test_pmi_bigrams_closed_form(spark):
+    import math
+
+    from sparkval.pipeline.text import pmi_bigrams
+
+    # "a b" x3, "a c" x1: N_u = 8, N_b = 4
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["x"], r["y"]): r
+        for r in pmi_bigrams(docs, min_count=1).collect()
+    }
+    assert set(rows) == {("a", "b"), ("a", "c")}
+    nu, nb = 8, 4
+    exp_ab = math.log((3 / nb) / ((4 / nu) * (3 / nu)))
+    exp_ac = math.log((1 / nb) / ((4 / nu) * (1 / nu)))
+    assert abs(rows[("a", "b")]["pmi"] - exp_ab) < 1e-12
+    assert abs(rows[("a", "c")]["pmi"] - exp_ac) < 1e-12
+    assert rows[("a", "b")]["n_xy"] == 3
+
+    # min_count filters but totals stay corpus-wide
+    only_ab = pmi_bigrams(docs, min_count=2).collect()
+    assert len(only_ab) == 1
+    assert abs(only_ab[0]["pmi"] - exp_ab) < 1e-12
+
+
+def test_temperature_mixture_shares(spark):
+    from sparkval.pipeline.sampling import temperature_mixture
+
+    docs = spark.createDataFrame(
+        [("big", "w " * 90), ("small", "w " * 10)],
+        "source string, text string",
+    )
+    rows = {
+        r["source"]: r
+        for r in temperature_mixture(
+            docs, "source", temperature=0.5, budget_tokens=1000
+        ).collect()
+    }
+    w_big, w_small = 90 ** 0.5, 10 ** 0.5
+    tw = w_big + w_small
+    assert abs(rows["big"]["raw_share"] - 0.9) < 1e-12
+    assert abs(rows["big"]["temp_share"] - w_big / tw) < 1e-12
+    # temperature upweights the small source
+    assert rows["small"]["sample_factor"] > 1 > rows["big"]["sample_factor"]
+    assert abs(rows["small"]["target_tokens"] - 1000 * w_small / tw) < 1e-9
+    assert abs(
+        rows["small"]["epochs"] - rows["small"]["target_tokens"] / 10
+    ) < 1e-12
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_mixture(docs, "source", temperature=0.0)
