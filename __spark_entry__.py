@@ -2155,6 +2155,31 @@ def q_temperature_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFra
     ).orderBy("source")
 
 
+def q_cut_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup APPLY step (pipeline.dedup.cut_spans composed
+    with duplicated_spans): the same planted-boilerplate corpus as
+    duplicated_spans_documents, but the detected spans are CUT and
+    every doc comes back as (n_words, n_removed, text_clean) — docs
+    carrying the planted 20-word passage lose it (plus any organic
+    duplicated spans the rule finds), all others pass through
+    verbatim with n_removed = 0. The oracle replays detection AND
+    the cut: kept tokens are the original-case grid anti-ranged
+    against the island-merged spans, re-joined in position order."""
+    from sparkval.pipeline.dedup import cut_spans, duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    passage = " ".join(f"dupseg{i:02d}" for i in range(20))
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat(F.lit(passage + " "), F.coalesce(F.col("text"), F.lit(""))),
+        ).otherwise(F.col("text")),
+    )
+    spans = duplicated_spans(planted, n=13)
+    return cut_spans(planted, spans).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2240,6 +2265,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_stats_embeddings": q_embedding_stats_embeddings,
     "pmi_bigrams_documents": q_pmi_bigrams_documents,
     "temperature_mixture_documents": q_temperature_mixture_documents,
+    "cut_spans_documents": q_cut_spans_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3701,6 +3727,85 @@ ORACLE_SQL["temperature_mixture_documents"] = """
            (w / tw) * 1000000.0 AS target_tokens,
            ((w / tw) * 1000000.0) / n_tokens::DOUBLE AS epochs
     FROM p2, tot ORDER BY source
+"""
+
+
+# cut-spans oracle: duplicated_spans detection replayed verbatim
+# (same planted corpus, grams, island merge), then the CUT — the
+# original-case token grid anti-ranged against the spans and
+# re-joined with string_agg in position order.
+ORACLE_SQL["cut_spans_documents"] = """
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 25 = 0 THEN
+                   'dupseg00 dupseg01 dupseg02 dupseg03 dupseg04 dupseg05 dupseg06 dupseg07 dupseg08 dupseg09 dupseg10 dupseg11 dupseg12 dupseg13 dupseg14 dupseg15 dupseg16 dupseg17 dupseg18 dupseg19 '
+                   || coalesce(text, '')
+               ELSE text END AS text
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS t
+        FROM planted
+    ),
+    g AS (
+        SELECT doc_id, g.i - 1 AS pos,
+               array_to_string(t[g.i : g.i + 12], ' ') AS gram
+        FROM tok, generate_series(1, 544) g(i)
+        WHERE len(t) >= 13 AND g.i + 12 <= len(t)
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    m AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+    s AS (
+        SELECT doc_id, pos,
+               max(pos + 13) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS pme
+        FROM m
+    ),
+    i AS (
+        SELECT doc_id, pos,
+               sum(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM s
+    ),
+    spans AS (
+        SELECT doc_id, min(pos) AS span_start, max(pos) + 13 AS span_end
+        FROM i GROUP BY doc_id, isl
+    ),
+    grid AS (
+        SELECT p.doc_id, g.i - 1 AS pos, t2[g.i] AS tok
+        FROM (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS t2
+            FROM planted WHERE trim(coalesce(text, '')) <> ''
+        ) p, generate_series(1, 544) g(i)
+        WHERE g.i <= len(t2)
+    ),
+    kept AS (
+        SELECT doc_id, pos, tok FROM grid tg
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = tg.doc_id
+              AND tg.pos >= s.span_start AND tg.pos < s.span_end
+        )
+    ),
+    agg AS (
+        SELECT g.doc_id,
+               count(*) AS nw,
+               coalesce(
+                   (SELECT string_agg(k.tok, ' ' ORDER BY k.pos)
+                    FROM kept k WHERE k.doc_id = g.doc_id), '') AS clean,
+               (SELECT count(*) FROM kept k WHERE k.doc_id = g.doc_id) AS nk
+        FROM grid g GROUP BY g.doc_id
+    )
+    SELECT p.doc_id,
+           coalesce(a.nw, 0)::BIGINT AS n_words,
+           (coalesce(a.nw, 0) - coalesce(a.nk, 0))::BIGINT AS n_removed,
+           coalesce(a.clean, '') AS text_clean
+    FROM planted p LEFT JOIN agg a ON a.doc_id = p.doc_id
+    ORDER BY p.doc_id
 """
 
 

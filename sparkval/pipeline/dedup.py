@@ -1203,3 +1203,63 @@ def contamination_spans(
         .withColumn("n_words", F.col("span_end") - F.col("span_start"))
         .drop("_isl")
     )
+
+
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_spans: bool = True,
+) -> DataFrame:
+    """APPLY span-level dedup/decontamination: remove the word ranges
+    named by ``spans`` (``duplicated_spans`` / ``contamination_spans``
+    output — [span_start, span_end) 0-based word indices) from each
+    document and re-join the survivors — the Lee et al. 2022 remedy
+    step that CUTS repeated passages instead of dropping documents.
+    Returns every input doc as (id, n_words, n_removed, text_clean);
+    docs without spans pass through with n_removed = 0.
+
+    Span indices were computed on the lowercased tokenization, but
+    whitespace positions are case-invariant, so the cut applies to
+    the ORIGINAL-case tokens. Plan: spans collapse to one per-doc
+    array (bounded by the doc's own token count), broadcast when
+    span-bearing docs are rare (the common case after dedup;
+    ``broadcast_spans=False`` for pathological corpora), and the cut
+    itself is a higher-order filter on the (element, index) form —
+    pure JVM, no shuffle of content beyond the one spans join."""
+    agg = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("_spans")
+    )
+    if broadcast_spans:
+        agg = F.broadcast(agg)
+    toks = F.when(
+        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    empty = F.array().cast("array<struct<s:long,e:long>>")
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~F.exists(
+            F.col("_sp"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+        ),
+    )
+    return (
+        df.select(id_col, text_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            toks.alias("_toks"),
+            F.coalesce(F.col("_spans"), empty).alias("_sp"),
+        )
+        .select(
+            id_col,
+            F.size("_toks").cast("long").alias("n_words"),
+            (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+            F.concat_ws(" ", kept).alias("text_clean"),
+        )
+    )

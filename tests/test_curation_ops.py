@@ -917,3 +917,39 @@ def test_temperature_mixture_shares(spark):
 
     with _pytest.raises(ValueError):
         temperature_mixture(docs, "source", temperature=0.0)
+
+
+def test_cut_spans_applies_and_passes_through(spark):
+    from sparkval.pipeline.dedup import cut_spans, duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z"), (3, None), (4, "  ")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 1, 3), (1, 4, 5)],
+        "doc_id long, span_start long, span_end long",
+    )
+    out = {r["doc_id"]: r for r in cut_spans(docs, spans).collect()}
+    assert out[1]["text_clean"] == "a d f"
+    assert out[1]["n_removed"] == 3 and out[1]["n_words"] == 6
+    assert out[2]["text_clean"] == "x y z" and out[2]["n_removed"] == 0
+    assert out[3]["n_words"] == 0 and out[3]["text_clean"] == ""
+    assert out[4]["n_words"] == 0
+
+    # composition: detect-then-cut removes a planted shared passage.
+    # the shared span includes lowercase-'tail' (it sits inside a
+    # shared 13-gram: p3..p14 tail), so the maximal cut is [0, 16)
+    # and only the truly distinct last word survives — original case
+    passage = " ".join(f"p{i}" for i in range(15))
+    docs2 = spark.createDataFrame(
+        [(1, passage + " Tail One"), (2, passage + " Tail Two")],
+        "doc_id long, text string",
+    )
+    cleaned = {
+        r["doc_id"]: r
+        for r in cut_spans(docs2, duplicated_spans(docs2, n=13)).collect()
+    }
+    assert cleaned[1]["text_clean"] == "One"
+    assert cleaned[2]["text_clean"] == "Two"
+    assert cleaned[1]["n_removed"] == 16
