@@ -2180,6 +2180,34 @@ def q_cut_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cut_spans(planted, spans).orderBy("doc_id")
 
 
+def q_encoding_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage flags (pipeline.text.with_encoding_stats) over
+    a corpus with PLANTED damage: every 10th doc gets a U+FFFD, a C0
+    control char (BEL) and a UTF-8-as-Latin-1 mojibake pair appended
+    — those docs must report exactly (1, 1, 1, clean=false) plus
+    whatever damage the raw corpus truly has; all other docs pin the
+    clean path. Pure scan-speed length-delta expressions; the oracle
+    replays the same character classes in RE2's \\x{{..}} spelling."""
+    from sparkval.pipeline.text import with_encoding_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    damage = " xÃ©y \x07 �"
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(damage)),
+        ).otherwise(F.col("text")),
+    )
+    return with_encoding_stats(planted).select(
+        "doc_id",
+        "n_replacement_chars",
+        "n_control_chars",
+        "n_mojibake_pairs",
+        "encoding_clean",
+    ).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2266,6 +2294,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_bigrams_documents": q_pmi_bigrams_documents,
     "temperature_mixture_documents": q_temperature_mixture_documents,
     "cut_spans_documents": q_cut_spans_documents,
+    "encoding_stats_documents": q_encoding_stats_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3806,6 +3835,36 @@ ORACLE_SQL["cut_spans_documents"] = """
            coalesce(a.clean, '') AS text_clean
     FROM planted p LEFT JOIN agg a ON a.doc_id = p.doc_id
     ORDER BY p.doc_id
+"""
+
+
+# encoding-stats oracle: same planted damage, same character classes
+# (RE2 \x{..} spelling of the Java \uXXXX ranges), 'g' flag for
+# replace-all parity with Spark's regexp_replace default.
+ORACLE_SQL["encoding_stats_documents"] = """
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN
+                   coalesce(text, '') || ' xÃ©y ' || chr(7) || ' ' || chr(65533)
+               ELSE coalesce(text, '') END AS t
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               length(t) - length(regexp_replace(t, chr(65533), '', 'g'))
+                   AS n_rep,
+               length(t) - length(regexp_replace(t,
+                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g'))
+                   AS n_ctl,
+               (length(t) - length(regexp_replace(t,
+                   'Ã[\\x{0080}-\\x{00BF}]', '', 'g'))) / 2 AS n_moji
+        FROM planted
+    )
+    SELECT doc_id, n_rep::BIGINT AS n_replacement_chars,
+           n_ctl::BIGINT AS n_control_chars,
+           n_moji::BIGINT AS n_mojibake_pairs,
+           (n_rep = 0 AND n_ctl = 0 AND n_moji = 0) AS encoding_clean
+    FROM c ORDER BY doc_id
 """
 
 

@@ -553,3 +553,35 @@ def pmi_bigrams(
         .crossJoin(nb)
         .select("x", "y", "n_xy", pmi.alias("pmi"))
     )
+
+
+def with_encoding_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Mojibake / encoding-damage flags — the pre-filter that catches
+    double-decoded or truncated crawl content before it poisons a
+    training mix: count of U+FFFD replacement characters (the decoder
+    already gave up), count of C0/C1 control characters other than
+    tab/newline/carriage-return, the classic UTF-8-read-as-Latin-1
+    artifact pairs ('Ã' followed by a continuation-range char,
+    e.g. the mangled e-acute), and a clean flag when all three are
+    zero. Pure Column expressions (length deltas from regexp_replace)
+    — scan speed, no shuffle, no UDF, and every pattern is RE2/Java-
+    identical so oracles replay it."""
+    text = F.coalesce(F.col(col), F.lit(""))
+    n_replacement = F.length(text) - F.length(
+        F.regexp_replace(text, "�", "")
+    )
+    ctrl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]"
+    n_control = F.length(text) - F.length(F.regexp_replace(text, ctrl, ""))
+    moji = "\u00c3[\\u0080-\\u00BF]"
+    n_mojibake = (
+        F.length(text) - F.length(F.regexp_replace(text, moji, ""))
+    ) / F.lit(2)
+    return (
+        df.withColumn("n_replacement_chars", n_replacement.cast("long"))
+        .withColumn("n_control_chars", n_control.cast("long"))
+        .withColumn("n_mojibake_pairs", n_mojibake.cast("long"))
+        .withColumn(
+            "encoding_clean",
+            (n_replacement == 0) & (n_control == 0) & (n_mojibake == F.lit(0)),
+        )
+    )

@@ -953,3 +953,26 @@ def test_cut_spans_applies_and_passes_through(spark):
     assert cleaned[1]["text_clean"] == "One"
     assert cleaned[2]["text_clean"] == "Two"
     assert cleaned[1]["n_removed"] == 16
+
+
+def test_encoding_stats_flags(spark):
+    from sparkval.pipeline.text import with_encoding_stats
+
+    rows = [
+        (1, "clean text here"),
+        (2, "bad � char"),
+        (3, "moji Ã© pair"),
+        (4, "ctrl \x07 bell \x9f x"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_encoding_stats(df).collect()}
+    assert out[1]["encoding_clean"] and out[5]["encoding_clean"]
+    assert out[2]["n_replacement_chars"] == 1 and not out[2]["encoding_clean"]
+    assert out[3]["n_mojibake_pairs"] == 1 and not out[3]["encoding_clean"]
+    assert out[4]["n_control_chars"] == 2 and not out[4]["encoding_clean"]
+    # tab/newline/CR are NOT damage
+    ok = with_encoding_stats(
+        spark.createDataFrame([(9, "a\tb\nc\rd")], "doc_id long, text string")
+    ).collect()[0]
+    assert ok["encoding_clean"] and ok["n_control_chars"] == 0
