@@ -2208,6 +2208,31 @@ def q_encoding_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_kmv_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-overlap sketches (stats.kmv_sketches / kmv_overlap):
+    per-source k=256 minimum-hash sketches over word 5-shingle
+    STRINGS, then every source pair's estimated Jaccard and each
+    side's estimated distinct-shingle count — computed from the
+    kilobyte sketch table alone, the corpus never rescanned. The md5
+    hash chain and both estimators are deterministic closed forms, so
+    DuckDB recomputes the identical sketches (k smallest distinct
+    hashes per source) AND the identical estimates — the sketch
+    family's sixth monoid, fully value-oracled."""
+    from sparkval.stats import kmv_overlap, kmv_sketches
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 4),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+    )
+    stream = docs.filter(F.size(toks) >= 5).select(
+        "source", F.explode(grams).alias("gram")
+    )
+    sk = kmv_sketches(stream, "gram", ["source"], k=256)
+    return kmv_overlap(sk, "source", k=256).orderBy("group_a", "group_b")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2295,6 +2320,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mixture_documents": q_temperature_mixture_documents,
     "cut_spans_documents": q_cut_spans_documents,
     "encoding_stats_documents": q_encoding_stats_documents,
+    "kmv_overlap_documents": q_kmv_overlap_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3865,6 +3891,72 @@ ORACLE_SQL["encoding_stats_documents"] = """
            n_moji::BIGINT AS n_mojibake_pairs,
            (n_rep = 0 AND n_ctl = 0 AND n_moji = 0) AS encoding_clean
     FROM c ORDER BY doc_id
+"""
+
+
+# KMV oracle: the k smallest distinct md5-prefix hashes per source
+# are a deterministic set, so DuckDB rebuilds each sketch with a
+# row_number window and replays both estimators exactly — the
+# distinct estimate (k-1)*2^32/h_k at saturation (exact below) and
+# the union-rank Jaccard |X ∩ A ∩ B| / |X| with X = rank <= k.
+ORACLE_SQL["kmv_overlap_documents"] = """
+    WITH tok AS (
+        SELECT source,
+               string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS t
+        FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    g AS (
+        SELECT DISTINCT source, array_to_string(t[gs.i : gs.i + 4], ' ') AS gr
+        FROM tok, generate_series(1, 512) gs(i)
+        WHERE gs.i + 4 <= len(t)
+    ),
+    h AS (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(gr), 1, 8))::BIGINT AS h0
+        FROM g
+    ),
+    sk AS (
+        SELECT source, h0
+        FROM (SELECT source, h0,
+                     row_number() OVER (PARTITION BY source ORDER BY h0) AS rn
+              FROM h)
+        WHERE rn <= 256
+    ),
+    cnt AS (SELECT source, count(*) AS n, max(h0) AS hk FROM sk GROUP BY source),
+    est AS (
+        SELECT source,
+               CASE WHEN n < 256 THEN n::DOUBLE
+                    ELSE 255.0 * 4294967296.0 / hk::DOUBLE END AS d
+        FROM cnt
+    ),
+    pairs AS (
+        SELECT a.source AS sa, b.source AS sb
+        FROM cnt a JOIN cnt b ON a.source < b.source
+    ),
+    uh AS (
+        SELECT p.sa, p.sb, s.h0,
+               max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ina,
+               max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS inb
+        FROM pairs p JOIN sk s ON s.source IN (p.sa, p.sb)
+        GROUP BY p.sa, p.sb, s.h0
+    ),
+    ur AS (
+        SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h0) AS rn
+        FROM uh
+    ),
+    j AS (
+        SELECT sa, sb,
+               sum(CASE WHEN rn <= 256 AND ina = 1 AND inb = 1
+                        THEN 1 ELSE 0 END)::DOUBLE
+               / count(CASE WHEN rn <= 256 THEN 1 END)::DOUBLE AS jac
+        FROM ur GROUP BY sa, sb
+    )
+    SELECT j.sa AS group_a, j.sb AS group_b, j.jac AS est_jaccard,
+           ea.d AS est_distinct_a, eb.d AS est_distinct_b
+    FROM j
+    JOIN est ea ON ea.source = j.sa
+    JOIN est eb ON eb.source = j.sb
+    ORDER BY group_a, group_b
 """
 
 

@@ -615,3 +615,145 @@ def bloom_contains_expr(
     for bit in bits[1:]:
         out = out & bit
     return out
+
+
+def kmv_sketches(
+    df: DataFrame,
+    col,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values) sketches over a value column
+    or expression — the SET-OVERLAP monoid (sparkval.kmv): per-task
+    partials keep the k smallest distinct md5-prefix hashes and merge
+    by union-then-k-smallest, so persisted sketches answer BOTH
+    distinct-count and cross-group Jaccard questions without
+    rescanning — the estimate group_overlap_matrix's exact
+    shingle-join cannot give at fleet scale. Shuffle volume is <= k
+    longs (~2 KB at the default) per (task, group). ``col`` may be a
+    column name or a string-typed Column (e.g. a shingle expression
+    evaluated inside the scan). Hashing and estimators are
+    engine-replayable, so sketches AND estimates carry a FULL value
+    oracle."""
+    from sparkval import kmv
+
+    group_cols = group_cols if group_cols is not None else ["lang"]
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; roll up to "
+                         "global with merge_kmv(sketches, [])")
+    value = F.col(col) if isinstance(col, str) else col
+    fields = [T.StructField(c, df.schema[c].dataType, True) for c in group_cols]
+    schema = T.StructType(
+        fields + [T.StructField("sketch", T.ArrayType(T.LongType()), False)]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for key, grp in pdf.groupby(group_cols, sort=False, dropna=False):
+                key = key if isinstance(key, tuple) else (key,)
+                vals = grp["_v"].dropna().unique()
+                out.append(
+                    dict(zip(group_cols, key))
+                    | {"sketch": kmv.sketch_of(vals, k)}
+                )
+            yield pd.DataFrame(out)
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from sparkval import kmv as km
+
+        return pd.DataFrame(
+            [
+                dict(zip(group_cols, key))
+                | {"sketch": km.merge(pdf["sketch"], k)}
+            ]
+        )
+
+    part = df.select(*group_cols, value.alias("_v")).mapInPandas(
+        partials, schema
+    )
+    return part.groupBy(*group_cols).applyInPandas(merge, schema)
+
+
+def merge_kmv(
+    sketches: DataFrame, group_cols: list[str] | None = None, k: int = 256
+) -> DataFrame:
+    """Roll KMV sketches up to coarser groups (global with
+    ``group_cols=[]``) — union then k smallest, the monoid op."""
+    group_cols = group_cols or []
+    tmp = sketches if group_cols else sketches.withColumn("_g", F.lit(0))
+    keys = group_cols or ["_g"]
+    out_fields = [
+        T.StructField(c, tmp.schema[c].dataType, True) for c in keys
+    ] + [T.StructField("sketch", T.ArrayType(T.LongType()), False)]
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from sparkval import kmv as km
+
+        return pd.DataFrame(
+            [dict(zip(keys, key)) | {"sketch": km.merge(pdf["sketch"], k)}]
+        )
+
+    out = tmp.groupBy(*keys).applyInPandas(merge, T.StructType(out_fields))
+    return out.drop("_g") if not group_cols else out
+
+
+def kmv_distinct_expr(sketch_col: str = "sketch", k: int = 256) -> F.Column:
+    """Distinct-count estimate as a PURE codegen expression over a
+    sorted KMV sketch array: exact size below saturation, else
+    (k-1) * 2^32 / h_(k)."""
+    s = F.size(F.col(sketch_col))
+    hk = F.element_at(F.col(sketch_col), k).cast("double")
+    return F.when(s < k, s.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(4294967296.0) / hk
+    )
+
+
+def kmv_jaccard_expr(
+    a_col: str, b_col: str, k: int = 256
+) -> F.Column:
+    """Jaccard estimate between two sorted KMV sketch arrays as PURE
+    codegen: X = k smallest of the union (array ops), estimate =
+    |X ∩ A ∩ B| / |X|."""
+    x = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col(a_col), F.col(b_col)))),
+        1,
+        k,
+    )
+    both = F.size(
+        F.array_intersect(F.array_intersect(x, F.col(a_col)), F.col(b_col))
+    )
+    return F.when(F.size(x) == 0, F.lit(0.0)).otherwise(
+        both.cast("double") / F.size(x).cast("double")
+    )
+
+
+def kmv_overlap(
+    sketches: DataFrame, group_col: str, k: int = 256
+) -> DataFrame:
+    """Pairwise set-overlap report from a KMV sketch table alone: for
+    every group pair a < b, the estimated Jaccard of their value sets
+    plus each side's estimated distinct count — group_overlap_matrix's
+    answer WITHOUT the exact gram self-join, from O(groups) kilobyte
+    rows. This is the fleet-scale path: persist per-shard sketches,
+    merge_kmv to groups, then this O(G^2 k) comparison runs on the
+    driver-side-tiny sketch table while the corpus is never
+    rescanned. Pure codegen estimators over sorted arrays."""
+    a = sketches.select(
+        F.col(group_col).alias("group_a"), F.col("sketch").alias("_sa")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("group_b"), F.col("sketch").alias("_sb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            kmv_jaccard_expr("_sa", "_sb", k).alias("est_jaccard"),
+            kmv_distinct_expr("_sa", k).alias("est_distinct_a"),
+            kmv_distinct_expr("_sb", k).alias("est_distinct_b"),
+        )
+    )

@@ -976,3 +976,69 @@ def test_encoding_stats_flags(spark):
         spark.createDataFrame([(9, "a\tb\nc\rd")], "doc_id long, text string")
     ).collect()[0]
     assert ok["encoding_clean"] and ok["n_control_chars"] == 0
+
+
+def test_kmv_kernel_monoid_and_estimates():
+    import numpy as np
+
+    from sparkval import kmv
+
+    vals = [f"v{i}" for i in range(1000)]
+    direct = kmv.sketch_of(vals, k=64)
+    assert len(direct) == 64 and np.all(np.diff(direct) > 0)
+    # merge of arbitrary parts == direct sketch of the union; idempotent
+    parts = [kmv.sketch_of(vals[i::3], k=64) for i in range(3)]
+    assert np.array_equal(kmv.merge(parts, k=64), direct)
+    assert np.array_equal(kmv.merge([direct, direct], k=64), direct)
+
+    # exact below saturation
+    small = kmv.sketch_of(vals[:40], k=64)
+    assert kmv.distinct_estimate(small, k=64) == 40.0
+    # at saturation the estimator lands near the truth (k=256 -> ~6% se)
+    big = kmv.sketch_of([f"x{i}" for i in range(5000)], k=256)
+    est = kmv.distinct_estimate(big, k=256)
+    assert abs(est - 5000) / 5000 < 0.25
+
+    # jaccard: identical sets estimate exactly 1; disjoint near 0
+    a = kmv.sketch_of(vals, k=256)
+    assert kmv.jaccard_estimate(a, a, k=256) == 1.0
+    b = kmv.sketch_of([f"y{i}" for i in range(1000)], k=256)
+    assert kmv.jaccard_estimate(a, b, k=256) < 0.05
+    # 50% true overlap estimates within sketch error
+    c = kmv.sketch_of(vals[:500] + [f"z{i}" for i in range(500)], k=256)
+    assert abs(kmv.jaccard_estimate(a, c, k=256) - 1 / 3) < 0.15
+
+
+def test_kmv_spark_matches_kernel(spark):
+    import numpy as np
+
+    from sparkval import kmv
+    from sparkval.stats import (
+        kmv_distinct_expr,
+        kmv_jaccard_expr,
+        kmv_overlap,
+        kmv_sketches,
+        merge_kmv,
+    )
+
+    rows = [("a", f"v{i}") for i in range(300)] + [
+        ("b", f"v{i}") for i in range(150, 450)
+    ]
+    df = spark.createDataFrame(rows, "src string, val string")
+    sk = {r["src"]: r["sketch"] for r in kmv_sketches(df, "val", ["src"]).collect()}
+    ka = kmv.sketch_of([f"v{i}" for i in range(300)])
+    kb = kmv.sketch_of([f"v{i}" for i in range(150, 450)])
+    assert list(sk["a"]) == [int(v) for v in ka]
+    assert list(sk["b"]) == [int(v) for v in kb]
+
+    [g] = merge_kmv(kmv_sketches(df, "val", ["src"]), []).collect()
+    assert list(g["sketch"]) == [int(v) for v in kmv.merge([ka, kb])]
+
+    [pair] = kmv_overlap(kmv_sketches(df, "val", ["src"]), "src").collect()
+    assert pair["group_a"] == "a" and pair["group_b"] == "b"
+    assert pair["est_jaccard"] == kmv.jaccard_estimate(ka, kb)
+    assert pair["est_distinct_a"] == kmv.distinct_estimate(ka)
+    # 300 distinct, k=256: saturated estimator path on both engines;
+    # true jaccard 150/450 = 1/3
+    assert abs(pair["est_jaccard"] - 1 / 3) < 0.15
+    assert abs(pair["est_distinct_a"] - 300) / 300 < 0.25

@@ -45,6 +45,7 @@ MODULES = [
     "sparkval.tdigest",
     "sparkval.bloom",
     "sparkval.countmin",
+    "sparkval.kmv",
     "sparkval.pipeline",
     "sparkval.pipeline.dedup",
     "sparkval.pipeline.events",
