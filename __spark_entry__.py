@@ -3561,8 +3561,13 @@ ORACLE_SQL["bloom_decontaminate_documents"] = """
         FROM tok, generate_series(1, 512) g(i)
         WHERE doc_id % 50 = 5 AND g.i + 12 <= len(t)
     ),
+    -- the engine's filter is ONE shared bit array: a probe position
+    -- is satisfied by a bit set under ANY hash row of ANY benchmark
+    -- gram, so the position set here deliberately drops j (a
+    -- j-partitioned join would model a partitioned Bloom variant and
+    -- undercount false positives)
     bpos AS (
-        SELECT DISTINCT j.j,
+        SELECT DISTINCT
                ((((2654435761 * (j.j + 1)) % 2147483647)
                  * (('0x' || substr(md5(g), 1, 8))::BIGINT)
                  + ((40503 * (j.j + 1) + 7) % 2147483647))
@@ -3584,7 +3589,7 @@ ORACLE_SQL["bloom_decontaminate_documents"] = """
     ),
     inb AS (
         SELECT doc_id, g
-        FROM cpos LEFT JOIN bpos ON bpos.j = cpos.j AND bpos.p = cpos.p
+        FROM cpos LEFT JOIN bpos ON bpos.p = cpos.p
         GROUP BY doc_id, g
         HAVING count(bpos.p) = 4
     ),

@@ -1107,8 +1107,19 @@ def bloom_decontaminate(
         benchmark.filter(F.size(toks) >= n)
         .select(F.explode(grams).alias("gram"), F.lit(0).alias("_g"))
     )
+    # seed the merge with the all-zero identity filter so an EMPTY
+    # benchmark (or one with only <n-token docs) still yields one
+    # filter row and the report comes back with bloom_hits = 0 for
+    # every doc — not an empty (all-docs-vanish) result
+    seed = corpus.sparkSession.range(1).select(
+        F.lit(0).alias("_g"),
+        F.array_repeat(F.lit(0).cast("long"), m_bits // 64).alias("filter"),
+        F.lit(0).cast("long").alias("n_values"),
+    )
     filt = merge_bloom(
-        bloom_filters(bench_grams, "gram", ["_g"], k, m_bits), []
+        bloom_filters(bench_grams, "gram", ["_g"], k, m_bits)
+        .unionByName(seed),
+        [],
     ).select("filter")
 
     probed = (

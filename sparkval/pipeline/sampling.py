@@ -378,19 +378,39 @@ def temperature_mixture(
     totals = powed.agg(
         F.sum("n_tokens").alias("_total_tokens"), F.sum("_w").alias("_total_w")
     )
+    # a zero-token source (all docs empty) would hit 0/0 -> NULL under
+    # Spark's divide semantics; define it as 0 everywhere instead so
+    # the row is usable downstream (nothing to sample from that group)
+    zero = F.col("n_tokens") == 0
     out = (
         powed.crossJoin(F.broadcast(totals))
         .withColumn(
             "raw_share",
-            F.col("n_tokens").cast("double") / F.col("_total_tokens").cast("double"),
+            F.when(F.col("_total_tokens") == 0, F.lit(0.0)).otherwise(
+                F.col("n_tokens").cast("double")
+                / F.col("_total_tokens").cast("double")
+            ),
         )
-        .withColumn("temp_share", F.col("_w") / F.col("_total_w"))
-        .withColumn("sample_factor", F.col("temp_share") / F.col("raw_share"))
+        .withColumn(
+            "temp_share",
+            F.when(F.col("_total_w") == 0, F.lit(0.0)).otherwise(
+                F.col("_w") / F.col("_total_w")
+            ),
+        )
+        .withColumn(
+            "sample_factor",
+            F.when(zero, F.lit(0.0)).otherwise(
+                F.col("temp_share") / F.col("raw_share")
+            ),
+        )
     )
     if budget_tokens is not None:
         out = out.withColumn(
             "target_tokens", F.col("temp_share") * F.lit(float(budget_tokens))
         ).withColumn(
-            "epochs", F.col("target_tokens") / F.col("n_tokens").cast("double")
+            "epochs",
+            F.when(zero, F.lit(0.0)).otherwise(
+                F.col("target_tokens") / F.col("n_tokens").cast("double")
+            ),
         )
     return out.drop("_w", "_total_tokens", "_total_w")

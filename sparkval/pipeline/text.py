@@ -429,8 +429,11 @@ def bm25_scores(
     summation)."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    # the tokenizer lowercases every document token, so a cased query
+    # term would silently score tf = 0 everywhere — normalize here
+    query_terms = [t.lower() for t in query_terms]
     if len(set(query_terms)) != len(query_terms):
-        raise ValueError("query_terms must be distinct")
+        raise ValueError("query_terms must be distinct (after lowercasing)")
 
     base = df.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col), _ws_tokens(text_col).alias("_toks")

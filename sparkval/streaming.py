@@ -245,7 +245,10 @@ def stream_heavy_hitters(
     fixed depth x width grid, unlike a streaming groupBy(term) whose
     state grows with the vocabulary). The batch/stream parity is
     exact, not approximate-by-window: merging the per-batch sketches
-    equals the sketch of the full corpus, bit for bit."""
+    equals the sketch of the full corpus, bit for bit. Writes are
+    idempotent under foreachBatch's at-least-once replays (dynamic
+    overwrite of the batch_id partition), so the log never holds two
+    copies of one batch."""
     from sparkval.stats import countmin_sketches
 
     group_cols = group_cols or ["lang"]
@@ -254,9 +257,18 @@ def stream_heavy_hitters(
         if batch_df.isEmpty():
             return
         sk = countmin_sketches(batch_df, col, group_cols, depth, width)
-        sk.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_path)
+        # foreachBatch is at-least-once: a retried micro-batch must not
+        # append a second copy of its sketches (the merge path would
+        # double-count). Dynamic partition overwrite on batch_id makes
+        # the write idempotent — a replay overwrites ONLY its own
+        # partition, committed batches are untouched.
+        (
+            sk.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
 
     writer = (
         stream.writeStream.foreachBatch(handle)

@@ -664,6 +664,22 @@ def test_stream_heavy_hitters_monoid_equals_batch(spark, tmp_path):
     assert list(merged["sketch"]) == [int(v) for v in direct]
     assert merged["n_values"] == 12
 
+    # at-least-once replay: re-running the SAME batches against the
+    # same log (fresh checkpoint simulates a retry) must not duplicate
+    # sketch rows — dynamic partition overwrite keeps one copy per
+    # batch_id, so the merged totals are unchanged
+    n_before = log.count()
+    q2 = stream_heavy_hitters(
+        stream, "term", out, str(tmp_path / "ckpt2"), ["lang"]
+    )
+    q2.awaitTermination()
+    # fresh read: the replay OVERWROTE the batch partitions in place,
+    # so the pre-replay DataFrame's file listing is stale by design
+    log2 = spark.read.parquet(out)
+    assert log2.count() == n_before
+    [merged2] = merge_countmin(log2.drop("batch_id"), []).collect()
+    assert merged2["n_values"] == 12
+
 
 def test_bloom_kernel_membership_merge_and_fp_accounting():
     import numpy as np
@@ -1042,3 +1058,52 @@ def test_kmv_spark_matches_kernel(spark):
     # true jaccard 150/450 = 1/3
     assert abs(pair["est_jaccard"] - 1 / 3) < 0.15
     assert abs(pair["est_distinct_a"] - 300) / 300 < 0.25
+
+
+def test_bloom_decontaminate_empty_benchmark_reports_all_clean(spark):
+    from sparkval.pipeline.dedup import bloom_decontaminate
+
+    w = lambda pfx, n: " ".join(f"{pfx}{i}" for i in range(n))
+    corpus = spark.createDataFrame(
+        [(1, w("x", 20)), (2, w("y", 15))], "doc_id long, text string"
+    )
+    # benchmark docs all shorter than n=13: zero grams, but the report
+    # must still cover every corpus doc (review fix: zero-identity seed)
+    bench = spark.createDataFrame([(9, "too short")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in bloom_decontaminate(corpus, bench).collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert r["bloom_hits"] == 0 and r["exact_hits"] == 0
+        assert not r["contaminated"]
+
+
+def test_bm25_cased_query_terms_are_normalized(spark):
+    from sparkval.pipeline.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "Vector search rocks")], "doc_id long, text string"
+    )
+    [r] = bm25_scores(docs, ["Vector"]).collect()
+    assert r["matched_terms"] == 1 and r["score"] > 0
+    with pytest.raises(ValueError):
+        bm25_scores(docs, ["Vector", "vector"])  # dup after lowering
+
+
+def test_temperature_mixture_zero_token_source_defined(spark):
+    from sparkval.pipeline.sampling import temperature_mixture
+
+    docs = spark.createDataFrame(
+        [("live", "w w w w"), ("dead", ""), ("dead", None)],
+        "source string, text string",
+    )
+    rows = {
+        r["source"]: r
+        for r in temperature_mixture(
+            docs, "source", temperature=0.5, budget_tokens=100
+        ).collect()
+    }
+    d = rows["dead"]
+    assert d["n_tokens"] == 0
+    assert d["raw_share"] == 0.0 and d["temp_share"] == 0.0
+    assert d["sample_factor"] == 0.0 and d["epochs"] == 0.0  # not NULL
+    assert rows["live"]["temp_share"] == 1.0
