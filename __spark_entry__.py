@@ -2233,6 +2233,32 @@ def q_kmv_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap(sk, "source", k=256).orderBy("group_a", "group_b")
 
 
+def q_boilerplate_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-frequency boilerplate removal
+    (pipeline.text.boilerplate_lines) over a corpus with PLANTED
+    boilerplate: every doc gets a 'nav menu home' header line and
+    every even doc a newsletter footer line. Both recur across far
+    more than 5% of docs, so they must be stripped from every doc
+    while each doc's own body line survives verbatim — the
+    (n_lines, n_boilerplate_removed, text_clean) report is
+    value-hashed end-to-end, cleaned text included."""
+    from sparkval.pipeline.text import boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("nav menu home\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("\nsubscribe to our newsletter"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return boilerplate_lines(planted, min_doc_frac=0.05).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2321,6 +2347,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cut_spans_documents": q_cut_spans_documents,
     "encoding_stats_documents": q_encoding_stats_documents,
     "kmv_overlap_documents": q_kmv_overlap_documents,
+    "boilerplate_lines_documents": q_boilerplate_lines_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3962,6 +3989,51 @@ ORACLE_SQL["kmv_overlap_documents"] = """
     JOIN est ea ON ea.source = j.sa
     JOIN est eb ON eb.source = j.sb
     ORDER BY group_a, group_b
+"""
+
+
+# boilerplate-lines oracle: same planted header/footer, same
+# trimmed-non-empty line grid, doc-distinct counts against the
+# ceil(frac*N) threshold, and the rebuild via ORDER BY pos string_agg.
+ORACLE_SQL["boilerplate_lines_documents"] = """
+    WITH planted AS (
+        SELECT doc_id,
+               'nav menu home' || chr(10) || coalesce(text, '')
+               || CASE WHEN doc_id % 2 = 0
+                       THEN chr(10) || 'subscribe to our newsletter'
+                       ELSE '' END AS text
+        FROM documents
+    ),
+    l AS (
+        SELECT doc_id, gs.i AS pos, trim(parts[gs.i]) AS line
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+              FROM planted),
+             generate_series(1, 600) gs(i)
+        WHERE gs.i <= len(parts) AND trim(parts[gs.i]) <> ''
+    ),
+    nd AS (SELECT count(DISTINCT doc_id) AS ndocs FROM l),
+    hot AS (
+        SELECT line
+        FROM (SELECT line, count(DISTINCT doc_id) AS dc FROM l GROUP BY line),
+             nd
+        WHERE dc >= greatest(2, ceil(0.05 * ndocs))
+    ),
+    kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM hot)),
+    agg AS (
+        SELECT doc_id, count(*) AS nk,
+               string_agg(line, chr(10) ORDER BY pos) AS clean
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS nl FROM l GROUP BY doc_id)
+    SELECT p.doc_id,
+           coalesce(t.nl, 0)::BIGINT AS n_lines,
+           (coalesce(t.nl, 0) - coalesce(a.nk, 0))::BIGINT
+               AS n_boilerplate_removed,
+           coalesce(a.clean, '') AS text_clean
+    FROM planted p
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN agg a USING (doc_id)
+    ORDER BY p.doc_id
 """
 
 

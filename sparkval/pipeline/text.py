@@ -588,3 +588,84 @@ def with_encoding_stats(df: DataFrame, col: str = "text") -> DataFrame:
             (n_replacement == 0) & (n_control == 0) & (n_mojibake == F.lit(0)),
         )
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_frac: float = 0.05,
+    min_docs: int = 2,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Line-frequency boilerplate removal — the CCNet/RefinedWeb-style
+    cleanup that strips nav menus, cookie banners and footers: a
+    trimmed non-empty LINE appearing in at least
+    ``max(min_docs, ceil(min_doc_frac * N))`` distinct documents is
+    boilerplate, and every occurrence is removed. Returns one row per
+    input doc: (id, n_lines, n_boilerplate_removed, text_clean) with
+    surviving lines re-joined by newline in original order;
+    whitespace-only lines are dropped (normalization, documented).
+    The complement of span-level dedup: spans need a verbatim n-gram
+    run, this catches SHORT templated lines repeated across docs.
+
+    Scale shape: per-doc distinct lines feed one map-side-combined
+    groupBy(line) doc-count; the hot-line set is tiny by construction
+    (a line must recur across >= min_doc_frac of the corpus) and
+    broadcasts into a LEFT ANTI on the exploded line stream
+    (``broadcast_hot=False`` for pathological cases). The one real
+    shuffle is the per-doc regroup of surviving (pos, line) pairs —
+    O(lines), narrower than the content it rebuilds."""
+    lines_raw = F.transform(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+        lambda x: F.trim(x),
+    )
+    lines = F.filter(lines_raw, lambda x: x != "")
+    base = df.select(F.col(id_col), lines.alias("_lines"))
+    exploded = base.select(
+        id_col, F.posexplode("_lines").alias("pos", "line")
+    )
+    n_docs = base.filter(F.size("_lines") >= 1).agg(
+        F.count(F.lit(1)).alias("_nd")
+    )
+    hot = (
+        base.select(F.col(id_col), F.explode(F.array_distinct("_lines")).alias("line"))
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("_docs")
+            >= F.greatest(
+                F.lit(min_docs),
+                F.ceil(F.lit(float(min_doc_frac)) * F.col("_nd")).cast("long"),
+            )
+        )
+        .select("line")
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    kept = exploded.join(hot, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+    )
+    return (
+        base.select(id_col, F.size("_lines").cast("long").alias("n_lines"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_boilerplate_removed"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )

@@ -1107,3 +1107,38 @@ def test_temperature_mixture_zero_token_source_defined(spark):
     assert d["raw_share"] == 0.0 and d["temp_share"] == 0.0
     assert d["sample_factor"] == 0.0 and d["epochs"] == 0.0  # not NULL
     assert rows["live"]["temp_share"] == 1.0
+
+
+def test_boilerplate_lines_strips_hot_lines_keeps_body(spark):
+    from sparkval.pipeline.text import boilerplate_lines
+
+    nav = "NAV | HOME | ABOUT"
+    docs = spark.createDataFrame(
+        [
+            (1, nav + "\nunique body one\n\n  " + nav),
+            (2, nav + "\nunique body two"),
+            (3, nav + "\nunique body three"),
+            (4, "no boilerplate here"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_lines(docs, min_doc_frac=0.5, min_docs=2).collect()
+    }
+    # nav appears in 3/5 docs (>= ceil(0.5*5)=3): removed EVERYWHERE,
+    # including doc 1's second occurrence; empty lines are dropped
+    assert out[1]["text_clean"] == "unique body one"
+    assert out[1]["n_lines"] == 3 and out[1]["n_boilerplate_removed"] == 2
+    assert out[2]["text_clean"] == "unique body two"
+    assert out[4]["text_clean"] == "no boilerplate here"
+    assert out[4]["n_boilerplate_removed"] == 0
+    assert out[5]["n_lines"] == 0 and out[5]["text_clean"] == ""
+
+    # below-threshold lines survive: with min_doc_frac=1.0 nav stays
+    keep = {
+        r["doc_id"]: r
+        for r in boilerplate_lines(docs, min_doc_frac=1.0, min_docs=4).collect()
+    }
+    assert keep[2]["text_clean"] == nav + "\nunique body two"
