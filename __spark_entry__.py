@@ -2259,6 +2259,26 @@ def q_boilerplate_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return boilerplate_lines(planted, min_doc_frac=0.05).orderBy("doc_id")
 
 
+def q_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics (stats.skew_report) over a PLANTED
+    Zipf-hot key: ~30% of event rows remap to key 0 (event_id % 10 <
+    3), the rest keep their user_id + 1000 — the report must rank key
+    0 first with ~0.3 share and recommend ceil(0.3 * 32) = 10 salt
+    buckets, with every rank/share/total pinned by the oracle's
+    identical window arithmetic."""
+    from sparkval.stats import skew_report
+
+    events = _t(spark, sf_dir, "events")
+    keyed = events.select(
+        F.when(F.col("event_id") % 10 < 3, F.lit(0))
+        .otherwise(F.col("user_id") + 1000)
+        .alias("key")
+    )
+    return skew_report(keyed, ["key"], n_top=10, n_partitions=32).orderBy(
+        "rank"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2348,6 +2368,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encoding_stats_documents": q_encoding_stats_documents,
     "kmv_overlap_documents": q_kmv_overlap_documents,
     "boilerplate_lines_documents": q_boilerplate_lines_documents,
+    "skew_report_events": q_skew_report_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4034,6 +4055,36 @@ ORACLE_SQL["boilerplate_lines_documents"] = """
     LEFT JOIN tot t USING (doc_id)
     LEFT JOIN agg a USING (doc_id)
     ORDER BY p.doc_id
+"""
+
+
+# skew-report oracle: identical key remap, count-desc/key-asc rank,
+# and the ceil(max_share * 32) salt recommendation.
+ORACLE_SQL["skew_report_events"] = """
+    WITH keyed AS (
+        SELECT CASE WHEN event_id % 10 < 3 THEN 0
+                    ELSE user_id + 1000 END AS key
+        FROM events
+    ),
+    c AS (SELECT key, count(*) AS n FROM keyed GROUP BY key),
+    tot AS (
+        SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS n_keys,
+               max(n)::BIGINT AS max_n
+        FROM c
+    ),
+    top AS (
+        SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rank
+        FROM c
+    )
+    SELECT rank::INT AS rank, key, n::BIGINT AS n_rows,
+           n::DOUBLE / total::DOUBLE AS key_share,
+           n_keys, total AS total_rows,
+           max_n::DOUBLE / total::DOUBLE AS max_share,
+           greatest(1, ceil(max_n::DOUBLE / total::DOUBLE * 32))::INT
+               AS suggested_salt_buckets
+    FROM top, tot
+    WHERE rank <= 10
+    ORDER BY rank
 """
 
 

@@ -757,3 +757,57 @@ def kmv_overlap(
             kmv_distinct_expr("_sb", k).alias("est_distinct_b"),
         )
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    n_top: int = 10,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Join/agg-key skew diagnostics — the report to run BEFORE
+    keying a 100 TB shuffle on a column: top-``n_top`` heaviest keys
+    with their row shares, the distinct-key count, and a suggested
+    salt-bucket count for the hottest key
+    (``ceil(max_share * n_partitions)`` — enough buckets that the hot
+    key's per-bucket load matches an even task share; 1 means no
+    salting needed). This is how per_repo_stats' salt_buckets and
+    AQE's skew thresholds get chosen from data instead of folklore.
+
+    Plan: one map-side-combined groupBy over the keys (the O(distinct
+    keys) shuffle this report exists to protect), a TakeOrdered top-k
+    (deterministic ties: count desc, then key), and one broadcast
+    totals row; the rank window runs over the n_top-row result only —
+    explicitly bounded, never corpus-sized."""
+    from pyspark.sql import Window
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
+    totals = counts.agg(
+        F.sum("_n").alias("_total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("_n").alias("_max_n"),
+    )
+    order = [F.desc("_n")] + [F.asc(c) for c in key_cols]
+    top = counts.orderBy(*order).limit(n_top)
+    w = Window.orderBy(*order)
+    share = F.col("_n").cast("double") / F.col("_total").cast("double")
+    max_share = F.col("_max_n").cast("double") / F.col("_total").cast("double")
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            *key_cols,
+            F.col("_n").alias("n_rows"),
+            share.alias("key_share"),
+            "n_keys",
+            F.col("_total").alias("total_rows"),
+            max_share.alias("max_share"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(max_share * F.lit(n_partitions)).cast("int"),
+            ).alias("suggested_salt_buckets"),
+        )
+    )

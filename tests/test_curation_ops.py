@@ -1142,3 +1142,30 @@ def test_boilerplate_lines_strips_hot_lines_keeps_body(spark):
         for r in boilerplate_lines(docs, min_doc_frac=1.0, min_docs=4).collect()
     }
     assert keep[2]["text_clean"] == nav + "\nunique body two"
+
+
+def test_skew_report_ranks_and_salt_suggestion(spark):
+    from sparkval.stats import skew_report
+
+    rows = [(0,)] * 60 + [(i,) for i in range(1, 41)]  # key 0 = 60%
+    df = spark.createDataFrame(rows, "key long")
+    out = skew_report(df, ["key"], n_top=3, n_partitions=10).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    top = out[0]
+    assert top["key"] == 0 and top["n_rows"] == 60
+    assert top["key_share"] == 0.6 and top["total_rows"] == 100
+    assert top["n_keys"] == 41
+    # hottest key at 60% over 10 partitions -> 6 salt buckets
+    assert top["suggested_salt_buckets"] == 6
+    # ties rank deterministically by key asc
+    assert out[1]["key"] == 1 and out[2]["key"] == 2
+
+    # uniform keys need no salting
+    uni = spark.createDataFrame([(i % 5,) for i in range(100)], "key long")
+    r = skew_report(uni, ["key"], n_top=1, n_partitions=5).collect()[0]
+    assert r["suggested_salt_buckets"] == 1
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        skew_report(df, [])
