@@ -2279,6 +2279,18 @@ def q_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zipf_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law corpus diagnostic (stats.zipf_fit): least-squares
+    (ln rank, ln freq) fit over the top-30 terms — the synthetic
+    corpus's near-uniform vocabulary must show a near-zero alpha with
+    every regression sum pinned by the oracle's identical closed
+    forms (deterministic rank ties: count desc, term asc)."""
+    from sparkval.stats import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_fit(docs, n_ranks=30)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2369,6 +2381,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_overlap_documents": q_kmv_overlap_documents,
     "boilerplate_lines_documents": q_boilerplate_lines_documents,
     "skew_report_events": q_skew_report_events,
+    "zipf_fit_documents": q_zipf_fit_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4085,6 +4098,37 @@ ORACLE_SQL["skew_report_events"] = """
     FROM top, tot
     WHERE rank <= 10
     ORDER BY rank
+"""
+
+
+# zipf-fit oracle: same rank order, same closed-form regression sums
+# (the fixed top-30 table makes float summation order noise sit far
+# below the 6-significant-digit compare).
+ORACLE_SQL["zipf_fit_documents"] = """
+    WITH terms AS (
+        SELECT unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+               '\\s+')) AS term
+        FROM documents WHERE trim(text) <> ''
+    ),
+    c AS (SELECT term, count(*) AS n FROM terms GROUP BY term),
+    v AS (SELECT count(*)::BIGINT AS vocab_size FROM c),
+    top AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rank
+        FROM c ORDER BY n DESC, term LIMIT 30
+    ),
+    xy AS (SELECT ln(rank::DOUBLE) AS x, ln(n::DOUBLE) AS y FROM top),
+    s AS (
+        SELECT count(*)::DOUBLE AS m, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM xy
+    )
+    SELECT m::BIGINT AS n_terms_fit, vocab_size,
+           -((m * sxy - sx * sy) / (m * sxx - sx * sx)) AS alpha,
+           (sy - ((m * sxy - sx * sy) / (m * sxx - sx * sx)) * sx) / m
+               AS intercept,
+           ((m * sxy - sx * sy) * (m * sxy - sx * sy))
+           / ((m * sxx - sx * sx) * (m * syy - sy * sy)) AS r2
+    FROM s, v
 """
 
 

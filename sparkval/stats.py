@@ -811,3 +811,63 @@ def skew_report(
             ).alias("suggested_salt_buckets"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    n_ranks: int = 100,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares line
+    through (ln rank, ln frequency) for the top-``n_ranks`` terms —
+    natural-language corpora sit near alpha ~ 1; a far-off alpha (or
+    a poor r2) flags templated/synthetic/spammy text at the corpus
+    level the way per-doc quality rules cannot. Returns one row:
+    (n_terms_fit, vocab_size, alpha, intercept, r2) with
+    alpha = -slope.
+
+    Plan: one map-side-combined term count (the vocabulary-sized
+    shuffle), a TakeOrdered top-``n_ranks`` (deterministic ties:
+    count desc then term), a rank window over those n_ranks rows
+    only, and closed-form regression sums over that bounded table —
+    no corpus-sized sort, no Python."""
+    from pyspark.sql import Window
+
+    toks = F.split(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    counts = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = F.broadcast(counts.agg(F.count(F.lit(1)).alias("vocab_size")))
+    top = counts.orderBy(F.desc("n"), F.asc("term")).limit(n_ranks)
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    xy = top.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    m = F.col("m").cast("double")
+    cov = m * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = m * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = m * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    intercept = (F.col("sy") - slope * F.col("sx")) / m
+    r2 = (cov * cov) / (varx * vary)
+    return s.crossJoin(vocab).select(
+        F.col("m").cast("long").alias("n_terms_fit"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        (-slope).alias("alpha"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

@@ -1169,3 +1169,27 @@ def test_skew_report_ranks_and_salt_suggestion(spark):
 
     with _pt.raises(ValueError):
         skew_report(df, [])
+
+
+def test_zipf_fit_recovers_planted_alpha(spark):
+    import numpy as np
+
+    from sparkval.stats import zipf_fit
+
+    # corpus with term i repeated round(1000 / i^0.8) times: the fit
+    # over an exact power law must recover alpha ~ 0.8 with r2 ~ 1
+    rows = []
+    for i in range(1, 41):
+        reps = int(round(1000 / i ** 0.8))
+        rows.append((" ".join([f"t{i:02d}"] * reps),))
+    df = spark.createDataFrame(rows, "text string")
+    [r] = zipf_fit(df, n_ranks=40).collect()
+    assert r["n_terms_fit"] == 40 and r["vocab_size"] == 40
+    assert abs(r["alpha"] - 0.8) < 0.02
+    assert r["r2"] > 0.999
+
+    # numpy cross-check of the closed forms on the same counts
+    n = np.array([int(round(1000 / i ** 0.8)) for i in range(1, 41)])
+    x, y = np.log(np.arange(1, 41, dtype=float)), np.log(n.astype(float))
+    slope = np.polyfit(x, y, 1)[0]
+    assert abs(r["alpha"] - (-slope)) < 1e-9
