@@ -2291,6 +2291,49 @@ def q_zipf_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, n_ranks=30)
 
 
+def q_stream_contamination_gate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming contamination gate
+    (streaming.stream_contamination_gate): the training corpus
+    arrives as 3 micro-batches (maxFilesPerTrigger=1) and every batch
+    probes the STATIC benchmark Bloom filter, appending one
+    (batch_id, n_docs, n_flagged) accounting row. Because the
+    per-doc probe is independent of batching, the log's totals equal
+    the batch-mode bloom-flag count exactly — the same shared-array
+    position oracle as bloom_decontaminate pins n_flagged, and
+    n_batches = 3 pins that the number came from cross-batch
+    accumulation."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from sparkval.pipeline.dedup import bloom_gram_filter
+    from sparkval.streaming import stream_contamination_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 5).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 50 != 5).select("doc_id", "text")
+    filt = bloom_gram_filter(benchmark)
+
+    tmp = tempfile.mkdtemp(prefix="sparkval_scg_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    src, out, ckpt = f"{tmp}/docs", f"{tmp}/out", f"{tmp}/ckpt"
+    corpus.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_contamination_gate(stream, filt, out, ckpt)
+    q.awaitTermination()
+
+    log = spark.read.parquet(out)
+    return log.agg(
+        F.count_distinct("batch_id").alias("n_batches"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_flagged").alias("n_flagged"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2382,6 +2425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_lines_documents": q_boilerplate_lines_documents,
     "skew_report_events": q_skew_report_events,
     "zipf_fit_documents": q_zipf_fit_documents,
+    "stream_contamination_gate_documents": q_stream_contamination_gate_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4129,6 +4173,55 @@ ORACLE_SQL["zipf_fit_documents"] = """
            ((m * sxy - sx * sy) * (m * sxy - sx * sy))
            / ((m * sxx - sx * sx) * (m * syy - sy * sy)) AS r2
     FROM s, v
+"""
+
+
+# streaming-gate oracle: the same shared-bit-array position model as
+# bloom_decontaminate (probe bit satisfied by ANY benchmark row);
+# totals are batching-independent, n_batches pins the 3-file layout.
+ORACLE_SQL["stream_contamination_gate_documents"] = """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT DISTINCT array_to_string(t[g.i : g.i + 12], ' ') AS g
+        FROM tok, generate_series(1, 512) g(i)
+        WHERE doc_id % 50 = 5 AND g.i + 12 <= len(t)
+    ),
+    bpos AS (
+        SELECT DISTINCT
+               ((((2654435761 * (j.j + 1)) % 2147483647)
+                 * (('0x' || substr(md5(g), 1, 8))::BIGINT)
+                 + ((40503 * (j.j + 1) + 7) % 2147483647))
+                % 2147483647) % 1048576 AS p
+        FROM bg, generate_series(0, 3) j(j)
+    ),
+    cg AS (
+        SELECT DISTINCT doc_id, array_to_string(t[g.i : g.i + 12], ' ') AS g
+        FROM tok, generate_series(1, 512) g(i)
+        WHERE doc_id % 50 <> 5 AND g.i + 12 <= len(t)
+    ),
+    cpos AS (
+        SELECT doc_id, g, j.j,
+               ((((2654435761 * (j.j + 1)) % 2147483647)
+                 * (('0x' || substr(md5(g), 1, 8))::BIGINT)
+                 + ((40503 * (j.j + 1) + 7) % 2147483647))
+                % 2147483647) % 1048576 AS p
+        FROM cg, generate_series(0, 3) j(j)
+    ),
+    inb AS (
+        SELECT doc_id, g
+        FROM cpos LEFT JOIN bpos ON bpos.p = cpos.p
+        GROUP BY doc_id, g
+        HAVING count(bpos.p) = 4
+    ),
+    flag AS (SELECT DISTINCT doc_id FROM inb)
+    SELECT 3::BIGINT AS n_batches,
+           (SELECT count(*) FROM documents WHERE doc_id % 50 <> 5)::BIGINT
+               AS n_docs,
+           (SELECT count(*) FROM flag)::BIGINT AS n_flagged
 """
 
 

@@ -1053,6 +1053,58 @@ def group_overlap_matrix(
     )
 
 
+def _gram_exprs(text_col: str, n: int):
+    """(tokens, distinct-gram-array) expression pair shared by the
+    Bloom decontamination family — one definition so the batch and
+    streaming probes cannot drift on tokenization."""
+    toks = F.split(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return toks, grams
+
+
+def bloom_gram_filter(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    k: int = 4,
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """Fold the benchmark's distinct word ``n``-grams into ONE Bloom
+    filter row (column ``filter``, m_bits/64 longs) — the fixed-size
+    probe artifact shared by ``bloom_decontaminate`` (batch) and
+    ``streaming.stream_contamination_gate`` (per-micro-batch). The
+    merge is seeded with the all-zero identity filter so an empty (or
+    all-short) benchmark yields a defined nothing-matches filter, and
+    OR-adds are idempotent so the build needs no distinct()."""
+    from sparkval.stats import bloom_filters, merge_bloom
+
+    if n < 1:
+        raise ValueError(f"bad n={n}")
+    toks, grams = _gram_exprs(text_col, n)
+    bench_grams = (
+        benchmark.filter(F.size(toks) >= n)
+        .select(F.explode(grams).alias("gram"), F.lit(0).alias("_g"))
+    )
+    seed = benchmark.sparkSession.range(1).select(
+        F.lit(0).alias("_g"),
+        F.array_repeat(F.lit(0).cast("long"), m_bits // 64).alias("filter"),
+        F.lit(0).cast("long").alias("n_values"),
+    )
+    return merge_bloom(
+        bloom_filters(bench_grams, "gram", ["_g"], k, m_bits)
+        .unionByName(seed),
+        [],
+    ).select("filter")
+
+
+
 def bloom_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -1086,41 +1138,14 @@ def bloom_decontaminate(
     The report is localCheckpointed (O(docs) narrow rows — the op's
     own output) so candidate selection does not re-run the probe
     scan."""
-    from sparkval.stats import bloom_contains_expr, bloom_filters, merge_bloom
+    from sparkval.stats import bloom_contains_expr
 
     if n < 1:
         raise ValueError(f"bad n={n}")
-    toks = F.split(
-        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
-    )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
-    # phase-1 build: exploded bench grams fold straight into per-task
-    # bit arrays; no distinct() needed — OR-adds are idempotent, so
-    # cross-partition duplicate grams cost nothing and nothing but
-    # 128 KB partials ever shuffles
-    bench_grams = (
-        benchmark.filter(F.size(toks) >= n)
-        .select(F.explode(grams).alias("gram"), F.lit(0).alias("_g"))
-    )
-    # seed the merge with the all-zero identity filter so an EMPTY
-    # benchmark (or one with only <n-token docs) still yields one
-    # filter row and the report comes back with bloom_hits = 0 for
-    # every doc — not an empty (all-docs-vanish) result
-    seed = corpus.sparkSession.range(1).select(
-        F.lit(0).alias("_g"),
-        F.array_repeat(F.lit(0).cast("long"), m_bits // 64).alias("filter"),
-        F.lit(0).cast("long").alias("n_values"),
-    )
-    filt = merge_bloom(
-        bloom_filters(bench_grams, "gram", ["_g"], k, m_bits)
-        .unionByName(seed),
-        [],
-    ).select("filter")
+    toks, grams = _gram_exprs(text_col, n)
+    # phase-1 build: the shared fixed-size filter artifact (seeded,
+    # idempotent — see bloom_gram_filter)
+    filt = bloom_gram_filter(benchmark, text_col, n, k, m_bits)
 
     probed = (
         corpus.filter(F.size(toks) >= n)

@@ -278,3 +278,78 @@ def stream_heavy_hitters(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_contamination_gate(
+    stream: DataFrame,
+    bloom_filter: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    n: int = 13,
+    k: int = 4,
+    m_bits: int = 1 << 20,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Per-micro-batch contamination admission check: every arriving
+    document's word ``n``-grams probe the STATIC 128 KB Bloom filter
+    (``pipeline.dedup.bloom_gram_filter`` over the eval/benchmark
+    set), and each batch appends one accounting row
+    (batch_id, n_docs, n_flagged) — the gate an ingest pipeline reads
+    before admitting a batch to the training mix, with flagged docs
+    handed to the exact verify offline. The probe is the same pure
+    JVM expression as the batch path (one shared ``_gram_exprs``
+    tokenization, so batch and stream cannot drift), the filter is a
+    broadcast static join, per-batch state is O(1), and writes use
+    dynamic partition overwrite on batch_id so at-least-once replays
+    stay idempotent. Because the per-doc probe is independent of
+    batching, summing n_flagged over the log equals the batch-mode
+    flagged count exactly."""
+    from sparkval.pipeline.dedup import _gram_exprs
+    from sparkval.stats import bloom_contains_expr
+
+    filt = bloom_filter.select("filter")
+    toks, grams = _gram_exprs(text_col, n)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        probed = (
+            batch_df.select(
+                F.when(F.size(toks) >= n, grams)
+                .otherwise(F.array().cast("array<string>"))
+                .alias("_grams")
+            )
+            .crossJoin(F.broadcast(filt))
+            .select(
+                (
+                    F.size(
+                        F.filter(
+                            "_grams",
+                            lambda g: bloom_contains_expr(g, "filter", k, m_bits),
+                        )
+                    )
+                    > 0
+                ).alias("_hit")
+            )
+        )
+        agg = probed.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("_hit").cast("long")).alias("n_flagged"),
+        )
+        (
+            agg.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1193,3 +1193,39 @@ def test_zipf_fit_recovers_planted_alpha(spark):
     x, y = np.log(np.arange(1, 41, dtype=float)), np.log(n.astype(float))
     slope = np.polyfit(x, y, 1)[0]
     assert abs(r["alpha"] - (-slope)) < 1e-9
+
+
+def test_stream_contamination_gate_matches_batch(spark, tmp_path):
+    from sparkval.pipeline.dedup import bloom_decontaminate, bloom_gram_filter
+    from sparkval.streaming import stream_contamination_gate
+
+    w = lambda pfx, a, b: " ".join(f"{pfx}{i}" for i in range(a, b))
+    bench = spark.createDataFrame(
+        [(100, w("b", 0, 20))], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, w("x", 0, 20)),
+            (2, w("b", 0, 13)),      # verbatim bench gram: flagged
+            (3, w("y", 0, 5)),       # short: cannot be flagged
+            (4, w("b", 3, 17)),      # 14 bench tokens: flagged
+        ],
+        "doc_id long, text string",
+    )
+    filt = bloom_gram_filter(bench)
+    src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+    corpus.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_contamination_gate(stream, filt, out, ckpt)
+    q.awaitTermination()
+    log = spark.read.parquet(out)
+    totals = log.groupBy().sum("n_docs", "n_flagged").collect()[0]
+    assert totals["sum(n_docs)"] == 4
+    # stream flag total == batch bloom_hits>0 count, by construction
+    batch = bloom_decontaminate(corpus, bench)
+    n_batch_flagged = batch.filter(F.col("bloom_hits") > 0).count()
+    assert totals["sum(n_flagged)"] == n_batch_flagged == 2
