@@ -440,3 +440,26 @@ def test_bm25_no_row_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats crossJoin
+
+
+def test_round5_session2_ops_plan_discipline(spark, sf_dir):
+    """One sweep over the new operators' physical plans: no per-row
+    Python (BatchEvalPython), no CartesianProduct on data, and no
+    SortMergeJoin where a broadcast is the designed shape. (The 1-row
+    broadcast crossJoins show up as BroadcastNestedLoopJoin — bounded
+    by construction, not asserted against.)"""
+    from sparkval.pipeline.text import boilerplate_lines, pmi_bigrams
+    from sparkval.stats import skew_report, zipf_fit
+
+    docs = load(spark, sf_dir, "documents")
+    plans = {
+        "pmi": pmi_bigrams(docs, min_count=2),
+        "boilerplate": boilerplate_lines(docs),
+        "zipf": zipf_fit(docs, n_ranks=20),
+        "skew": skew_report(docs.select("source"), ["source"]),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
