@@ -2334,6 +2334,32 @@ def q_stream_contamination_gate_documents(spark: SparkSession, sf_dir: str) -> D
     )
 
 
+def q_apply_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture APPLY step (pipeline.sampling.apply_mixture) driven by
+    temperature_mixture's T=0.7 factors: each doc is emitted floor(f)
+    times plus a sha256-hash-deterministic extra for the fractional
+    part. Per-source accounting (n_copies, n_docs_kept) is pinned by
+    the oracle replaying the whole chain — closed-form factors, the
+    same hash bucketing, the same floor thresholds — so the
+    materialized training mix is engine-portable down to which exact
+    docs repeat."""
+    from sparkval.pipeline.sampling import apply_mixture, temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    factors = temperature_mixture(docs, "source", temperature=0.7).select(
+        "source", "sample_factor"
+    )
+    emitted = apply_mixture(docs, factors, "source")
+    return (
+        emitted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("doc_id").alias("n_docs_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2426,6 +2452,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_report_events": q_skew_report_events,
     "zipf_fit_documents": q_zipf_fit_documents,
     "stream_contamination_gate_documents": q_stream_contamination_gate_documents,
+    "apply_mixture_documents": q_apply_mixture_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4222,6 +4249,46 @@ ORACLE_SQL["stream_contamination_gate_documents"] = """
            (SELECT count(*) FROM documents WHERE doc_id % 50 <> 5)::BIGINT
                AS n_docs,
            (SELECT count(*) FROM flag)::BIGINT AS n_flagged
+"""
+
+
+# apply-mixture oracle: the full chain — temperature factors (same
+# closed forms as temperature_mixture_documents), sha256 hash buckets
+# (same convention as token_budget), floor thresholds — replayed so
+# per-source copy counts match doc-for-doc.
+ORACLE_SQL["apply_mixture_documents"] = """
+    WITH per AS (
+        SELECT source,
+               sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END)::BIGINT AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    p2 AS (SELECT *, pow(n_tokens::DOUBLE, 0.7) AS w FROM per),
+    tot AS (SELECT sum(n_tokens)::BIGINT AS tt, sum(w) AS tw FROM p2),
+    fac AS (
+        SELECT source,
+               (w / tw) / (n_tokens::DOUBLE / tt::DOUBLE) AS f
+        FROM p2, tot
+    ),
+    d AS (
+        SELECT doc.doc_id, doc.source, fac.f,
+               ('0x' || substr(sha256(doc.doc_id::VARCHAR), 1, 4))::BIGINT
+                   % 1000 AS b
+        FROM documents doc JOIN fac USING (source)
+    ),
+    c AS (
+        SELECT source, doc_id,
+               floor(f)::BIGINT
+               + CASE WHEN b < floor((f - floor(f)) * 1000)
+                      THEN 1 ELSE 0 END AS nc
+        FROM d
+    )
+    SELECT source, sum(nc)::BIGINT AS n_copies,
+           count(CASE WHEN nc >= 1 THEN 1 END)::BIGINT AS n_docs_kept
+    FROM c GROUP BY source
+    HAVING sum(nc) >= 1
+    ORDER BY source
 """
 
 

@@ -414,3 +414,42 @@ def temperature_mixture(
             ),
         )
     return out.drop("_w", "_total_tokens", "_total_w")
+
+
+def apply_mixture(
+    df: DataFrame,
+    factors: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY a sampling plan (``temperature_mixture``'s
+    ``sample_factor`` column, or any (group, sample_factor) table):
+    each document is emitted ``floor(f)`` times plus one more when
+    its hash bucket falls under the fractional part — so a factor of
+    0.25 keeps a deterministic quarter of the group once, and 2.5
+    emits every doc twice plus a deterministic half a third time.
+    Expected copies per doc = its group's factor, exactly realized in
+    distribution and REPRODUCIBLE: selection is keyed on
+    sha256(id) like every sampler here, so the materialized mix is a
+    pure function of the data — stable under repartitioning, appends
+    and engines. Emitted rows carry ``copy_idx`` (1-based) so
+    downstream shuffles can decorrelate repeats.
+
+    Plan: one broadcast join of the O(groups) factor table, then a
+    pure projection (hash bucket + sequence explode) — no shuffle of
+    content, and dropped docs never leave the scan."""
+    f = F.col("sample_factor").cast("double")
+    base = F.floor(f).cast("long")
+    frac_threshold = F.floor((f - F.floor(f)) * F.lit(_BUCKETS)).cast("long")
+    n_copies = base + (
+        (_hash_bucket(id_col) < frac_threshold).cast("long")
+    )
+    return (
+        df.join(
+            F.broadcast(factors.select(group_col, "sample_factor")), group_col
+        )
+        .withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") >= 1)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .drop("_n_copies", "sample_factor")
+    )

@@ -1229,3 +1229,42 @@ def test_stream_contamination_gate_matches_batch(spark, tmp_path):
     batch = bloom_decontaminate(corpus, bench)
     n_batch_flagged = batch.filter(F.col("bloom_hits") > 0).count()
     assert totals["sum(n_flagged)"] == n_batch_flagged == 2
+
+
+def test_apply_mixture_deterministic_copies(spark):
+    import hashlib
+
+    from sparkval.pipeline.sampling import apply_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "big") for i in range(100)] + [(i, "small") for i in range(100, 140)],
+        "doc_id long, source string",
+    )
+    factors = spark.createDataFrame(
+        [("big", 0.5), ("small", 2.25)], "source string, sample_factor double"
+    )
+    out = apply_mixture(docs, factors, "source").collect()
+
+    def bucket(i):
+        return int(hashlib.sha256(str(i).encode()).hexdigest()[:4], 16) % 1000
+
+    # big: kept iff bucket < 500, exactly once
+    big = [r for r in out if r["source"] == "big"]
+    expect_big = {i for i in range(100) if bucket(i) < 500}
+    assert {r["doc_id"] for r in big} == expect_big
+    assert all(r["copy_idx"] == 1 for r in big)
+    # small: 2 copies each + a third iff bucket < 250
+    small = {}
+    for r in out:
+        if r["source"] == "small":
+            small.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    assert set(small) == set(range(100, 140))  # nobody dropped
+    for i, copies in small.items():
+        want = 3 if bucket(i) < 250 else 2
+        assert sorted(copies) == list(range(1, want + 1)), i
+
+    # repartitioning does not change the mix (hash-keyed determinism)
+    again = apply_mixture(docs.repartition(7), factors, "source")
+    assert sorted((r["doc_id"], r["copy_idx"]) for r in again.collect()) == sorted(
+        (r["doc_id"], r["copy_idx"]) for r in out
+    )
