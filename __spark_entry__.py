@@ -2360,6 +2360,33 @@ def q_apply_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (stats.winsorize — mad_outliers' APPLY step):
+    per-event-type values clip into median +/- 3.5 scaled MADs, and
+    the per-group accounting (n, n_clipped, winsorized sum, bounds)
+    is pinned by the oracle recomputing the same exact interpolating
+    percentiles and the same clip expression."""
+    from sparkval.stats import winsorize
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    w = winsorize(ev, "value", "event_type", k=3.5)
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("was_clipped").cast("long")).alias("n_clipped"),
+            F.round(F.sum("value_winsorized"), 6).alias("sum_winsorized"),
+            F.round(F.min("lo_bound"), 6).alias("lo_bound"),
+            F.round(F.min("hi_bound"), 6).alias("hi_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2453,6 +2480,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit_documents": q_zipf_fit_documents,
     "stream_contamination_gate_documents": q_stream_contamination_gate_documents,
     "apply_mixture_documents": q_apply_mixture_documents,
+    "winsorize_events": q_winsorize_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4289,6 +4317,40 @@ ORACLE_SQL["apply_mixture_documents"] = """
     FROM c GROUP BY source
     HAVING sum(nc) >= 1
     ORDER BY source
+"""
+
+
+# winsorize oracle: same exact percentiles as mad_outliers, same
+# clip expression greatest(least(v, hi), lo).
+ORACLE_SQL["winsorize_events"] = """
+    WITH e AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM e GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, abs(e.value - med.m) AS ad, med.m AS m
+        FROM e JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(ad, 0.5) AS md
+        FROM dev GROUP BY 1
+    ),
+    b AS (
+        SELECT dev.event_type, dev.value, dev.ad, mad.md,
+               dev.m - 3.5 * 1.4826 * mad.md AS lo,
+               dev.m + 3.5 * 1.4826 * mad.md AS hi
+        FROM dev JOIN mad USING (event_type)
+    )
+    SELECT event_type, count(*)::BIGINT AS n,
+           sum(CASE WHEN ad > 3.5 * 1.4826 * md THEN 1 ELSE 0 END)::BIGINT
+               AS n_clipped,
+           round(sum(greatest(least(value, hi), lo)), 6) AS sum_winsorized,
+           round(min(lo), 6) AS lo_bound,
+           round(min(hi), 6) AS hi_bound
+    FROM b GROUP BY 1 ORDER BY 1
 """
 
 

@@ -871,3 +871,34 @@ def zipf_fit(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.5,
+) -> DataFrame:
+    """APPLY step for ``mad_outliers``: clip each value into
+    [median - k*1.4826*MAD, median + k*1.4826*MAD] of its group —
+    winsorization, the remedy that keeps the row but caps the
+    outlier's leverage (dropping rows biases aggregates; capping
+    bounds them). Adds ``lo_bound``, ``hi_bound``, ``was_clipped``
+    and ``<value_col>_winsorized``; the detect/apply pair shares one
+    definition of the bounds, so a row is clipped iff mad_outliers
+    flags it. Same plan budget: two exact-percentile passes with
+    O(groups) aggregates broadcast back, then a pure projection."""
+    flagged = mad_outliers(df, value_col, group_col, k)
+    half = F.lit(k) * F.lit(1.4826) * F.col("group_mad")
+    lo = F.col("group_median") - half
+    hi = F.col("group_median") + half
+    return (
+        flagged.withColumn("lo_bound", lo)
+        .withColumn("hi_bound", hi)
+        .withColumn("was_clipped", F.col("is_outlier"))
+        .withColumn(
+            f"{value_col}_winsorized",
+            F.greatest(F.least(F.col(value_col), hi), lo),
+        )
+        .drop("abs_dev", "is_outlier")
+    )

@@ -1268,3 +1268,29 @@ def test_apply_mixture_deterministic_copies(spark):
     assert sorted((r["doc_id"], r["copy_idx"]) for r in again.collect()) == sorted(
         (r["doc_id"], r["copy_idx"]) for r in out
     )
+
+
+def test_winsorize_clips_iff_mad_flags(spark):
+    from sparkval.stats import mad_outliers, winsorize
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 100, -50]] + [
+        ("b", 5.0),
+        ("b", 5.0),
+        ("b", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    w = {(r["g"], r["v"]): r for r in winsorize(df, "v", "g").collect()}
+    flags = {
+        (r["g"], r["v"]): r["is_outlier"]
+        for r in mad_outliers(df, "v", "g").collect()
+    }
+    for key, r in w.items():
+        assert r["was_clipped"] == flags[key], key
+        if r["was_clipped"]:
+            assert r["v_winsorized"] in (r["lo_bound"], r["hi_bound"])
+        else:
+            assert r["v_winsorized"] == key[1]
+    # the two planted outliers in group a clip to the bounds; the
+    # uniform group b (MAD 0) clips nothing at the median
+    assert w[("a", 100.0)]["was_clipped"] and w[("a", -50.0)]["was_clipped"]
+    assert not w[("b", 5.0)]["was_clipped"]
