@@ -2387,6 +2387,49 @@ def q_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift gate (stats.ks_drift): the
+    binning-free companion to psi_events. Reference = even doc_ids'
+    n_chars; current = odd doc_ids' n_chars + 10 (a planted +10-char
+    location shift, so D must come out positive in every source).
+    Both sides collapse to per-(source, distinct length) counts at
+    the scan; the ECDF window partitions by source."""
+    from sparkval.stats import ks_drift
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    ref = docs.filter(F.col("doc_id") % 2 == 0).select("source", "n_chars")
+    cur = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "source", (F.col("n_chars") + 10).alias("n_chars")
+    )
+    return ks_drift(cur, ref, "n_chars", group_col="source").orderBy("source")
+
+
+def q_benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance (stats.benford_report) of
+    o_totalprice per order priority — the fabricated-numeric-column
+    detector. Digit extraction is exact (string head of
+    floor(value)), and the nine Benford masses are shared literal
+    doubles, so the chi-square is engine-replayable to 1e-6."""
+    from sparkval.stats import benford_report
+
+    orders = _t(spark, sf_dir, "orders")
+    return benford_report(orders, "o_totalprice", group_col="o_orderpriority").orderBy(
+        "o_orderpriority", "digit"
+    )
+
+
+def q_chi2_lang_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence of lang x source
+    (stats.chi2_independence) with Cramer's V effect size — the
+    one-row summary answer to 'does any source carry a skewed
+    language mix?'. One scan to the contingency cells; marginals via
+    windows over that tiny table."""
+    from sparkval.stats import chi2_independence
+
+    docs = _t(spark, sf_dir, "documents")
+    return chi2_independence(docs, "lang", "source")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2464,6 +2507,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "random_projection_embeddings": q_random_projection_embeddings,
     "mad_outliers_events": q_mad_outliers_events,
     "psi_events": q_psi_events,
+    "ks_drift_documents": q_ks_drift_documents,
+    "benford_orders": q_benford_orders,
+    "chi2_lang_source_documents": q_chi2_lang_source_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
     "stream_heavy_hitters_documents": q_stream_heavy_hitters_documents,
     "bloom_decontaminate_documents": q_bloom_decontaminate_documents,
@@ -4357,6 +4403,105 @@ ORACLE_SQL["winsorize_events"] = """
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: uniqueness violations on lineitem's natural key at sf0.001."""
     return q_uniqueness_lineitem(spark, "/root/testdata/sf0.001")
+
+
+ORACLE_SQL["ks_drift_documents"] = """
+    WITH cur AS (
+        SELECT source, n_chars + 10 AS v FROM documents
+        WHERE n_chars IS NOT NULL AND doc_id % 2 = 1
+    ),
+    ref AS (
+        SELECT source, n_chars AS v FROM documents
+        WHERE n_chars IS NOT NULL AND doc_id % 2 = 0
+    ),
+    u AS (
+        SELECT source, v, sum(c) AS n_cur, sum(r) AS n_ref FROM (
+            SELECT source, v, 1 AS c, 0 AS r FROM cur
+            UNION ALL
+            SELECT source, v, 0 AS c, 1 AS r FROM ref
+        ) GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT source,
+               sum(n_cur) OVER (PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cur,
+               sum(n_ref) OVER (PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ref,
+               sum(n_cur) OVER (PARTITION BY source) AS tot_cur,
+               sum(n_ref) OVER (PARTITION BY source) AS tot_ref
+        FROM u
+    )
+    SELECT source,
+           round(max(abs(CASE WHEN tot_cur > 0 THEN cum_cur / tot_cur END
+                         - CASE WHEN tot_ref > 0 THEN cum_ref / tot_ref END)),
+                 6) AS ks_d,
+           max(tot_cur)::BIGINT AS n_current,
+           max(tot_ref)::BIGINT AS n_reference
+    FROM w GROUP BY 1 ORDER BY 1
+"""
+
+# Benford masses: the SAME Python-computed double literals the Spark
+# plan embeds (stats.BENFORD_P) — repr() round-trips doubles exactly,
+# so both engines parse to the identical IEEE-754 values.
+from sparkval.stats import BENFORD_P as _BENFORD_P  # noqa: E402
+
+ORACLE_SQL["benford_orders"] = f"""
+    WITH c AS (
+        SELECT o_orderpriority,
+               substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                      1, 1)::INT AS digit,
+               count(*) AS n_obs
+        FROM orders WHERE o_totalprice >= 1 GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT o_orderpriority, digit, n_obs,
+               sum(n_obs) OVER (PARTITION BY o_orderpriority) AS n,
+               CASE digit {' '.join(f"WHEN {d + 1} THEN CAST({p!r} AS DOUBLE)" for d, p in enumerate(_BENFORD_P))} END AS p_exp
+        FROM c
+    )
+    SELECT o_orderpriority, digit, n_obs::BIGINT AS n_obs,
+           round(n_obs / n, 6) AS p_obs,
+           round(p_exp, 6) AS p_benford,
+           round(sum((n_obs - n * p_exp) * (n_obs - n * p_exp)
+                     / (n * p_exp))
+                     OVER (PARTITION BY o_orderpriority)
+                 + n
+                 - sum(n * p_exp) OVER (PARTITION BY o_orderpriority),
+                 6) AS chi2
+    FROM w ORDER BY 1, 2
+"""
+
+ORACLE_SQL["chi2_lang_source_documents"] = """
+    WITH cells AS (
+        SELECT lang, source, count(*) AS o FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT o,
+               sum(o) OVER (PARTITION BY lang) AS rt,
+               sum(o) OVER (PARTITION BY source) AS ct,
+               sum(o) OVER () AS n,
+               dense_rank() OVER (ORDER BY lang) AS ri,
+               dense_rank() OVER (ORDER BY source) AS ci
+        FROM cells
+    )
+    SELECT round(sum((o - rt::DOUBLE * ct / n) * (o - rt::DOUBLE * ct / n)
+                     / (rt::DOUBLE * ct / n))
+                 + max(n) - sum(rt::DOUBLE * ct / n), 6)
+               AS chi2,
+           ((max(ri) - 1) * (max(ci) - 1))::BIGINT AS dof,
+           round(CASE WHEN least(max(ri), max(ci)) > 1 THEN
+                 sqrt((sum((o - rt::DOUBLE * ct / n)
+                           * (o - rt::DOUBLE * ct / n)
+                           / (rt::DOUBLE * ct / n))
+                       + max(n) - sum(rt::DOUBLE * ct / n))
+                      / (max(n) * (least(max(ri), max(ci)) - 1))) END, 6)
+               AS cramers_v,
+           max(n)::BIGINT AS n_rows,
+           max(ri)::BIGINT AS n_row_levels,
+           max(ci)::BIGINT AS n_col_levels
+    FROM w
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

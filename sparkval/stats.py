@@ -18,7 +18,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 from sparkval import tdigest
@@ -901,4 +901,231 @@ def winsorize(
             F.greatest(F.least(F.col(value_col), hi), lo),
         )
         .drop("abs_dev", "is_outlier")
+    )
+
+
+# --------------------------------------------------------------------------
+# distribution-conformance gates: KS drift, Benford digits, chi-square
+# independence — the classical statistical tests a validation engine
+# runs next to PSI (drift.rs's score-tolerance gates recast as
+# distribution-distance assertions, per SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+def ks_drift(
+    current: DataFrame,
+    reference: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic D = max |F_cur(v) -
+    F_ref(v)| between the current and reference distributions of
+    ``value_col``, optionally per group — the binning-free companion
+    to ``psi_report`` (PSI needs pinned bounds; KS compares the raw
+    ECDFs, so it also catches shifts PSI's coarse bins smear out).
+
+    Plan shape: both sides collapse to per-(group, distinct value)
+    tagged counts at the scan (map-side partial agg on the union —
+    one shuffle on (group, v)), then a running-sum window per group
+    ordered by value turns counts into ECDF steps, and a final
+    per-group max-abs fold emits one row per group. The window
+    partitions by group, so parallelism scales with group count; for
+    unbounded-cardinality doubles, quantize ``value_col`` upstream
+    (the ECDF of the quantized variable bounds D within one bin
+    mass). Ties across sides are exact: both ECDFs step at the same
+    distinct-value row.
+
+    Output: ``group, ks_d (1e-6), n_current, n_reference``.
+    """
+    groups = [F.col(group_col)] if group_col else [F.lit("all").alias("group")]
+    gname = group_col if group_col else "group"
+    a = current.filter(F.col(value_col).isNotNull()).select(
+        *groups,
+        F.col(value_col).alias("v"),
+        F.lit(1).alias("c"),
+        F.lit(0).alias("r"),
+    )
+    b = reference.filter(F.col(value_col).isNotNull()).select(
+        *groups,
+        F.col(value_col).alias("v"),
+        F.lit(0).alias("c"),
+        F.lit(1).alias("r"),
+    )
+    u = (
+        a.unionByName(b)
+        .groupBy(gname, "v")
+        .agg(F.sum("c").alias("n_cur"), F.sum("r").alias("n_ref"))
+    )
+    run = (
+        Window.partitionBy(gname)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(gname)
+    w = u.select(
+        gname,
+        F.sum("n_cur").over(run).alias("cum_cur"),
+        F.sum("n_ref").over(run).alias("cum_ref"),
+        F.sum("n_cur").over(tot).alias("tot_cur"),
+        F.sum("n_ref").over(tot).alias("tot_ref"),
+    )
+    # a group present on only ONE side has no two-sample statistic:
+    # its cdf guard nulls the gap, ks_d comes out NULL, and the
+    # report still shows the zero count — a validation gate should
+    # surface one-sided groups, not crash on the 0-denominator
+    def cdf(cum: str, tot: str) -> F.Column:
+        return F.when(F.col(tot) > 0, F.col(cum) / F.col(tot))
+
+    gap = F.abs(cdf("cum_cur", "tot_cur") - cdf("cum_ref", "tot_ref"))
+    return w.groupBy(gname).agg(
+        F.round(F.max(gap), 6).alias("ks_d"),
+        F.max("tot_cur").alias("n_current"),
+        F.max("tot_ref").alias("n_reference"),
+    )
+
+
+# P(first digit = d) = log10(1 + 1/d), d = 1..9 — evaluated once in
+# Python so every engine (Spark plan, SQL oracle) sees the identical
+# IEEE-754 double literals instead of its own libm's log10.
+BENFORD_P: tuple[float, ...] = tuple(
+    float(np.log10(1.0 + 1.0 / d)) for d in range(1, 10)
+)
+
+
+def benford_report(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Benford first-significant-digit conformance per group — the
+    classic fabricated-/degenerate-numeric-column detector: natural
+    multi-scale magnitudes follow P(d) = log10(1 + 1/d); constants,
+    sequences, and truncated columns do not.
+
+    The leading digit is taken from the DECIMAL STRING of
+    floor(value) (rows with value < 1 are excluded), not from
+    value / 10^floor(log10 v) — floor + string-head is exact integer
+    arithmetic, so Spark and any SQL oracle agree bit-for-bit, while
+    the log10 form can flip a digit on a 1-ulp log difference. The
+    nine Benford masses are baked in as LITERAL doubles
+    (``BENFORD_P``, computed once in Python) rather than evaluated
+    with the engine's log10, for the same cross-engine determinism.
+
+    Single scan to O(groups x 9) digit counts (map-side combine),
+    then per-group chi-square against the Benford masses using the
+    missing-digit-closed identity chi2 = sum_obs (o-e)^2/e + n -
+    sum_obs e (an unobserved digit contributes exactly its expected
+    count e), so no densify step is needed.
+
+    Output: one row per (group, digit) with ``n_obs``, ``p_obs``,
+    ``p_benford`` and the group-level ``chi2`` (df = 8; 15.51 is the
+    5% critical value) repeated on each row for drilldown-friendly
+    reporting.
+    """
+    groups = [F.col(group_col)] if group_col else [F.lit("all").alias("group")]
+    gname = group_col if group_col else "group"
+    digit = F.substring(
+        F.floor(F.col(value_col)).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.filter(F.col(value_col) >= 1)
+        .select(*groups, digit.alias("digit"))
+        .groupBy(gname, "digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = Window.partitionBy(gname)
+    n = F.sum("n_obs").over(tot)
+    p_exp = F.element_at(
+        F.array(*[F.lit(p) for p in BENFORD_P]), F.col("digit")
+    )
+    e = n * p_exp
+    w = counts.select(
+        gname,
+        "digit",
+        "n_obs",
+        n.alias("n"),
+        e.alias("e"),
+        F.round(p_exp, 6).alias("p_benford"),
+    )
+    # (o-e)*(o-e), not pow(o-e, 2): pow routes through libm/Math.pow,
+    # whose last-ulp behavior differs across engines; the product is
+    # one IEEE multiply everywhere
+    dev = F.col("n_obs") - F.col("e")
+    chi2_term = dev * dev / F.col("e")
+    grp = Window.partitionBy(gname)
+    chi2 = (
+        F.sum(chi2_term).over(grp)
+        + F.col("n")
+        - F.sum("e").over(grp)
+    )
+    return w.select(
+        gname,
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") / F.col("n"), 6).alias("p_obs"),
+        "p_benford",
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two
+    categorical columns (e.g. lang x source): are languages
+    distributed the same way across sources, or does some source
+    carry a skewed language mix? The summary companion to
+    ``unigram_divergence``'s per-group KL drilldown.
+
+    chi2 = sum_cells (o - e)^2 / e with e = row_total * col_total /
+    n, plus Cramer's V = sqrt(chi2 / (n * (min(R,C) - 1))) as the
+    [0,1] effect size (sample-size-free, comparable across runs).
+    Cells absent from the data (o = 0) contribute exactly their
+    expected count e, and sum_all_cells e = n, so the sum runs over
+    OBSERVED cells only via the closed identity chi2 =
+    sum_obs (o-e)^2/e + n - sum_obs e — no cross-join densify. V is
+    NULL when either axis has a single level (undefined, dof = 0).
+
+    One scan to O(R x C) cell counts; marginals come from windows
+    over that tiny table, so nothing wider than the contingency
+    table shuffles. Output: a single summary row ``chi2, dof,
+    cramers_v, n_rows, n_row_levels, n_col_levels``.
+    """
+    cells = (
+        df.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(row_col, col_col)
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rw = Window.partitionBy(row_col)
+    cw = Window.partitionBy(col_col)
+    aw = Window.partitionBy()
+    w = cells.select(
+        "o",
+        F.sum("o").over(rw).alias("rt"),
+        F.sum("o").over(cw).alias("ct"),
+        F.sum("o").over(aw).alias("n"),
+        F.dense_rank().over(Window.partitionBy().orderBy(row_col)).alias("ri"),
+        F.dense_rank().over(Window.partitionBy().orderBy(col_col)).alias("ci"),
+    )
+    # cast BEFORE multiplying: long*long overflows at 10^12-row scale
+    # (rt*ct ~ 10^24); double*double stays exact below 2^53 and
+    # degrades gracefully above
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    dev = F.col("o") - e
+    chi2 = F.sum(dev * dev / e) + F.max("n") - F.sum(e)
+    min_levels = F.least(F.max("ri"), F.max("ci"))
+    return w.agg(
+        F.round(chi2, 6).alias("chi2"),
+        ((F.max("ri") - 1) * (F.max("ci") - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.when(
+                min_levels > 1,
+                F.sqrt(chi2 / (F.max("n") * (min_levels - F.lit(1)))),
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.max("n").alias("n_rows"),
+        F.max("ri").cast("bigint").alias("n_row_levels"),
+        F.max("ci").cast("bigint").alias("n_col_levels"),
     )
