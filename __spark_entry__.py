@@ -2430,6 +2430,38 @@ def q_chi2_lang_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_independence(docs, "lang", "source")
 
 
+def q_rule_suite_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative conformance suite (constraints.rule_suite): six
+    user-declared row rules — null, cross-field consistency, domain
+    membership, range, regex shape, length budget — evaluated as six
+    conditional sums in ONE hash aggregate over ONE scan. NULL rule
+    results count as violations (unknown fails)."""
+    from sparkval.constraints import rule_suite
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = {
+        "text_not_null": F.col("text").isNotNull(),
+        "n_chars_consistent": F.col("n_chars") == F.length("text"),
+        "lang_known": F.col("lang").isin("de", "en", "es", "fr", "zh"),
+        "doc_id_nonneg": F.col("doc_id") >= 0,
+        "source_wellformed": F.col("source").rlike("^src[0-9]+$"),
+        "n_chars_le_256": F.col("n_chars") <= 256,
+    }
+    return rule_suite(docs, rules).orderBy("rule")
+
+
+def q_fd_check_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency mining source -> lang
+    (constraints.fd_check): per determinant key, the TANE g3 repair
+    cost — rows outside the key's majority dependent class. Two
+    cascaded map-side-partial aggregates; nothing wider than the
+    (source, lang) pair ever shuffles."""
+    from sparkval.constraints import fd_check
+
+    docs = _t(spark, sf_dir, "documents")
+    return fd_check(docs, ["source"], "lang").orderBy("source")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2508,6 +2540,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outliers_events": q_mad_outliers_events,
     "psi_events": q_psi_events,
     "ks_drift_documents": q_ks_drift_documents,
+    "rule_suite_documents": q_rule_suite_documents,
+    "fd_check_documents": q_fd_check_documents,
     "benford_orders": q_benford_orders,
     "chi2_lang_source_documents": q_chi2_lang_source_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
@@ -4501,6 +4535,58 @@ ORACLE_SQL["chi2_lang_source_documents"] = """
            max(ri)::BIGINT AS n_row_levels,
            max(ci)::BIGINT AS n_col_levels
     FROM w
+"""
+
+
+ORACLE_SQL["rule_suite_documents"] = """
+    WITH a AS (
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN NOT coalesce(text IS NOT NULL, FALSE)
+                   THEN 1 ELSE 0 END) AS v_text_not_null,
+               sum(CASE WHEN NOT coalesce(n_chars = length(text), FALSE)
+                   THEN 1 ELSE 0 END) AS v_n_chars_consistent,
+               sum(CASE WHEN NOT coalesce(
+                       lang IN ('de', 'en', 'es', 'fr', 'zh'), FALSE)
+                   THEN 1 ELSE 0 END) AS v_lang_known,
+               sum(CASE WHEN NOT coalesce(doc_id >= 0, FALSE)
+                   THEN 1 ELSE 0 END) AS v_doc_id_nonneg,
+               sum(CASE WHEN NOT coalesce(
+                       regexp_matches(source, '^src[0-9]+$'), FALSE)
+                   THEN 1 ELSE 0 END) AS v_source_wellformed,
+               sum(CASE WHEN NOT coalesce(n_chars <= 256, FALSE)
+                   THEN 1 ELSE 0 END) AS v_n_chars_le_256
+        FROM documents
+    )
+    SELECT rule, n_rows::BIGINT AS n_rows, n_violations::BIGINT AS n_violations,
+           n_violations = 0 AS pass
+    FROM (
+        SELECT 'text_not_null' AS rule, n_rows, v_text_not_null AS n_violations FROM a
+        UNION ALL
+        SELECT 'n_chars_consistent', n_rows, v_n_chars_consistent FROM a
+        UNION ALL
+        SELECT 'lang_known', n_rows, v_lang_known FROM a
+        UNION ALL
+        SELECT 'doc_id_nonneg', n_rows, v_doc_id_nonneg FROM a
+        UNION ALL
+        SELECT 'source_wellformed', n_rows, v_source_wellformed FROM a
+        UNION ALL
+        SELECT 'n_chars_le_256', n_rows, v_n_chars_le_256 FROM a
+    ) ORDER BY rule
+"""
+
+ORACLE_SQL["fd_check_documents"] = """
+    WITH pair AS (
+        SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    k AS (
+        SELECT source, sum(c) AS n_rows, count(*) AS n_distinct_dep,
+               max(c) AS majority
+        FROM pair GROUP BY 1
+    )
+    SELECT source, n_rows::BIGINT AS n_rows,
+           n_distinct_dep::BIGINT AS n_distinct_dep,
+           (n_rows - majority)::BIGINT AS n_violations
+    FROM k WHERE n_rows - majority >= 1 ORDER BY 1
 """
 
 

@@ -485,3 +485,91 @@ def corpus_diff_report(diff: DataFrame) -> DataFrame:
     the O(1)-output summary a version bump gets logged with. Single
     narrow groupBy on a 4-value key (map-side partials collapse it)."""
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
+# declarative rule suites + functional-dependency mining — schema-level
+# checks beyond the fixed uniqueness/referential/null trio (SURVEY §2.4):
+# the reference's per-image parameter validation (lib.rs's dimension and
+# range checks) generalized to a user-declared rule list evaluated in
+# ONE corpus scan
+# --------------------------------------------------------------------------
+
+def rule_suite(df: DataFrame, rules: dict[str, F.Column]) -> DataFrame:
+    """Evaluate a DECLARATIVE suite of row-level conformance rules in a
+    single scan: ``rules`` maps rule name -> boolean Column meaning
+    "this row passes". A row with a NULL rule value counts as a
+    VIOLATION (SQL three-valued logic would silently drop it from
+    both sides otherwise — a validation engine must treat unknown as
+    failing).
+
+    Plan shape: every rule compiles to one conditional-sum aggregate
+    in the SAME hash aggregate, so N rules cost one table scan and an
+    O(1)-row shuffle (map-side partials), never N scans. The wide
+    one-row aggregate is then unpivoted JVM-side (stack) into one row
+    per rule: ``rule, n_rows, n_violations, pass`` — the reference's
+    per-check exit-code summary (main.rs's verdict accounting) as a
+    tidy table.
+    """
+    if not rules:
+        raise ValueError("rule_suite needs at least one rule")
+    for name in rules:
+        if not name.replace("_", "").isalnum():
+            raise ValueError(f"rule name must be [A-Za-z0-9_]+: {name!r}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, cond in rules.items():
+        bad = ~F.coalesce(cond, F.lit(False))
+        aggs.append(F.sum(bad.cast("long")).alias(f"__v_{name}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', __v_{name}" for name in rules
+    )
+    return wide.selectExpr(
+        f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)",
+        "__n AS n_rows",
+    ).select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("pass"),
+    )
+
+
+def fd_check(
+    df: DataFrame,
+    determinant: list[str],
+    dependent: str,
+    min_violations: int = 1,
+) -> DataFrame:
+    """Functional-dependency conformance X -> Y: for each determinant
+    key, does exactly one dependent value occur? Returns one row per
+    VIOLATING key with its g3-style repair cost — ``n_violations`` =
+    rows that would have to be deleted to restore the FD (everything
+    outside the key's majority class; Huhtala et al.'s TANE g3
+    measure, the standard FD-approximation metric).
+
+    Plan shape: two cascaded hash aggregates — (X, Y) counts, then a
+    fold to per-X ``n_rows / n_distinct_dep / majority`` — both with
+    map-side partials; nothing wider than the (X, Y) pair shuffles,
+    and the second shuffle is on the strictly smaller X. NULL
+    dependents form their own class (a key mixing NULL and a value is
+    a violation worth surfacing).
+    """
+    pair = (
+        df.groupBy(*determinant, dependent)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    per_key = pair.groupBy(*determinant).agg(
+        F.sum("__c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct_dep"),
+        F.max("__c").alias("__majority"),
+    )
+    return (
+        per_key.select(
+            *determinant,
+            "n_rows",
+            "n_distinct_dep",
+            (F.col("n_rows") - F.col("__majority")).alias("n_violations"),
+        )
+        .filter(F.col("n_violations") >= min_violations)
+    )

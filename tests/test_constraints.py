@@ -161,3 +161,99 @@ def test_manifest_null_content_semantics(spark):
     )
     out = {(r["path"], r["detail"]) for r in manifest_violations(corpus, ref).collect()}
     assert out == {("b", "content_hash_mismatch"), ("c", "content_hash_mismatch")}
+
+
+# ------------------------------------------------- rule_suite / fd_check
+
+def test_rule_suite_one_scan_counts(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparkval.constraints import rule_suite
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "x": [1, 2, None, 4, -5],
+                "s": ["a", "b", "c", None, "d"],
+            }
+        )
+    )
+    out = rule_suite(
+        df,
+        {
+            "x_positive": F.col("x") > 0,
+            "s_not_null": F.col("s").isNotNull(),
+            "always": F.lit(True),
+        },
+    ).toPandas().set_index("rule")
+    assert (out.n_rows == 5).all()
+    # NULL x counts as a violation of x_positive (unknown fails)
+    assert out.loc["x_positive"].n_violations == 2
+    assert out.loc["s_not_null"].n_violations == 1
+    assert out.loc["always"].n_violations == 0
+    assert bool(out.loc["always"]["pass"]) is True
+    assert bool(out.loc["x_positive"]["pass"]) is False
+
+
+def test_rule_suite_single_aggregate_plan(spark):
+    """N rules must compile to ONE aggregate over ONE scan."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparkval.constraints import rule_suite
+
+    df = spark.createDataFrame(pd.DataFrame({"x": [1, 2, 3]}))
+    out = rule_suite(df, {f"r{i}": F.col("x") > i for i in range(8)})
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1
+
+
+def test_rule_suite_rejects_bad_names(spark):
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparkval.constraints import rule_suite
+
+    df = spark.createDataFrame(pd.DataFrame({"x": [1]}))
+    with pytest.raises(ValueError, match="rule name"):
+        rule_suite(df, {"bad name'": F.col("x") > 0})
+    with pytest.raises(ValueError, match="at least one"):
+        rule_suite(df, {})
+
+
+def test_fd_check_g3_cost(spark):
+    import pandas as pd
+
+    from sparkval.constraints import fd_check
+
+    # key a: 3x'en' + 1x'de' + 1xNULL -> majority 3, violations 2
+    # key b: pure 'fr' -> not reported
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 3,
+            "y": ["en", "en", "en", "de", None, "fr", "fr", "fr"],
+        }
+    )
+    out = fd_check(spark.createDataFrame(pdf), ["k"], "y").collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["k"] == "a"
+    assert row["n_rows"] == 5
+    assert row["n_distinct_dep"] == 3  # en, de, NULL are three classes
+    assert row["n_violations"] == 2
+
+
+def test_fd_check_min_violations_threshold(spark):
+    import pandas as pd
+
+    from sparkval.constraints import fd_check
+
+    pdf = pd.DataFrame(
+        {"k": ["a"] * 10 + ["b"] * 10, "y": ["x"] * 9 + ["z"] + ["w"] * 10}
+    )
+    strict = fd_check(spark.createDataFrame(pdf), ["k"], "y", min_violations=2)
+    assert strict.count() == 0  # a's single dissenter is below threshold
+    loose = fd_check(spark.createDataFrame(pdf), ["k"], "y")
+    assert loose.count() == 1
