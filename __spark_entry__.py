@@ -2462,6 +2462,32 @@ def q_fd_check_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fd_check(docs, ["source"], "lang").orderBy("source")
 
 
+def q_normalize_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (text.with_normalized_text): NFC
+    (Arrow-vectorized pandas string op) + control-chars-to-space +
+    space-run collapse + trim, as a map-only projection. Full-text
+    value oracle: DuckDB nfc_normalize + the same regex chain must
+    reproduce every normalized string byte-for-byte."""
+    from sparkval.pipeline.text import with_normalized_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_normalized_text(docs).select(
+        "doc_id", "text_norm", "n_chars_norm", "was_changed"
+    ).orderBy("doc_id")
+
+
+def q_seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive volume anomaly gate (events.seasonal_anomaly):
+    hourly counts per event type z-scored against the same
+    hour-of-day's mean/stddev across all days; |z| > 2.5 flags. The
+    scan collapses to O(types x hours) counts before any window
+    runs."""
+    from sparkval.pipeline.events import seasonal_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_anomaly(ev, z_threshold=2.5).orderBy("event_type", "hour_ts")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2542,6 +2568,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks_drift_documents": q_ks_drift_documents,
     "rule_suite_documents": q_rule_suite_documents,
     "fd_check_documents": q_fd_check_documents,
+    "normalize_text_documents": q_normalize_text_documents,
+    "seasonal_anomaly_events": q_seasonal_anomaly_events,
     "benford_orders": q_benford_orders,
     "chi2_lang_source_documents": q_chi2_lang_source_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
@@ -4587,6 +4615,44 @@ ORACLE_SQL["fd_check_documents"] = """
            n_distinct_dep::BIGINT AS n_distinct_dep,
            (n_rows - majority)::BIGINT AS n_violations
     FROM k WHERE n_rows - majority >= 1 ORDER BY 1
+"""
+
+
+ORACLE_SQL["normalize_text_documents"] = r"""
+    WITH n AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(
+                   regexp_replace(nfc_normalize(text),
+                                  '[\x00-\x1f\x7f]', ' ', 'g'),
+                   ' {2,}', ' ', 'g')) AS text_norm
+        FROM documents
+    )
+    SELECT doc_id, text_norm,
+           length(text_norm)::BIGINT AS n_chars_norm,
+           text_norm <> text AS was_changed
+    FROM n ORDER BY doc_id
+"""
+
+ORACLE_SQL["seasonal_anomaly_events"] = """
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, hour_ts, n_events,
+               avg(n_events) OVER (PARTITION BY event_type,
+                                   extract(hour FROM hour_ts)) AS mu,
+               stddev_samp(n_events) OVER (PARTITION BY event_type,
+                                           extract(hour FROM hour_ts)) AS sd
+        FROM h
+    )
+    SELECT event_type, hour_ts, n_events::BIGINT AS n_events,
+           round(mu, 6) AS expected,
+           round(CASE WHEN sd > 0 THEN (n_events - mu) / sd END, 6) AS z,
+           coalesce(abs(CASE WHEN sd > 0 THEN (n_events - mu) / sd END)
+                    > 2.5, FALSE) AS is_anomaly
+    FROM w ORDER BY 1, 2
 """
 
 

@@ -272,3 +272,49 @@ def retention_cohorts(
             F.round(F.col("n_active") / F.col("cohort_size"), 6),
         )
     )
+
+
+def seasonal_anomaly(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    z_threshold: float = 2.5,
+) -> DataFrame:
+    """Seasonal-naive anomaly detection on event volume: hourly counts
+    per group, scored against the mean/stddev of the SAME
+    hour-of-day across all days (the seasonal baseline), flagging
+    |z| > ``z_threshold`` — the standard ops-health check for an
+    ingest feed with a daily cycle ("is 3am Tuesday's volume weird
+    for a 3am?").
+
+    Plan shape: one scan collapses to O(groups x hours) hourly
+    counts (map-side partials); the baseline is a window over
+    (group, hour-of-day) on that tiny table — parallelism scales
+    with groups x 24, never with raw events. Hours with ZERO events
+    produce no row and are therefore not scored; densify upstream
+    with a sequence() calendar join if silence itself must alarm.
+
+    Output: ``group, hour_ts, n_events, expected, z, is_anomaly``;
+    z is NULL (and is_anomaly false) when a group-hour's baseline
+    has zero variance.
+    """
+    hourly = (
+        events.groupBy(
+            group_col, F.date_trunc("hour", F.col(ts_col)).alias("hour_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    season = Window.partitionBy(group_col, F.hour("hour_ts"))
+    mu = F.avg("n_events").over(season)
+    sd = F.stddev_samp("n_events").over(season)
+    z = F.when(sd > 0, (F.col("n_events") - mu) / sd)
+    return hourly.select(
+        group_col,
+        "hour_ts",
+        "n_events",
+        F.round(mu, 6).alias("expected"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > F.lit(z_threshold), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )

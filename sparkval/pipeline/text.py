@@ -6,6 +6,8 @@ all; Catalyst pushes the column prune down to the parquet scan.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 # Distinctive high-frequency markers per language (public-knowledge
@@ -668,4 +670,33 @@ def boilerplate_lines(
             .alias("n_boilerplate_removed"),
             F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
         )
+    )
+
+
+def with_normalized_text(df: DataFrame, col: str = "text") -> DataFrame:
+    """Canonical text normalization for dedup/fingerprint pipelines:
+    Unicode NFC, control characters ([\\x00-\\x1f\\x7f], including
+    newlines/tabs) to spaces, space runs collapsed, ends trimmed.
+    Canonicalizing BEFORE hashing/shingling is what makes exact-dup
+    and minhash keys stable across crawls that differ only in
+    composition form or whitespace.
+
+    NFC runs in a vectorized pandas string op (Arrow batches — the
+    only step Spark has no built-in for); the regex steps stay
+    JVM-side expressions on top of it. Map-only projection: no
+    shuffle, scales linearly with partitions.
+
+    Adds ``<col>_norm``, ``n_chars_norm`` and ``was_changed``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    norm = F.regexp_replace(_nfc(F.col(col)), "[\\x00-\\x1f\\x7f]", " ")
+    norm = F.trim(F.regexp_replace(norm, " {2,}", " "))
+    out = df.withColumn(f"{col}_norm", norm)
+    return out.withColumn("n_chars_norm", F.length(f"{col}_norm")).withColumn(
+        "was_changed", F.col(f"{col}_norm") != F.col(col)
     )

@@ -1294,3 +1294,97 @@ def test_winsorize_clips_iff_mad_flags(spark):
     # uniform group b (MAD 0) clips nothing at the median
     assert w[("a", 100.0)]["was_clipped"] and w[("a", -50.0)]["was_clipped"]
     assert not w[("b", 5.0)]["was_clipped"]
+
+
+# ---------------------------------------------- with_normalized_text
+
+def test_normalize_text_canonicalizes(spark):
+    import pandas as pd
+
+    from sparkval.pipeline.text import with_normalized_text
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a\tb\nc",            # controls -> single spaces
+                "  lots   of   gap ",  # runs collapse, ends trim
+                "cafe\u0301",  # decomposed e + U+0301 -> NFC single codepoint
+                "already clean",
+            ],
+        }
+    )
+    out = (
+        with_normalized_text(spark.createDataFrame(pdf))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert out[0]["text_norm"] == "a b c"
+    assert out[1]["text_norm"] == "lots of gap"
+    assert out[2]["text_norm"] == "caf\u00e9" and out[2]["n_chars_norm"] == 4
+    assert out[3]["text_norm"] == "already clean"
+    assert [r["was_changed"] for r in out] == [True, True, True, False]
+
+
+def test_normalize_text_stabilizes_dedup_keys(spark):
+    """The point of normalizing: whitespace/NFC variants of one
+    document hash to one exact-dup group afterwards."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparkval.pipeline.text import with_normalized_text
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["hello  world", "hello\tworld", "hello world"],
+        }
+    )
+    out = with_normalized_text(spark.createDataFrame(pdf))
+    n = out.select(F.countDistinct("text_norm")).collect()[0][0]
+    assert n == 1
+
+
+# ---------------------------------------------- seasonal_anomaly
+
+def test_seasonal_anomaly_flags_planted_spike(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from sparkval.pipeline.events import seasonal_anomaly
+
+    # 14 days x one event at 03:00 ... plus a 30-event burst on day 7
+    rows = []
+    base = dt.datetime(2024, 1, 1, 3, 0, 0)
+    for day in range(14):
+        n = 30 if day == 7 else 1
+        for i in range(n):
+            rows.append(
+                {"event_type": "click", "ts": base + dt.timedelta(days=day, seconds=i)}
+            )
+    out = seasonal_anomaly(
+        spark.createDataFrame(pd.DataFrame(rows)), z_threshold=2.5
+    ).collect()
+    flagged = [r for r in out if r["is_anomaly"]]
+    assert len(flagged) == 1
+    assert flagged[0]["hour_ts"].day == 8 and flagged[0]["n_events"] == 30
+    # quiet hours score near the (spike-inflated) mean but below gate
+    quiet = [r for r in out if not r["is_anomaly"]]
+    assert all(abs(r["z"]) < 2.5 for r in quiet if r["z"] is not None)
+
+
+def test_seasonal_anomaly_zero_variance_is_null(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from sparkval.pipeline.events import seasonal_anomaly
+
+    rows = [
+        {"event_type": "x", "ts": dt.datetime(2024, 1, d, 9, 0, 0)}
+        for d in range(1, 8)
+    ]  # exactly one event every 09:00 -> sd == 0
+    out = seasonal_anomaly(spark.createDataFrame(pd.DataFrame(rows))).collect()
+    assert all(r["z"] is None and r["is_anomaly"] is False for r in out)
+    assert all(r["expected"] == 1.0 for r in out)
