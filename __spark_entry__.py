@@ -2488,6 +2488,37 @@ def q_seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_anomaly(ev, z_threshold=2.5).orderBy("event_type", "hour_ts")
 
 
+def q_bit_lsh_near_dups_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-sampling LSH near-dup pairs (similarity.bit_lsh_near_dups,
+    zero-Python LSH) over embeddings ∪ planted copies with coordinate
+    3 NEGATED (vec_id + 100000). The negation flips one sign bit, so
+    band 0 always disagrees and the pair surfaces only through
+    OR-amplification over bands 1-7 — the bucketing logic is load
+    bearing, not decorative. ~80% of planted pairs clear the cosine
+    0.95 verify; the rest are pruned by the threshold. FULL value
+    oracle: DuckDB rebuilds the same planted table, the same 4-bit
+    sign buckets, the same candidate join, and the same
+    round(round(cos,9),6) values."""
+    from sparkval.pipeline.similarity import bit_lsh_near_dups
+
+    embs = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = embs.unionByName(
+        embs.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == F.lit(2), -x).otherwise(x),
+            )
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+    )
+    out = bit_lsh_near_dups(planted, threshold=0.95)
+    return out.select(
+        "a", "b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("a", "b")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2570,6 +2601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fd_check_documents": q_fd_check_documents,
     "normalize_text_documents": q_normalize_text_documents,
     "seasonal_anomaly_events": q_seasonal_anomaly_events,
+    "bit_lsh_near_dups_embeddings": q_bit_lsh_near_dups_embeddings,
     "benford_orders": q_benford_orders,
     "chi2_lang_source_documents": q_chi2_lang_source_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
@@ -4653,6 +4685,37 @@ ORACLE_SQL["seasonal_anomaly_events"] = """
            coalesce(abs(CASE WHEN sd > 0 THEN (n_events - mu) / sd END)
                     > 2.5, FALSE) AS is_anomaly
     FROM w ORDER BY 1, 2
+"""
+
+
+ORACLE_SQL["bit_lsh_near_dups_embeddings"] = """
+    WITH u AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000,
+               (embedding[1:2] || [-embedding[3]] || embedding[4:64])::DOUBLE[]
+        FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, band,
+               (CASE WHEN v[band * 4 + 1] > 0 THEN 1 ELSE 0 END
+                + CASE WHEN v[band * 4 + 2] > 0 THEN 2 ELSE 0 END
+                + CASE WHEN v[band * 4 + 3] > 0 THEN 4 ELSE 0 END
+                + CASE WHEN v[band * 4 + 4] > 0 THEN 8 ELSE 0 END) AS bucket
+        FROM u CROSS JOIN (SELECT unnest(range(8)) AS band) bands
+    ),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        FROM b x JOIN b y
+          ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT a, b,
+           round(round(list_cosine_similarity(ua.v, ub.v), 9), 6) AS cosine
+    FROM cand
+    JOIN u ua ON ua.vec_id = cand.a
+    JOIN u ub ON ub.vec_id = cand.b
+    WHERE round(list_cosine_similarity(ua.v, ub.v), 9) >= 0.95
+    ORDER BY a, b
 """
 
 

@@ -737,3 +737,81 @@ def embedding_stats(df: DataFrame, col: str = "embedding") -> DataFrame:
             (F.col("_mean_norm") / F.col("_avg_norm")).alias("anisotropy"),
         )
     )
+
+
+def bit_lsh_bands(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 8,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Bit-sampling LSH bands from SIGN BITS of the embedding's own
+    coordinates — band b's bucket is the ``band_bits``-bit code of
+    coordinates [b*band_bits, (b+1)*band_bits). For embeddings whose
+    coordinates are roughly sign-balanced (any centered or randomly
+    projected representation), each coordinate IS a random-hyperplane
+    bit, so this is hyperplane LSH with axis-aligned planes — and
+    unlike ``lsh_bands`` it needs NO Python at all: the whole band
+    projection is a Column expression inside whole-stage codegen,
+    and being data-independent it is exactly replayable by a SQL
+    oracle (the reason this variant exists next to the seeded-matmul
+    one).
+
+    Output: (id, band, bucket) — one row per (row, band); embeddings
+    never enter the shuffle. Tune band_bits to keep ~n/2^band_bits
+    bucket sizes sub-quadratic at scale.
+    """
+    if (n_bands * band_bits) <= 0:
+        raise ValueError("need n_bands and band_bits >= 1")
+    buckets = []
+    for b in range(n_bands):
+        code = F.lit(0)
+        for j in range(band_bits):
+            coord = F.element_at(F.col(vec_col), b * band_bits + j + 1)
+            code = code + F.when(coord > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        buckets.append(code)
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*buckets)).alias("band", "bucket")
+    )
+
+
+def bit_lsh_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 8,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs via bit-sampling LSH + exact cosine
+    verify, end-to-end in JVM built-ins (zero Python): candidates =
+    pairs sharing ANY band bucket (OR-amplified), verified with the
+    exact zip_with/aggregate cosine and kept at round(cos, 9) >=
+    ``threshold``.
+
+    Scale shape: band projection is a map-only expression; the
+    candidate self-join shuffles only (id, band, bucket) triples on
+    (band, bucket); distinct-pair dedup shuffles only id pairs; the
+    verify join brings embeddings back per CANDIDATE, not per pair of
+    all rows. Embeddings are cast to array<double> before any
+    arithmetic so the verify matches a float64 SQL oracle bit-for-bit.
+    """
+    dbl = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    bands = bit_lsh_bands(dbl, id_col, vec_col, n_bands, band_bits)
+    left = bands.select(
+        F.col(id_col).alias("a"), F.col("band"), F.col("bucket")
+    )
+    right = bands.select(
+        F.col(id_col).alias("b"), F.col("band"), F.col("bucket")
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    pairs = cosine_pairs_exact(dbl, cand, id_col, vec_col)
+    return pairs.filter(F.col("cosine") >= threshold)

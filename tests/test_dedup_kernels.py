@@ -54,3 +54,91 @@ def test_arrow_shingle_stream_other_k():
     for i, t in enumerate(TEXTS):
         want = dedup._shingles(t or "", 9, unique=False)
         assert np.array_equal(flat[off[i] : off[i + 1]], want), (i, t)
+
+
+# ------------------------------------------------------- bit-sampling LSH
+
+def test_bit_lsh_bands_match_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sparkval.pipeline.similarity import bit_lsh_bands
+
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(40, 16)).astype(np.float64)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(40), "embedding": list(m)})
+    )
+    out = bit_lsh_bands(df, n_bands=4, band_bits=4).toPandas()
+    codes = np.stack(
+        [(m[:, b * 4:(b + 1) * 4] > 0) @ (1 << np.arange(4)) for b in range(4)],
+        axis=1,
+    )
+    for _, r in out.iterrows():
+        assert codes[int(r.vec_id), int(r.band)] == r.bucket
+    assert len(out) == 40 * 4
+
+
+def test_bit_lsh_near_dups_equals_bruteforce_on_candidates(spark):
+    """Engine output == {pairs sharing >=1 band} ∩ {cosine >= tau},
+    both recomputed in numpy."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkval.pipeline.similarity import bit_lsh_near_dups
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(30, 16))
+    noisy = base + rng.normal(scale=0.08, size=base.shape)  # near-dups
+    m = np.vstack([base, noisy])
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(60), "embedding": list(m)})
+    )
+    got = {
+        (r["a"], r["b"])
+        for r in bit_lsh_near_dups(
+            df, threshold=0.9, n_bands=4, band_bits=4
+        ).collect()
+    }
+
+    codes = np.stack(
+        [(m[:, b * 4:(b + 1) * 4] > 0) @ (1 << np.arange(4)) for b in range(4)],
+        axis=1,
+    )
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    want = {
+        (a, b)
+        for a in range(60)
+        for b in range(a + 1, 60)
+        if (codes[a] == codes[b]).any() and round(cos[a, b], 9) >= 0.9
+    }
+    assert got == want
+    assert len(want) >= 20  # the construction actually plants pairs
+
+
+def test_bit_lsh_plan_is_python_free(spark, sf_dir):
+    from tests.conftest import load
+
+    from sparkval.pipeline.similarity import bit_lsh_near_dups
+
+    embs = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plan = (
+        bit_lsh_near_dups(embs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bit_lsh_rejects_zero_bands(spark, sf_dir):
+    import pytest
+
+    from tests.conftest import load
+    from sparkval.pipeline.similarity import bit_lsh_bands
+
+    embs = load(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError):
+        bit_lsh_bands(embs, n_bands=0)
