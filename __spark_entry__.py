@@ -2519,6 +2519,74 @@ def q_bit_lsh_near_dups_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("a", "b")
 
 
+def q_stream_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming SESSION windows
+    (streaming.streaming_sessions, built-in F.session_window) run as
+    a real 4-micro-batch append-mode stream. The source is written as
+    four SEQUENTIAL time-slice files (FileStreamSource processes
+    oldest-modified first), so event time is monotone across batches
+    and the 2h watermark never drops rows as late; the final no-data
+    micro-batch flushes every session whose end fell behind
+    max(ts) - 2h. Value oracle: DuckDB gaps-and-islands with Spark's
+    exact merge rule (same session iff delta <= 30 min INCLUSIVE — an
+    event landing exactly at the previous session end still merges,
+    pinned by test; session_end = last event + 30 min) filtered to
+    the watermark horizon."""
+    import atexit
+    import shutil
+    import tempfile
+    import time
+
+    from sparkval.streaming import streaming_sessions
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkval_sess_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    src = f"{tmp}/events"
+    # four contiguous time slices, written oldest-first with distinct
+    # mtimes -> in-order watermark, zero late-drops
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) / 4
+    for i in range(4):
+        s = lo + i * span
+        e = hi if i == 3 else lo + (i + 1) * span
+        cond = (F.col("ts") >= F.lit(s)) & (
+            F.col("ts") <= F.lit(e) if i == 3 else F.col("ts") < F.lit(e)
+        )
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtime seconds for stable ordering
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = streaming_sessions(
+        stream, ts_col="ts", key_col="user_id", gap="30 minutes",
+        watermark="2 hours",
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sparkval_sess_ev")
+        .option("checkpointLocation", f"{tmp}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("sparkval_sess_ev").select(
+        "user_id",
+        F.date_format("session_start", _TS_FMT).alias("session_start"),
+        F.date_format("session_end", _TS_FMT).alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2602,6 +2670,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_text_documents": q_normalize_text_documents,
     "seasonal_anomaly_events": q_seasonal_anomaly_events,
     "bit_lsh_near_dups_embeddings": q_bit_lsh_near_dups_embeddings,
+    "stream_sessions_events": q_stream_sessions_events,
     "benford_orders": q_benford_orders,
     "chi2_lang_source_documents": q_chi2_lang_source_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
@@ -4716,6 +4785,38 @@ ORACLE_SQL["bit_lsh_near_dups_embeddings"] = """
     JOIN u ub ON ub.vec_id = cand.b
     WHERE round(list_cosine_similarity(ua.v, ub.v), 9) >= 0.95
     ORDER BY a, b
+"""
+
+
+ORACLE_SQL["stream_sessions_events"] = """
+    WITH m AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS brk
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+        FROM m
+    ),
+    g AS (
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           n_events::BIGINT AS n_events
+    FROM g
+    WHERE session_end <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+    ORDER BY 1, 2
 """
 
 

@@ -353,3 +353,37 @@ def stream_contamination_gate(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_sessions(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation (built-in
+    F.session_window — dynamic-gap windows that merge while events
+    keep arriving within ``gap``): per (key, session) start/end/count,
+    the streaming analog of the batch gaps-and-islands sessionize.
+    Session end = last event + gap, and the merge rule is INCLUSIVE:
+    an event landing exactly at the previous session's end still
+    merges (delta <= gap; pinned by test so SQL oracles use <=, not
+    <). State is bounded by OPEN sessions per key; the
+    watermark finalizes (and emits, in append mode) every session
+    whose end falls behind it, so long-idle keys cannot pin state
+    forever.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col("n_events"),
+        )
+    )

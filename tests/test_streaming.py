@@ -149,3 +149,112 @@ def test_stream_cumulative_drift_matches_numpy(spark, tmp_path):
         want, _, _ = kernels.drift_score(base_by_bucket[b], snap)
         assert np.isclose(got.loc[b, "score"], want, rtol=1e-9), (b, got.loc[b, "score"], want)
         assert got.loc[b, "files_seen"] == len(grp)
+
+
+# ----------------------------------------------------- streaming_sessions
+
+def test_streaming_sessions_match_batch_gaps_and_islands(spark, tmp_path):
+    """Append-mode session windows over 3 in-order micro-batches must
+    land exactly on the batch gaps-and-islands sessionization for
+    every session finalized by the final watermark."""
+    import datetime as dt
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparkval.streaming import streaming_sessions
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    # user 1: two sessions (events 5 min apart, then a 2h gap)
+    for m in (0, 5, 10):
+        rows.append((1, t0 + dt.timedelta(minutes=m)))
+    for m in (130, 135):
+        rows.append((1, t0 + dt.timedelta(minutes=m)))
+    # user 2: one long session + one trailing event inside the final
+    # watermark horizon (must NOT be emitted)
+    for m in (0, 20, 40):
+        rows.append((2, t0 + dt.timedelta(minutes=m)))
+    rows.append((2, t0 + dt.timedelta(hours=30)))  # stream max ts
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"]).sort_values("ts")
+
+    src = str(tmp_path / "src")
+    for i in range(3):
+        chunk = pdf.iloc[i * 3:(i + 1) * 3]
+        if chunk.empty:
+            continue
+        spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_sessions(stream, gap="30 minutes", watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sessions")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.table("t_sessions").collect()
+    }
+    # final watermark = t0+30h - 2h; the 30h event's session (ends
+    # 30h30m) is still open -> 3 finalized sessions
+    want = {
+        (1, t0, 3),
+        (1, t0 + dt.timedelta(minutes=130), 2),
+        (2, t0, 3),
+    }
+    assert got == want
+
+
+def test_streaming_sessions_boundary_event_starts_new_session(spark, tmp_path):
+    """An event exactly gap after the previous one DOES merge
+    (inclusive boundary, observed behavior) — pinned so the oracle's
+    <=-gap gaps-and-islands stays in lockstep."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from sparkval.streaming import streaming_sessions
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": [
+                t0,
+                t0 + dt.timedelta(minutes=30),   # exactly at prev end
+                t0 + dt.timedelta(days=2),       # watermark pusher
+            ],
+        }
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp").parquet(src)
+    )
+    q = (
+        streaming_sessions(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sessions_b")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        spark.table("t_sessions_b").collect(), key=lambda r: r["session_start"]
+    )
+    assert [(r["session_start"], r["n_events"]) for r in rows] == [
+        (t0, 2),
+    ]
