@@ -2587,6 +2587,45 @@ def q_stream_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start")
 
 
+def q_schema_check_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema conformance as a report (schema.schema_diff_df) — the
+    fail-fast check_corpus_schema's REPORT form, run against an
+    expectation planted to exercise every verdict class: ok (doc_id,
+    text), type_mismatch (n_chars int vs bigint), nullability (lang
+    expected NOT NULL), missing (license), extra (source). Purely
+    driver-side metadata — no job touches the table data."""
+    from pyspark.sql import types as T
+
+    from sparkval.schema import schema_diff_df
+
+    actual = _t(spark, sf_dir, "documents").schema
+    expected = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), False),
+            T.StructField("n_chars", T.IntegerType(), True),
+            T.StructField("license", T.StringType(), True),
+        ]
+    )
+    return schema_diff_df(spark, actual, expected).orderBy("column")
+
+
+def q_rate_limit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rate constraint
+    (constraints.rate_limit_violations): events that are the 3rd+
+    within any trailing 1h window for their user — exact RANGE window
+    over event-time micros, so boundary-straddling bursts can't hide
+    from a tumbling bucket. One shuffle on user_id."""
+    from sparkval.constraints import rate_limit_violations
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = rate_limit_violations(ev, max_events=2, window_seconds=3600)
+    return out.select(
+        "event_id", "user_id", "n_in_window"
+    ).orderBy("event_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2671,6 +2710,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_anomaly_events": q_seasonal_anomaly_events,
     "bit_lsh_near_dups_embeddings": q_bit_lsh_near_dups_embeddings,
     "stream_sessions_events": q_stream_sessions_events,
+    "schema_check_documents": q_schema_check_documents,
+    "rate_limit_events": q_rate_limit_events,
     "benford_orders": q_benford_orders,
     "chi2_lang_source_documents": q_chi2_lang_source_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
@@ -4817,6 +4858,29 @@ ORACLE_SQL["stream_sessions_events"] = """
     FROM g
     WHERE session_end <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
     ORDER BY 1, 2
+"""
+
+
+ORACLE_SQL["schema_check_documents"] = """
+    SELECT * FROM (VALUES
+        ('doc_id',  'ok',            'bigint', 'bigint'),
+        ('lang',    'nullability',   'string', 'string'),
+        ('license', 'missing',       'string', NULL),
+        ('n_chars', 'type_mismatch', 'int',    'bigint'),
+        ('source',  'extra',         NULL,     'string'),
+        ('text',    'ok',            'string', 'string')
+    ) AS t("column", status, expected_type, actual_type)
+    ORDER BY "column"
+"""
+
+ORACLE_SQL["rate_limit_events"] = """
+    SELECT event_id, user_id, n_in_window::BIGINT AS n_in_window FROM (
+        SELECT event_id, user_id,
+               count(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 3600 SECONDS PRECEDING
+                              AND CURRENT ROW) AS n_in_window
+        FROM events
+    ) WHERE n_in_window > 2 ORDER BY event_id
 """
 
 

@@ -21,7 +21,7 @@ relational equi-joins keyed by (repo, path, commit).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 NATURAL_KEY = ["repo", "path", "commit"]
@@ -573,3 +573,35 @@ def fd_check(
         )
         .filter(F.col("n_violations") >= min_violations)
     )
+
+
+def rate_limit_violations(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    max_events: int = 100,
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Sliding-window rate constraint: flag every event that is the
+    ``max_events``-th-or-later within ANY trailing
+    ``window_seconds`` window for its key — the abuse/ingest-storm
+    check a feed validator runs next to uniqueness. Exact, not
+    bucketed: a RANGE window over event-time microseconds counts the
+    events in [t - W, t] (inclusive both ends — SQL RANGE INTERVAL
+    PRECEDING semantics, so oracles line up; ties at t count as
+    peers), so bursts straddling bucket boundaries can't hide (the
+    failure mode of tumbling-window rate checks).
+
+    Plan shape: one shuffle on the key (window partition); state per
+    key is the trailing window, which AQE can't skew-split — for a
+    hot key beyond memory, pre-aggregate to per-second counts first.
+    Output: the violating events with ``n_in_window``.
+    """
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(micros)
+        .rangeBetween(-(window_seconds * 1_000_000), 0)
+    )
+    counted = events.withColumn("n_in_window", F.count(F.lit(1)).over(w))
+    return counted.filter(F.col("n_in_window") > max_events)

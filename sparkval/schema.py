@@ -81,3 +81,61 @@ def check_corpus_schema(df: DataFrame) -> None:
                 f"corpus column {name!r}: expected {dtype.simpleString()}, "
                 f"got {actual[name].simpleString()}"
             )
+
+
+def schema_diff(
+    actual: T.StructType,
+    expected: T.StructType,
+) -> list[dict]:
+    """Schema conformance as a REPORT instead of a raise: one record
+    per column in either schema with status ``ok`` /
+    ``type_mismatch`` / ``nullability`` (expected NOT NULL, actual
+    nullable) / ``missing`` (expected, absent) / ``extra`` (present,
+    unexpected). The report form is what a validation run persists
+    next to its metrics — and diffing two SNAPSHOTS' schemas (pass
+    the old one as ``expected``) is schema-drift detection with the
+    same three verdict classes.
+
+    Purely driver-side metadata — no job, no scan; safe to run
+    against a 100 TB table's catalog entry. ``check_corpus_schema``
+    remains the fail-fast form of the same comparison.
+    """
+    exp = {f.name: f for f in expected.fields}
+    act = {f.name: f for f in actual.fields}
+    out = []
+    for name in sorted(set(exp) | set(act)):
+        e, a = exp.get(name), act.get(name)
+        if e is None:
+            status = "extra"
+        elif a is None:
+            status = "missing"
+        elif e.dataType != a.dataType:
+            status = "type_mismatch"
+        elif (not e.nullable) and a.nullable:
+            status = "nullability"
+        else:
+            status = "ok"
+        out.append(
+            {
+                "column": name,
+                "status": status,
+                "expected_type": e.dataType.simpleString() if e else None,
+                "actual_type": a.dataType.simpleString() if a else None,
+            }
+        )
+    return out
+
+
+def schema_diff_df(spark, actual: T.StructType, expected: T.StructType):
+    """``schema_diff`` as a DataFrame (column, status, expected_type,
+    actual_type) for report sinks."""
+    rows = schema_diff(actual, expected)
+    out_schema = T.StructType(
+        [
+            T.StructField("column", T.StringType(), False),
+            T.StructField("status", T.StringType(), False),
+            T.StructField("expected_type", T.StringType(), True),
+            T.StructField("actual_type", T.StringType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, out_schema)

@@ -257,3 +257,96 @@ def test_fd_check_min_violations_threshold(spark):
     assert strict.count() == 0  # a's single dissenter is below threshold
     loose = fd_check(spark.createDataFrame(pdf), ["k"], "y")
     assert loose.count() == 1
+
+
+# ------------------------------------------- schema_diff / rate limit
+
+def test_schema_diff_all_statuses(spark):
+    from pyspark.sql import types as T
+
+    from sparkval.schema import schema_diff
+
+    actual = T.StructType(
+        [
+            T.StructField("a", T.LongType(), True),
+            T.StructField("b", T.StringType(), True),
+            T.StructField("c", T.IntegerType(), True),
+            T.StructField("x", T.StringType(), True),
+        ]
+    )
+    expected = T.StructType(
+        [
+            T.StructField("a", T.LongType(), True),       # ok
+            T.StructField("b", T.StringType(), False),    # nullability
+            T.StructField("c", T.LongType(), True),       # type_mismatch
+            T.StructField("m", T.DoubleType(), True),     # missing
+        ]  # x -> extra
+    )
+    got = {r["column"]: r["status"] for r in schema_diff(actual, expected)}
+    assert got == {
+        "a": "ok", "b": "nullability", "c": "type_mismatch",
+        "m": "missing", "x": "extra",
+    }
+
+
+def test_schema_diff_nullable_expected_accepts_nonnull_actual(spark):
+    from pyspark.sql import types as T
+
+    from sparkval.schema import schema_diff
+
+    actual = T.StructType([T.StructField("a", T.LongType(), False)])
+    expected = T.StructType([T.StructField("a", T.LongType(), True)])
+    [r] = schema_diff(actual, expected)
+    assert r["status"] == "ok"  # stricter-than-required is conformant
+
+
+def test_rate_limit_boundary_inclusive(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from sparkval.constraints import rate_limit_violations
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [7, 7, 7, 7],
+            "ts": [
+                t0,
+                t0 + dt.timedelta(seconds=3600),   # exactly W later: in-window
+                t0 + dt.timedelta(seconds=3601),
+                t0 + dt.timedelta(seconds=99999),  # isolated
+            ],
+        }
+    )
+    out = rate_limit_violations(
+        spark.createDataFrame(pdf), max_events=1, window_seconds=3600
+    ).collect()
+    got = {(r["event_id"], r["n_in_window"]) for r in out}
+    # event 2 sees {1,2} (inclusive boundary); event 3 sees {2,3}
+    assert got == {(2, 2), (3, 2)}
+
+
+def test_rate_limit_counts_burst_across_bucket_boundary(spark):
+    """The failure mode of tumbling buckets: a burst straddling an
+    hour boundary. The sliding window must flag it."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from sparkval.constraints import rate_limit_violations
+
+    t0 = dt.datetime(2024, 1, 1, 12, 59, 0)
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "user_id": [1] * 6,
+            "ts": [t0 + dt.timedelta(seconds=30 * i) for i in range(6)],
+        }
+    )
+    out = rate_limit_violations(
+        spark.createDataFrame(pdf), max_events=3, window_seconds=120
+    ).collect()
+    # 30s spacing, 120s inclusive window: event 3 already sees 4
+    assert {r["event_id"] for r in out} == {3, 4, 5}
