@@ -2626,6 +2626,74 @@ def q_rate_limit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_incremental_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-proportional incremental validation
+    (engine.validate_incremental): per-data-file fused partials
+    content-addressed by (path, size, mtime). Scenario: full build
+    over a 4-file snapshot, then ONE appended file (3 duplicated docs
+    -> 6 planted uniqueness violations); the second run recomputes
+    exactly the appended file, reuses the other 4 from cache, and its
+    verdicts AND violations are row-identical to a from-scratch batch
+    validate of the new snapshot. Reduced to counts + booleans for
+    the value hash (lineage_metrics discipline)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from sparkval import ValidationConfig, ValidationEngine
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id")).alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkval_incr_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    snap = f"file://{tmp}/snap"
+    corpus.repartition(4).write.parquet(snap)
+
+    eng = ValidationEngine(ValidationConfig(short_circuit_identical=False))
+    base = eng.build_baseline(corpus)
+    cache = f"file://{tmp}/cache"
+    out1 = eng.validate_incremental(snap, base, cache)
+    first_full_recompute = (
+        out1["n_files_recomputed"] == 4 and out1["n_files_reused"] == 0
+    )
+
+    corpus.filter(F.col("path").isin("doc/1", "doc/2", "doc/3")).coalesce(
+        1
+    ).write.mode("append").parquet(snap)
+    out2 = eng.validate_incremental(snap, base, cache)
+
+    full = eng.validate(spark.read.parquet(snap), base)
+
+    def _match(a, b) -> bool:
+        return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    n_uniq = (
+        out2["violations"].filter(F.col("check") == "uniqueness").count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                bool(first_full_recompute),
+                int(out2["n_files_total"]),
+                int(out2["n_files_recomputed"]),
+                int(out2["n_files_reused"]),
+                _match(out2["verdicts"], full["verdicts"]),
+                _match(out2["violations"], full["violations"]),
+                int(n_uniq),
+            )
+        ],
+        "first_full_recompute boolean, n_files_total bigint, "
+        "n_recomputed_delta bigint, n_reused bigint, verdicts_match boolean, "
+        "violations_match boolean, n_uniqueness bigint",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2712,6 +2780,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessions_events": q_stream_sessions_events,
     "schema_check_documents": q_schema_check_documents,
     "rate_limit_events": q_rate_limit_events,
+    "incremental_validate_documents": q_incremental_validate_documents,
     "benford_orders": q_benford_orders,
     "chi2_lang_source_documents": q_chi2_lang_source_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
@@ -4860,6 +4929,17 @@ ORACLE_SQL["stream_sessions_events"] = """
     ORDER BY 1, 2
 """
 
+
+# incremental validation: the scenario is deterministic (4-file
+# snapshot + 1 appended file with 3 duplicated docs), so the reuse
+# accounting and both parity booleans are pinned constants — the
+# lineage_metrics discipline
+ORACLE_SQL["incremental_validate_documents"] = """
+    SELECT true AS first_full_recompute, 5::BIGINT AS n_files_total,
+           1::BIGINT AS n_recomputed_delta, 4::BIGINT AS n_reused,
+           true AS verdicts_match, true AS violations_match,
+           6::BIGINT AS n_uniqueness
+"""
 
 ORACLE_SQL["schema_check_documents"] = """
     SELECT * FROM (VALUES

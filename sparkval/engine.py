@@ -449,6 +449,107 @@ class ValidationEngine:
                 sc.setLocalProperty("spark.jobGroup.id", None)
                 sc.setLocalProperty("spark.job.interruptOnCancel", None)
 
+    def validate_incremental(
+        self,
+        snapshot_path: str,
+        baseline: DataFrame,
+        cache_dir: str,
+        commits: DataFrame | None = None,
+        expected_manifest: DataFrame | None = None,
+        on_file=None,
+    ) -> dict:
+        """Churn-proportional FULL validation: per-DATA-FILE fused
+        partials, content-addressed by (path, size, mtime), cached
+        across runs. A new snapshot of a 100 TB table with 0.1% daily
+        churn rescans 0.1% of the bytes — every unchanged file's
+        partials (histogram rows + the ~100 B/row check partials, the
+        strip-mode monoid at file granularity) are reused from
+        ``cache_dir``; the finalize merges partials for EXACTLY the
+        current file set and derives verdicts + all row-level
+        violations without touching content again.
+
+        Addressing is (path, size, mtime) through the FileSystem API
+        (``io.fs_file_statuses``), not path alone: Iceberg-style
+        immutable data files make path addressing sound, but an
+        in-place rewrite (same name, new bytes) still changes
+        size/mtime, so stale reuse is impossible — a hole pure
+        path-hashed strip ids cannot close. Stale cache entries for
+        files no longer in the snapshot are pruned by partition
+        filter (never opened), exactly like stale strips.
+
+        One write job per CHANGED file (the parquet commit marker is
+        the per-file atomicity fence, as in strip mode) — the right
+        trade when runs are churn-dominated; for an initial bulk
+        build at 10^6+ files, seed the cache with ``validate_strips``
+        granularity instead and let incremental take over from the
+        first delta.
+
+        Returns {"verdicts", "violations", "n_files_total",
+        "n_files_recomputed", "n_files_reused"}.
+        """
+        import hashlib
+
+        from sparkval.histograms import (
+            PARTIAL_SCHEMA,
+            fused_scan_partials,
+            merge_histograms_with_lang,
+        )
+        from sparkval.io import fs_exists, fs_file_statuses, uri_join
+
+        spark = baseline.sparkSession
+        statuses = [
+            (uri, size, mtime)
+            for uri, size, mtime in fs_file_statuses(spark, snapshot_path)
+            if not uri.rsplit("/", 1)[-1].startswith(("_", "."))
+        ]
+        if not statuses:
+            raise ValueError(f"no data files under {snapshot_path}")
+        probe = spark.read.parquet(snapshot_path)
+        check_corpus_schema(probe)
+        fids = {
+            uri: hashlib.sha1(f"{uri}|{size}|{mtime}".encode()).hexdigest()[:16]
+            for uri, size, mtime in statuses
+        }
+        recomputed = 0
+        for i, (uri, _, _) in enumerate(statuses):
+            fid = fids[uri]
+            fdir = uri_join(cache_dir, "file_partials", f"file={fid}")
+            done = fs_exists(spark, uri_join(fdir, "_SUCCESS"))
+            if on_file is not None:
+                on_file(i, len(statuses), done)
+            if done:
+                continue
+            recomputed += 1
+            fdf = spark.read.schema(probe.schema).parquet(uri)
+            fused_scan_partials(fdf, self.config).write.mode(
+                "overwrite"
+            ).partitionBy("kind").parquet(fdir)
+
+        committed = spark.read.parquet(
+            uri_join(cache_dir, "file_partials")
+        ).filter(F.col("file").isin(sorted(fids.values())))
+        hist_names = [f.name for f in PARTIAL_SCHEMA.fields]
+        snap_hists = merge_histograms_with_lang(
+            committed.filter(F.col("kind") == "h").select(*hist_names)
+        )
+        verdicts = constraints.deterministic_order(
+            self._score_hists(baseline, snap_hists), ["repo_bucket", "lang"]
+        )
+        violations = constraints.violations_from_row_partials(
+            committed.filter(F.col("kind") == "r").select(
+                "repo", "path", "commit", "content_sha256", "null_detail"
+            ),
+            commits,
+            expected_manifest,
+        )
+        return {
+            "verdicts": verdicts,
+            "violations": violations,
+            "n_files_total": len(statuses),
+            "n_files_recomputed": recomputed,
+            "n_files_reused": len(statuses) - recomputed,
+        }
+
     # -- cancellable validation ----------------------------------------------
     def validate_with_stop(
         self,

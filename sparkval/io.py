@@ -48,6 +48,28 @@ def fs_tree_bytes(spark: SparkSession, path: str) -> int:
     return int(fs.getContentSummary(jpath).getLength())
 
 
+def fs_file_statuses(spark: SparkSession, path: str) -> list[tuple[str, int, int]]:
+    """(uri, size_bytes, mtime_ms) for every regular file directly
+    under ``path``, sorted by uri — through the FileSystem API, so it
+    is the same call on file://, hdfs:// and s3a://. This is the
+    content-addressing input for incremental validation: a data
+    file's (path, size, mtime) triple changes whenever the file is
+    replaced, even in-place with the same name — which pure
+    path-addressed strip ids cannot see."""
+    fs, jpath = hadoop_fs(spark, path)
+    out = []
+    for st in fs.listStatus(jpath):
+        if st.isFile():
+            out.append(
+                (
+                    st.getPath().toString(),
+                    int(st.getLen()),
+                    int(st.getModificationTime()),
+                )
+            )
+    return sorted(out)
+
+
 def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
     """Small-file write through the FileSystem API (sidecars,
     manifests). Overwrites. Commit dance (round-4 verdict #3 + review
