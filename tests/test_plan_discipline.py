@@ -463,3 +463,72 @@ def test_round5_session2_ops_plan_discipline(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_round5_session3_ops_plan_discipline(spark, sf_dir):
+    """Plan sweep for this session's operators: no per-row Python, no
+    cartesian, no sort-merge join where none is designed. ks/benford/
+    chi2/fd/rate_limit/seasonal are pure built-ins (window + hash agg
+    over collapsed tables); rule_suite is ONE aggregate; normalize is
+    map-only Arrow."""
+    from sparkval.constraints import (
+        fd_check,
+        rate_limit_violations,
+        rule_suite,
+    )
+    from sparkval.pipeline.events import seasonal_anomaly
+    from sparkval.pipeline.text import with_normalized_text
+    from sparkval.stats import benford_report, chi2_independence, ks_drift
+
+    docs = load(spark, sf_dir, "documents")
+    ev = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    plans = {
+        "ks": ks_drift(
+            docs.select("source", "n_chars"),
+            docs.select("source", "n_chars"),
+            "n_chars",
+            group_col="source",
+        ),
+        "benford": benford_report(orders, "o_totalprice", "o_orderpriority"),
+        "chi2": chi2_independence(docs, "lang", "source"),
+        "fd": fd_check(docs, ["source"], "lang"),
+        "rate": rate_limit_violations(ev, max_events=2),
+        "seasonal": seasonal_anomaly(ev),
+        "suite": rule_suite(docs, {"t": F.col("text").isNotNull()}),
+        "normalize": with_normalized_text(docs.select("doc_id", "text")),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        if name == "normalize":
+            assert "ArrowEvalPython" in plan, name  # the NFC pandas_udf
+
+
+def test_seasonal_anomaly_windows_run_after_collapse(spark, sf_dir):
+    """The season window must partition the O(types x hours) hourly
+    table, not raw events: exactly one pre-window aggregate collapses
+    the scan, and the Window's partition spec is on the group + hour
+    expression."""
+    from sparkval.pipeline.events import seasonal_anomaly
+
+    ev = load(spark, sf_dir, "events")
+    plan = (
+        seasonal_anomaly(ev)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # Aggregate below Window in the tree (window input is aggregated)
+    assert plan.index("Window") < plan.index("Aggregate"), plan
+
+
+def test_rule_suite_single_scan_of_source(spark, sf_dir):
+    """Six rules, one FileScan: the suite must not multiply scans."""
+    from sparkval.constraints import rule_suite
+
+    docs = load(spark, sf_dir, "documents")
+    rules = {f"r{i}": F.col("n_chars") > i * 10 for i in range(6)}
+    plan = (
+        rule_suite(docs, rules)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan parquet") == 1, plan
