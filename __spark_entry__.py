@@ -2694,6 +2694,20 @@ def q_incremental_validate_documents(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def q_rollup_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup stats (stats.rollup_stats): cube(lang,
+    source) n/sum/mean/min/max of n_chars at every granularity —
+    (lang, source), lang-only, source-only, grand total — from ONE
+    scan (map-side cube expansion, O(groups x 4) rows shuffle).
+    Grouping levels labeled via grouping() flags."""
+    from sparkval.stats import rollup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return rollup_stats(docs, ["lang", "source"], "n_chars").orderBy(
+        "grouping_level", "lang", "source"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2781,6 +2795,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "schema_check_documents": q_schema_check_documents,
     "rate_limit_events": q_rate_limit_events,
     "incremental_validate_documents": q_incremental_validate_documents,
+    "rollup_stats_documents": q_rollup_stats_documents,
     "benford_orders": q_benford_orders,
     "chi2_lang_source_documents": q_chi2_lang_source_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
@@ -4939,6 +4954,26 @@ ORACLE_SQL["incremental_validate_documents"] = """
            1::BIGINT AS n_recomputed_delta, 4::BIGINT AS n_reused,
            true AS verdicts_match, true AS violations_match,
            6::BIGINT AS n_uniqueness
+"""
+
+ORACLE_SQL["rollup_stats_documents"] = """
+    SELECT CASE WHEN concat_ws(',',
+                    CASE WHEN GROUPING(lang) = 0 THEN 'lang' END,
+                    CASE WHEN GROUPING(source) = 0 THEN 'source' END) = ''
+                THEN 'total'
+                ELSE concat_ws(',',
+                    CASE WHEN GROUPING(lang) = 0 THEN 'lang' END,
+                    CASE WHEN GROUPING(source) = 0 THEN 'source' END)
+           END AS grouping_level,
+           lang, source,
+           count(*) AS n_rows,
+           sum(n_chars)::BIGINT AS val_sum,
+           round(avg(n_chars), 6) AS val_mean,
+           min(n_chars) AS val_min,
+           max(n_chars) AS val_max
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    ORDER BY 1, 2, 3
 """
 
 ORACLE_SQL["schema_check_documents"] = """

@@ -1129,3 +1129,59 @@ def chi2_independence(
         F.max("ri").cast("bigint").alias("n_row_levels"),
         F.max("ci").cast("bigint").alias("n_col_levels"),
     )
+
+
+def rollup_stats(
+    df: DataFrame,
+    dims: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Hierarchical stats at EVERY grouping-set granularity in ONE
+    scan — ``cube(dims)``: per-(all dims), per-(each subset), and
+    grand total, each with n_rows / sum / mean / min / max of
+    ``value_col``. The hypertable-rollup shape: a dashboard that
+    drills lang -> (lang, source) -> total reads one precomputed
+    table instead of issuing 2^|dims| scans.
+
+    Spark expands the cube INSIDE the aggregate (each input row
+    feeds 2^|dims| partial accumulators map-side; only O(groups x
+    2^|dims|) aggregated rows shuffle), so the scan count stays 1 —
+    cheaper than unioning per-granularity aggregates whenever the
+    scan dominates, which at 100 TB it always does. NULL dim values
+    would be ambiguous with the rollup's own NULLs, so each grouping
+    level is labeled explicitly via grouping() flags into
+    ``grouping_level`` (e.g. 'lang,source', 'lang', 'total').
+    """
+    if not dims:
+        raise ValueError("rollup_stats needs at least one dim")
+    # grouping() is only legal inside the cube's aggregate list, so
+    # the level label is computed as an "aggregate" expression
+    level = F.concat_ws(
+        ",",
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(F.grouping(d) == 0, F.lit(d)) for d in dims
+                ]
+            )
+        ),
+    )
+    out = df.cube(*dims).agg(
+        F.when(level == "", F.lit("total")).otherwise(level).alias(
+            "grouping_level"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(value_col).alias("val_sum"),
+        F.round(F.avg(value_col), 6).alias("val_mean"),
+        F.min(value_col).alias("val_min"),
+        F.max(value_col).alias("val_max"),
+    )
+    return out.select(
+        "grouping_level",
+        *dims,
+        "n_rows",
+        "val_sum",
+        "val_mean",
+        "val_min",
+        "val_max",
+    )

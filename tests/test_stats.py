@@ -158,3 +158,47 @@ def test_distinct_sketches_mergeable_monoid(spark):
     glob = merge_distinct_sketches(sk, []).collect()[0]
     assert abs(glob["distinct_estimate"] - 100) <= 3
     assert glob["n_rows"] == 1000
+
+
+# ----------------------------------------------------------- rollup_stats
+
+def test_rollup_stats_all_levels_consistent(spark):
+    import pandas as pd
+
+    from sparkval.stats import rollup_stats
+
+    pdf = pd.DataFrame(
+        {
+            "lang": ["en", "en", "fr", "fr", "fr"],
+            "src": ["a", "b", "a", "a", "b"],
+            "v": [10, 20, 30, 40, 50],
+        }
+    )
+    out = rollup_stats(
+        spark.createDataFrame(pdf), ["lang", "src"], "v"
+    ).toPandas()
+    levels = out.groupby("grouping_level").n_rows.sum().to_dict()
+    # every level partitions the 5 rows
+    assert levels == {"lang,src": 5, "lang": 5, "src": 5, "total": 5}
+    total = out[out.grouping_level == "total"].iloc[0]
+    assert total.val_sum == 150 and total.val_min == 10 and total.val_max == 50
+    fr = out[(out.grouping_level == "lang") & (out.lang == "fr")].iloc[0]
+    assert fr.val_sum == 120 and fr.val_mean == 40.0
+    cell = out[
+        (out.grouping_level == "lang,src") & (out.lang == "fr") & (out.src == "a")
+    ].iloc[0]
+    assert cell.n_rows == 2 and cell.val_sum == 70
+    assert len(out) == 2 + 2 + 4 + 1  # langs + srcs + seen cells + total
+
+
+def test_rollup_stats_single_scan(spark, sf_dir):
+    from tests.conftest import load
+    from sparkval.stats import rollup_stats
+
+    docs = load(spark, sf_dir, "documents")
+    plan = (
+        rollup_stats(docs, ["lang", "source"], "n_chars")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Expand" in plan  # the map-side cube expansion
