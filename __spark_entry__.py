@@ -2708,6 +2708,25 @@ def q_rollup_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_correlation_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation profile
+    (stats.correlation_profile) over (value, event-time micros,
+    user_id): all three coefficients from ONE aggregate over ONE scan
+    (streaming co-moments, map-side partials), stack()-unpivoted to
+    long form. Micros (not seconds) on both engines so the inputs are
+    bit-identical."""
+    from sparkval.stats import correlation_profile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+    )
+    return correlation_profile(ev, ["value", "ts_us", "user_id"]).orderBy(
+        "col_a", "col_b"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2796,6 +2815,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rate_limit_events": q_rate_limit_events,
     "incremental_validate_documents": q_incremental_validate_documents,
     "rollup_stats_documents": q_rollup_stats_documents,
+    "correlation_profile_events": q_correlation_profile_events,
     "benford_orders": q_benford_orders,
     "chi2_lang_source_documents": q_chi2_lang_source_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
@@ -4954,6 +4974,27 @@ ORACLE_SQL["incremental_validate_documents"] = """
            1::BIGINT AS n_recomputed_delta, 4::BIGINT AS n_reused,
            true AS verdicts_match, true AS violations_match,
            6::BIGINT AS n_uniqueness
+"""
+
+ORACLE_SQL["correlation_profile_events"] = """
+    WITH e AS (
+        SELECT value, epoch_us(ts) AS ts_us, user_id FROM events
+    )
+    SELECT * FROM (
+        SELECT 'value' AS col_a, 'ts_us' AS col_b,
+               round(corr(value, ts_us), 6) AS r,
+               sum((value IS NOT NULL AND ts_us IS NOT NULL)::INT)::BIGINT
+                   AS n_pairs
+        FROM e
+        UNION ALL
+        SELECT 'value', 'user_id', round(corr(value, user_id), 6),
+               sum((value IS NOT NULL AND user_id IS NOT NULL)::INT)::BIGINT
+        FROM e
+        UNION ALL
+        SELECT 'ts_us', 'user_id', round(corr(ts_us, user_id), 6),
+               sum((ts_us IS NOT NULL AND user_id IS NOT NULL)::INT)::BIGINT
+        FROM e
+    ) ORDER BY col_a, col_b
 """
 
 ORACLE_SQL["rollup_stats_documents"] = """

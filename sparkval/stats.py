@@ -1185,3 +1185,32 @@ def rollup_stats(
         "val_min",
         "val_max",
     )
+
+
+def correlation_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation profile over numeric columns —
+    the data-profiler's redundancy/linkage matrix (|r| ~ 1 between
+    two "independent" feeds is a lineage bug worth an alert). All
+    C(k,2) coefficients come from ONE hash aggregate over ONE scan
+    (each corr is a streaming co-moment with map-side partials), then
+    a stack() unpivot to long form: ``col_a, col_b, r, n_pairs``
+    (n_pairs = rows where BOTH sides are non-null, matching corr's
+    pairwise-deletion semantics).
+    """
+    if len(cols) < 2:
+        raise ValueError("correlation_profile needs >= 2 columns")
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    aggs = []
+    for a, b in pairs:
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        aggs.append(F.round(F.corr(a, b), 6).alias(f"__r_{a}__{b}"))
+        aggs.append(F.sum(both.cast("long")).alias(f"__n_{a}__{b}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', __r_{a}__{b}, __n_{a}__{b}" for a, b in pairs
+    )
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, r, n_pairs)"
+    )

@@ -202,3 +202,56 @@ def test_rollup_stats_single_scan(spark, sf_dir):
     )
     assert plan.count("FileScan parquet") == 1, plan
     assert "Expand" in plan  # the map-side cube expansion
+
+
+def test_correlation_profile_known_values(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sparkval.stats import correlation_profile
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=300)
+    pdf = pd.DataFrame(
+        {
+            "x": x,
+            "y": 2 * x + 1,          # r == 1 exactly
+            "z": rng.normal(size=300),  # near-zero r
+        }
+    )
+    out = correlation_profile(
+        spark.createDataFrame(pdf), ["x", "y", "z"]
+    ).toPandas().set_index(["col_a", "col_b"])
+    assert out.loc[("x", "y")].r == 1.0
+    assert abs(out.loc[("x", "z")].r) < 0.2
+    exp = round(float(np.corrcoef(x, pdf.z)[0, 1]), 6)
+    assert out.loc[("x", "z")].r == pytest.approx(exp, abs=1e-5)
+    assert (out.n_pairs == 300).all()
+
+
+def test_correlation_profile_pairwise_null_deletion(spark):
+    import pandas as pd
+
+    from sparkval.stats import correlation_profile
+
+    pdf = pd.DataFrame(
+        {
+            "a": [1.0, 2.0, 3.0, None, 5.0],
+            "b": [2.0, 4.0, 6.0, 8.0, None],
+        }
+    )
+    [r] = correlation_profile(spark.createDataFrame(pdf), ["a", "b"]).collect()
+    assert r["n_pairs"] == 3
+    assert r["r"] == 1.0  # the 3 complete pairs are perfectly linear
+
+
+def test_correlation_profile_single_aggregate(spark, sf_dir):
+    from tests.conftest import load
+    from sparkval.stats import correlation_profile
+
+    ev = load(spark, sf_dir, "events").select("value", "user_id", "event_id")
+    plan = (
+        correlation_profile(ev, ["value", "user_id", "event_id"])
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("Aggregate") == 1, plan
