@@ -2727,6 +2727,44 @@ def q_correlation_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_monotonicity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordering constraint (constraints.monotonicity_violations):
+    event_id must be non-decreasing per user in time order. The
+    natural feed satisfies it (0 rows — verified), so the query
+    plants deterministic regressions (every event_id % 97 == 0 dips
+    by 10^6) and the check must surface exactly the planted dips with
+    their predecessor values."""
+    from sparkval.constraints import monotonicity_violations
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 97 == 0, F.col("event_id") - 1000000)
+        .otherwise(F.col("event_id"))
+        .alias("seq"),
+    )
+    out = monotonicity_violations(ev, "user_id", "ts", "seq")
+    return out.select("event_id", "user_id", "seq", "prev_value").orderBy(
+        "event_id"
+    )
+
+
+def q_coverage_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-completeness gaps (events.coverage_gaps): hours with ZERO
+    events per type inside each type's activity span — the silence
+    check seasonal_anomaly structurally cannot raise. Scan collapses
+    to per-(type, hour) counts; the dense calendar is
+    sequence()-generated per type and anti-joined."""
+    from sparkval.pipeline.events import coverage_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    out = coverage_gaps(ev, unit_seconds=3600)
+    return out.select(
+        "event_type", F.date_format("missing_ts", _TS_FMT).alias("missing_ts")
+    ).orderBy("event_type", "missing_ts")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2816,6 +2854,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_validate_documents": q_incremental_validate_documents,
     "rollup_stats_documents": q_rollup_stats_documents,
     "correlation_profile_events": q_correlation_profile_events,
+    "monotonicity_events": q_monotonicity_events,
+    "coverage_gaps_events": q_coverage_gaps_events,
     "benford_orders": q_benford_orders,
     "chi2_lang_source_documents": q_chi2_lang_source_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
@@ -4974,6 +5014,41 @@ ORACLE_SQL["incremental_validate_documents"] = """
            1::BIGINT AS n_recomputed_delta, 4::BIGINT AS n_reused,
            true AS verdicts_match, true AS violations_match,
            6::BIGINT AS n_uniqueness
+"""
+
+ORACLE_SQL["monotonicity_events"] = """
+    WITH e AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_id % 97 = 0 THEN event_id - 1000000
+                    ELSE event_id END AS seq
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, user_id, seq,
+               lag(seq) OVER (PARTITION BY user_id
+                              ORDER BY ts, seq) AS prev_value
+        FROM e
+    )
+    SELECT event_id, user_id, seq, prev_value
+    FROM w WHERE seq < prev_value ORDER BY event_id
+"""
+
+ORACLE_SQL["coverage_gaps_events"] = """
+    WITH o AS (
+        SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS u
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, min(u) AS lo, max(u) AS hi FROM o GROUP BY 1
+    ),
+    d AS (
+        SELECT event_type, unnest(range(lo, hi + 1)) AS u FROM s
+    )
+    SELECT event_type,
+           strftime(make_timestamp(u * 3600000000), '%Y-%m-%d %H:%M:%S')
+               AS missing_ts
+    FROM d ANTI JOIN o USING (event_type, u)
+    ORDER BY 1, 2
 """
 
 ORACLE_SQL["correlation_profile_events"] = """

@@ -605,3 +605,31 @@ def rate_limit_violations(
     )
     counted = events.withColumn("n_in_window", F.count(F.lit(1)).over(w))
     return counted.filter(F.col("n_in_window") > max_events)
+
+
+def monotonicity_violations(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    strict: bool = False,
+) -> DataFrame:
+    """Ordering constraint: within each key, ``value_col`` must be
+    non-decreasing (``strict=True``: strictly increasing) when rows
+    are ordered by ``order_col`` — the sequence-regression check for
+    monotone ids, version counters, cumulative totals. Emits the
+    violating rows with the predecessor value they regressed from.
+
+    Ties in ``order_col`` are broken by ``value_col`` itself, so two
+    rows at the same order position never report against each other
+    in the non-strict mode (a deterministic tiebreak keeps the check
+    engine-replayable). One shuffle on the key; the lag window is
+    O(1) state per row.
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col, value_col)
+    with_prev = df.withColumn("prev_value", F.lag(value_col).over(w))
+    prev = F.col("prev_value")
+    bad = (
+        (F.col(value_col) <= prev) if strict else (F.col(value_col) < prev)
+    )
+    return with_prev.filter(F.coalesce(bad, F.lit(False)))

@@ -318,3 +318,45 @@ def seasonal_anomaly(
             "is_anomaly"
         ),
     )
+
+
+def coverage_gaps(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    unit_seconds: int = 3600,
+) -> DataFrame:
+    """Feed-completeness check — the complement of
+    ``seasonal_anomaly``'s observed-hours-only scoring: which whole
+    time units (hours by default) inside a group's [first, last]
+    activity span produced ZERO events? Silence is often the worst
+    failure an ingest validator can miss.
+
+    Plan shape: one scan collapses to per-(group, unit) counts and a
+    per-group min/max span (both map-side partial aggs); the dense
+    calendar is sequence()-generated per GROUP (O(groups x units)
+    rows, data-independent) and anti-joined against observed units.
+    Nothing row-level survives the first aggregate. Output:
+    ``group, missing_ts`` — one row per silent unit.
+    """
+    unit = F.lit(unit_seconds * 1_000_000)
+    bucket = (F.unix_micros(F.col(ts_col).cast("timestamp")) / unit).cast(
+        "long"
+    )
+    observed = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(F.col(group_col), bucket.alias("u"))
+        .groupBy(group_col, "u")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    span = observed.groupBy(group_col).agg(
+        F.min("u").alias("lo"), F.max("u").alias("hi")
+    )
+    dense = span.select(
+        group_col, F.explode(F.sequence("lo", "hi")).alias("u")
+    )
+    missing = dense.join(observed, [group_col, "u"], "left_anti")
+    return missing.select(
+        group_col,
+        F.timestamp_micros(F.col("u") * unit).alias("missing_ts"),
+    )

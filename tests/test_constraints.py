@@ -350,3 +350,82 @@ def test_rate_limit_counts_burst_across_bucket_boundary(spark):
     ).collect()
     # 30s spacing, 120s inclusive window: event 3 already sees 4
     assert {r["event_id"] for r in out} == {3, 4, 5}
+
+
+# ----------------------------------- monotonicity / coverage gaps
+
+def test_monotonicity_flags_regressions_only(spark):
+    import pandas as pd
+
+    from sparkval.constraints import monotonicity_violations
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 3,
+            "o": [1, 2, 3, 4, 5, 1, 2, 3],
+            "v": [10, 20, 15, 20, 30, 1, 1, 2],  # a: dip at o=3
+        }
+    )
+    out = monotonicity_violations(
+        spark.createDataFrame(pdf), "k", "o", "v"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["o"] == 3 and out[0]["v"] == 15 and out[0]["prev_value"] == 20
+
+
+def test_monotonicity_strict_flags_plateaus(spark):
+    import pandas as pd
+
+    from sparkval.constraints import monotonicity_violations
+
+    pdf = pd.DataFrame({"k": ["a"] * 3, "o": [1, 2, 3], "v": [1, 1, 2]})
+    df = spark.createDataFrame(pdf)
+    assert monotonicity_violations(df, "k", "o", "v").count() == 0
+    strict = monotonicity_violations(df, "k", "o", "v", strict=True).collect()
+    assert len(strict) == 1 and strict[0]["o"] == 2
+
+
+def test_monotonicity_order_ties_do_not_self_report(spark):
+    import pandas as pd
+
+    from sparkval.constraints import monotonicity_violations
+
+    # two rows at the same order position with different values: the
+    # value tiebreak orders them ascending -> no violation
+    pdf = pd.DataFrame({"k": ["a", "a"], "o": [1, 1], "v": [5, 3]})
+    assert (
+        monotonicity_violations(spark.createDataFrame(pdf), "k", "o", "v").count()
+        == 0
+    )
+
+
+def test_coverage_gaps_finds_silent_hours(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from sparkval.pipeline.events import coverage_gaps
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30, 0)
+    rows = [
+        {"event_type": "x", "ts": t0},                          # hour 0
+        {"event_type": "x", "ts": t0 + dt.timedelta(hours=1)},  # hour 1
+        {"event_type": "x", "ts": t0 + dt.timedelta(hours=4)},  # hour 4
+        {"event_type": "y", "ts": t0},                          # single hour
+    ]
+    out = coverage_gaps(spark.createDataFrame(pd.DataFrame(rows))).collect()
+    got = {(r["event_type"], r["missing_ts"].hour) for r in out}
+    assert got == {("x", 2), ("x", 3)}  # y's span has no interior
+
+
+def test_coverage_gaps_plan_collapses_before_calendar(spark, sf_dir):
+    from tests.conftest import load
+    from sparkval.pipeline.events import coverage_gaps
+
+    ev = load(spark, sf_dir, "events")
+    plan = (
+        coverage_gaps(ev)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan  # the calendar
