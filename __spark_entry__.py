@@ -2485,7 +2485,15 @@ def q_seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkval.pipeline.events import seasonal_anomaly
 
     ev = _t(spark, sf_dir, "events")
-    return seasonal_anomaly(ev, z_threshold=2.5).orderBy("event_type", "hour_ts")
+    out = seasonal_anomaly(ev, z_threshold=2.5)
+    return out.select(
+        "event_type",
+        F.date_format("hour_ts", _TS_FMT).alias("hour_ts"),
+        "n_events",
+        "expected",
+        "z",
+        "is_anomaly",
+    ).orderBy("event_type", "hour_ts")
 
 
 def q_bit_lsh_near_dups_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4933,7 +4941,9 @@ ORACLE_SQL["seasonal_anomaly_events"] = """
                                            extract(hour FROM hour_ts)) AS sd
         FROM h
     )
-    SELECT event_type, hour_ts, n_events::BIGINT AS n_events,
+    SELECT event_type,
+           strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           n_events::BIGINT AS n_events,
            round(mu, 6) AS expected,
            round(CASE WHEN sd > 0 THEN (n_events - mu) / sd END, 6) AS z,
            coalesce(abs(CASE WHEN sd > 0 THEN (n_events - mu) / sd END)

@@ -513,8 +513,12 @@ def rule_suite(df: DataFrame, rules: dict[str, F.Column]) -> DataFrame:
     """
     if not rules:
         raise ValueError("rule_suite needs at least one rule")
+    import re
+
     for name in rules:
-        if not name.replace("_", "").isalnum():
+        # explicit ASCII class — str.isalnum() admits non-ASCII
+        # letters the unquoted selectExpr identifier can't parse
+        if not re.fullmatch(r"[A-Za-z0-9_]+", name):
             raise ValueError(f"rule name must be [A-Za-z0-9_]+: {name!r}")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, cond in rules.items():
@@ -582,9 +586,10 @@ def rate_limit_violations(
     max_events: int = 100,
     window_seconds: int = 3600,
 ) -> DataFrame:
-    """Sliding-window rate constraint: flag every event that is the
-    ``max_events``-th-or-later within ANY trailing
-    ``window_seconds`` window for its key — the abuse/ingest-storm
+    """Sliding-window rate constraint: flag every event that EXCEEDS
+    ``max_events`` within its trailing ``window_seconds`` window —
+    i.e. the (max_events+1)-th-or-later such event; max_events itself
+    is the allowed budget — the abuse/ingest-storm
     check a feed validator runs next to uniqueness. Exact, not
     bucketed: a RANGE window over event-time microseconds counts the
     events in [t - W, t] (inclusive both ends — SQL RANGE INTERVAL

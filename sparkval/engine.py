@@ -497,17 +497,27 @@ class ValidationEngine:
         from sparkval.io import fs_exists, fs_file_statuses, uri_join
 
         spark = baseline.sparkSession
-        statuses = [
-            (uri, size, mtime)
-            for uri, size, mtime in fs_file_statuses(spark, snapshot_path)
-            if not uri.rsplit("/", 1)[-1].startswith(("_", "."))
-        ]
+        # recursive + hidden-segment-filtered: covers partitionBy /
+        # nested data layouts exactly as spark.read.parquet does
+        statuses = fs_file_statuses(spark, snapshot_path)
         if not statuses:
             raise ValueError(f"no data files under {snapshot_path}")
         probe = spark.read.parquet(snapshot_path)
         check_corpus_schema(probe)
+        # the cache key must cover EVERYTHING that shapes a partial:
+        # the file's identity AND the config that bucketed/scored it —
+        # otherwise a config change (e.g. n_repo_buckets) would reuse
+        # stale partials with fs_exists happily true (review round 5,
+        # session 3). A config change flips every fid -> clean rebuild.
+        import dataclasses
+
+        cfg_fp = hashlib.sha1(
+            repr(sorted(dataclasses.asdict(self.config).items())).encode()
+        ).hexdigest()[:8]
         fids = {
-            uri: hashlib.sha1(f"{uri}|{size}|{mtime}".encode()).hexdigest()[:16]
+            uri: hashlib.sha1(
+                f"{uri}|{size}|{mtime}|{cfg_fp}".encode()
+            ).hexdigest()[:16]
             for uri, size, mtime in statuses
         }
         recomputed = 0

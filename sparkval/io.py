@@ -49,24 +49,33 @@ def fs_tree_bytes(spark: SparkSession, path: str) -> int:
 
 
 def fs_file_statuses(spark: SparkSession, path: str) -> list[tuple[str, int, int]]:
-    """(uri, size_bytes, mtime_ms) for every regular file directly
-    under ``path``, sorted by uri — through the FileSystem API, so it
-    is the same call on file://, hdfs:// and s3a://. This is the
-    content-addressing input for incremental validation: a data
-    file's (path, size, mtime) triple changes whenever the file is
-    replaced, even in-place with the same name — which pure
-    path-addressed strip ids cannot see."""
+    """(uri, size_bytes, mtime_ms) for every regular file under
+    ``path`` — RECURSIVE (listFiles walks partition/nested data
+    dirs, so partitionBy/Iceberg-style layouts are covered, matching
+    what spark.read.parquet(path) would read), skipping any file
+    whose path contains a hidden segment (``_``/``.`` prefix:
+    _SUCCESS, .crc, _temporary trees). Sorted by uri; through the
+    FileSystem API, so it is the same call on file://, hdfs:// and
+    s3a://. This is the content-addressing input for incremental
+    validation: a data file's (path, size, mtime) triple changes
+    whenever the file is replaced, even in-place with the same
+    name — which pure path-addressed strip ids cannot see."""
     fs, jpath = hadoop_fs(spark, path)
+    base_depth = len(jpath.toUri().getPath().rstrip("/").split("/"))
     out = []
-    for st in fs.listStatus(jpath):
-        if st.isFile():
-            out.append(
-                (
-                    st.getPath().toString(),
-                    int(st.getLen()),
-                    int(st.getModificationTime()),
-                )
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        segs = st.getPath().toUri().getPath().split("/")[base_depth:]
+        if any(s.startswith(("_", ".")) for s in segs):
+            continue
+        out.append(
+            (
+                st.getPath().toString(),
+                int(st.getLen()),
+                int(st.getModificationTime()),
             )
+        )
     return sorted(out)
 
 

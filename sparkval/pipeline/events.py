@@ -325,6 +325,7 @@ def coverage_gaps(
     ts_col: str = "ts",
     group_col: str = "event_type",
     unit_seconds: int = 3600,
+    max_units_per_group: int = 1_000_000,
 ) -> DataFrame:
     """Feed-completeness check — the complement of
     ``seasonal_anomaly``'s observed-hours-only scoring: which whole
@@ -352,8 +353,25 @@ def coverage_gaps(
     span = observed.groupBy(group_col).agg(
         F.min("u").alias("lo"), F.max("u").alias("hi")
     )
+    # the dense calendar is one sequence() ARRAY per group before the
+    # explode — a decade-long span at unit_seconds=1 would build a
+    # ~10^8-element array in a single row and blow the task. Fail
+    # loudly at the guard instead of OOMing an executor; callers with
+    # genuinely huge spans should raise the unit or shard the span.
+    guard = F.when(
+        F.col("hi") - F.col("lo") >= max_units_per_group,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"coverage_gaps: span exceeds {max_units_per_group} "
+                    "units for group "
+                ),
+                F.col(group_col).cast("string"),
+            )
+        ),
+    ).otherwise(F.col("lo"))
     dense = span.select(
-        group_col, F.explode(F.sequence("lo", "hi")).alias("u")
+        group_col, F.explode(F.sequence(guard, F.col("hi"))).alias("u")
     )
     missing = dense.join(observed, [group_col, "u"], "left_anti")
     return missing.select(

@@ -762,7 +762,7 @@ def bit_lsh_bands(
     never enter the shuffle. Tune band_bits to keep ~n/2^band_bits
     bucket sizes sub-quadratic at scale.
     """
-    if (n_bands * band_bits) <= 0:
+    if n_bands < 1 or band_bits < 1:  # not the product: (-2)*(-4) > 0
         raise ValueError("need n_bands and band_bits >= 1")
     buckets = []
     for b in range(n_bands):

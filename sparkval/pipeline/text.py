@@ -697,6 +697,8 @@ def with_normalized_text(df: DataFrame, col: str = "text") -> DataFrame:
     norm = F.regexp_replace(_nfc(F.col(col)), "[\\x00-\\x1f\\x7f]", " ")
     norm = F.trim(F.regexp_replace(norm, " {2,}", " "))
     out = df.withColumn(f"{col}_norm", norm)
-    return out.withColumn("n_chars_norm", F.length(f"{col}_norm")).withColumn(
-        "was_changed", F.col(f"{col}_norm") != F.col(col)
-    )
+    # long, not F.length's int32: SQL oracles (and the documents
+    # table's n_chars) are BIGINT, and the driver's value-hash is typed
+    return out.withColumn(
+        "n_chars_norm", F.length(f"{col}_norm").cast("long")
+    ).withColumn("was_changed", F.col(f"{col}_norm") != F.col(col))

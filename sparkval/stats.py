@@ -1199,17 +1199,28 @@ def correlation_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     """
     if len(cols) < 2:
         raise ValueError("correlation_profile needs >= 2 columns")
+    import re
+
+    for c in cols:
+        # names are interpolated into selectExpr — enforce the safe
+        # class instead of producing a ParseException downstream
+        if not re.fullmatch(r"[A-Za-z0-9_]+", c):
+            raise ValueError(f"column name must be [A-Za-z0-9_]+: {c!r}")
     pairs = [
-        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+        (i, j) for i in range(len(cols)) for j in range(i + 1, len(cols))
     ]
     aggs = []
-    for a, b in pairs:
+    for i, j in pairs:
+        a, b = cols[i], cols[j]
         both = F.col(a).isNotNull() & F.col(b).isNotNull()
-        aggs.append(F.round(F.corr(a, b), 6).alias(f"__r_{a}__{b}"))
-        aggs.append(F.sum(both.cast("long")).alias(f"__n_{a}__{b}"))
+        # positional aliases: name-derived ones collide when a column
+        # itself contains the separator (x__y)
+        aggs.append(F.round(F.corr(a, b), 6).alias(f"__r_{i}_{j}"))
+        aggs.append(F.sum(both.cast("long")).alias(f"__n_{i}_{j}"))
     wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{a}', '{b}', __r_{a}__{b}, __n_{a}__{b}" for a, b in pairs
+        f"'{cols[i]}', '{cols[j]}', __r_{i}_{j}, __n_{i}_{j}"
+        for i, j in pairs
     )
     return wide.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, r, n_pairs)"

@@ -140,3 +140,51 @@ def test_incremental_prunes_removed_files(spark, tmp_path, eng):
     full = eng.validate(spark.read.parquet(str(snap_dir)), base)
     assert _sorted_rows(out["verdicts"]) == _sorted_rows(full["verdicts"])
     assert _sorted_rows(out["violations"]) == _sorted_rows(full["violations"])
+
+
+def test_incremental_config_change_invalidates_cache(spark, tmp_path, eng):
+    """The cache key hashes the ValidationConfig: re-running with a
+    different config must recompute everything, never reuse partials
+    bucketed under the old config (review round 5, session 3)."""
+    from sparkval import ValidationConfig, ValidationEngine
+
+    corpus = _corpus(spark, n=800)
+    snap = f"file://{tmp_path}/snap"
+    corpus.repartition(2).write.parquet(snap)
+    cache = f"file://{tmp_path}/cache"
+
+    base = eng.build_baseline(corpus)
+    out1 = eng.validate_incremental(snap, base, cache)
+    assert out1["n_files_recomputed"] == 2
+
+    other = ValidationEngine(
+        ValidationConfig(short_circuit_identical=False, n_repo_buckets=32)
+    )
+    base32 = other.build_baseline(corpus)
+    out2 = other.validate_incremental(snap, base32, cache)
+    assert out2["n_files_recomputed"] == 2  # no stale reuse
+    assert out2["n_files_reused"] == 0
+    full = other.validate(spark.read.parquet(snap), base32)
+    assert _sorted_rows(out2["verdicts"]) == _sorted_rows(full["verdicts"])
+
+
+def test_incremental_covers_partitioned_layout(spark, tmp_path, eng):
+    """partitionBy snapshots put data files in subdirectories; the
+    recursive listing must validate ALL of them (a non-recursive walk
+    would see zero files or silently drop partitions)."""
+    corpus = _corpus(spark, n=1000).withColumn(
+        "repo2", F.col("repo")
+    )
+    snap = f"file://{tmp_path}/snap"
+    corpus.write.partitionBy("repo2").parquet(snap)
+    base = eng.build_baseline(corpus.drop("repo2"))
+    cache = f"file://{tmp_path}/cache"
+    out = eng.validate_incremental(snap, base, cache)
+    assert out["n_files_total"] >= 7  # one dir per repo2 value
+    full = eng.validate(
+        spark.read.parquet(snap).select(
+            "repo", "path", "commit", "lang", "content"
+        ),
+        base,
+    )
+    assert _sorted_rows(out["verdicts"]) == _sorted_rows(full["verdicts"])

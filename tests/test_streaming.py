@@ -216,7 +216,7 @@ def test_streaming_sessions_match_batch_gaps_and_islands(spark, tmp_path):
     assert got == want
 
 
-def test_streaming_sessions_boundary_event_starts_new_session(spark, tmp_path):
+def test_streaming_sessions_boundary_event_merges(spark, tmp_path):
     """An event exactly gap after the previous one DOES merge
     (inclusive boundary, observed behavior) — pinned so the oracle's
     <=-gap gaps-and-islands stays in lockstep."""
