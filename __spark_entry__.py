@@ -2773,6 +2773,103 @@ def q_coverage_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "missing_ts")
 
 
+def q_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail totals reconciliation (constraints.
+    reconcile_totals): per order priority, how many orders' stored
+    o_totalprice agrees (rel err <= 0.5) with the total recomputed
+    from lineitem extendedprice*(1-disc)*(1+tax), how many have no
+    lineitems at all, and the error profile. The synthetic data does
+    NOT reconcile (prices are independent draws) — which is exactly
+    what the gate reports; the oracle recomputes the same accounting."""
+    from sparkval.constraints import reconcile_totals
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    )
+    return reconcile_totals(
+        orders, li, "o_orderkey", "l_orderkey", "o_totalprice",
+        amount, group_col="o_orderpriority", rel_tol=0.5,
+    )
+
+
+def q_trend_fit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of `value` over time (events.
+    trend_fit): slope/day, intercept at 2024-01-01, r^2, n — the
+    "is this metric drifting?" monitoring gate. x is integer
+    epoch-micros minus origin over a day: bit-identical regressors
+    on both engines; regr_* are one-pass mergeable aggregates."""
+    from sparkval.pipeline.events import trend_fit
+
+    ev = _t(spark, sf_dir, "events")
+    out = trend_fit(ev)
+    return out.select(
+        "event_type",
+        F.col("n_points").cast("long").alias("n_points"),
+        "slope_per_day", "intercept", "r2", "mean_value",
+    )
+
+
+def q_fuzzy_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (dedup.near_duplicates_levenshtein)
+    with planted typo copies: each doc >= 40 chars gets a copy (id +
+    100000) whose chars 21-22 become 'zz' (<= 2 edits). Prefix-12
+    blocking co-locates every planted pair; the oracle replays the
+    entire pipeline — mutation, blocking, hot-block cap, length
+    pruning, and true distances — so this is a full value oracle,
+    not containment."""
+    from sparkval.pipeline.dedup import near_duplicates_levenshtein
+
+    docs = _t(spark, sf_dir, "documents")
+    mut = docs.filter(F.length("text") >= 40).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 20),
+            F.lit("zz"),
+            F.expr("substring(text, 23)"),
+        ).alias("text"),
+    )
+    planted = docs.select("doc_id", "text").unionByName(mut)
+    out = near_duplicates_levenshtein(planted, max_dist=4)
+    return out.select("a", "b", F.col("dist").cast("long").alias("dist"))
+
+
+def q_priority_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (sampling.priority_sample,
+    Efraimidis-Spirakis with hash-derived uniforms): top-100 docs by
+    exponential priority -ln(u)/n_chars. Deterministic, so the oracle
+    recomputes the identical sample — ranks, ids, and priorities."""
+    from sparkval.pipeline.sampling import priority_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = priority_sample(docs, k=100)
+    return out.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id", "weight", "priority",
+    )
+
+
+def q_key_candidates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key profiling (stats.key_candidates): distinct counts,
+    collision counts, and is-key verdicts for four key candidates over
+    lineitem, all from ONE aggregate pass (multi-distinct expand)."""
+    from sparkval.stats import key_candidates
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_candidates(
+        li,
+        [
+            ("l_orderkey",),
+            ("l_orderkey", "l_linenumber"),
+            ("l_partkey", "l_suppkey"),
+            ("l_orderkey", "l_partkey", "l_suppkey"),
+        ],
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2883,6 +2980,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_contamination_gate_documents": q_stream_contamination_gate_documents,
     "apply_mixture_documents": q_apply_mixture_documents,
     "winsorize_events": q_winsorize_events,
+    "reconcile_orders_lineitem": q_reconcile_orders_lineitem,
+    "trend_fit_events": q_trend_fit_events,
+    "fuzzy_near_dups_documents": q_fuzzy_near_dups_documents,
+    "priority_sample_documents": q_priority_sample_documents,
+    "key_candidates_lineitem": q_key_candidates_lineitem,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5122,6 +5224,113 @@ ORACLE_SQL["rate_limit_events"] = """
                               AND CURRENT ROW) AS n_in_window
         FROM events
     ) WHERE n_in_window > 2 ORDER BY event_id
+"""
+
+# reconciliation oracle: NULL rel_err rows (no detail) vanish from the
+# tolerance sums on both engines (Spark: NULL-cast skipped by sum;
+# here: CASE falls through to 0 / NULL aggregates skip)
+ORACLE_SQL["reconcile_orders_lineitem"] = """
+    WITH agg AS (
+        SELECT l_orderkey AS k,
+               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS d
+        FROM lineitem GROUP BY 1
+    ),
+    e AS (
+        SELECT o_orderpriority AS group_key,
+               d,
+               CASE WHEN d IS NOT NULL
+                    THEN abs(o_totalprice::DOUBLE - d)
+                         / greatest(abs(o_totalprice::DOUBLE), 1e-12)
+               END AS rel_err
+        FROM orders LEFT JOIN agg ON o_orderkey = k
+    )
+    SELECT group_key,
+           count(*)::BIGINT AS n_headers,
+           sum((d IS NULL)::INT)::BIGINT AS n_no_detail,
+           sum(CASE WHEN rel_err <= 0.5 THEN 1 ELSE 0 END)::BIGINT
+               AS n_within_tol,
+           sum(CASE WHEN rel_err > 0.5 THEN 1 ELSE 0 END)::BIGINT
+               AS n_mismatch,
+           round(avg(rel_err), 6) AS mean_rel_err,
+           round(max(rel_err), 6) AS max_rel_err
+    FROM e GROUP BY 1 ORDER BY 1
+"""
+
+# trend oracle: x built from INTEGER epoch-micros then one double
+# division — bit-identical regressors; regr_* are the SQL-standard
+# population-moment aggregates on both engines
+ORACLE_SQL["trend_fit_events"] = """
+    SELECT event_type,
+           regr_count(value, x)::BIGINT AS n_points,
+           round(regr_slope(value, x), 6) AS slope_per_day,
+           round(regr_intercept(value, x), 6) AS intercept,
+           round(regr_r2(value, x), 6) AS r2,
+           round(avg(value), 6) AS mean_value
+    FROM (
+        SELECT event_type, value::DOUBLE AS value,
+               (epoch_us(ts) - 1704067200000000) / 86400000000.0 AS x
+        FROM events
+    ) GROUP BY 1 ORDER BY 1
+"""
+
+# fuzzy-dedup oracle: the WHOLE pipeline replayed — planting, prefix
+# blocking, hot-block cap, length pruning, true edit distances
+ORACLE_SQL["fuzzy_near_dups_documents"] = """
+    WITH planted AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000,
+               substr(text, 1, 20) || 'zz' || substr(text, 23)
+        FROM documents WHERE length(text) >= 40
+    ),
+    t AS (
+        SELECT doc_id AS id, coalesce(text, '') AS t,
+               substr(coalesce(text, ''), 1, 12) AS blk
+        FROM planted
+    ),
+    ok AS (
+        SELECT blk FROM t GROUP BY 1 HAVING count(*) BETWEEN 2 AND 1000
+    ),
+    b AS (SELECT t.* FROM t JOIN ok USING (blk))
+    SELECT x.id AS a, y.id AS b, levenshtein(x.t, y.t)::BIGINT AS dist
+    FROM b x JOIN b y ON x.blk = y.blk AND x.id < y.id
+    WHERE abs(length(x.t) - length(y.t)) <= 4
+      AND levenshtein(x.t, y.t) <= 4
+    ORDER BY 1, 2
+"""
+
+# priority-sample oracle: hash-uniform u = (48-bit sha prefix + 1) /
+# 2^48, priority = -ln(u)/weight, k smallest — replayed exactly
+ORACLE_SQL["priority_sample_documents"] = """
+    WITH t AS (
+        SELECT doc_id, n_chars AS weight,
+               -ln((('0x' || substr(sha256(doc_id::VARCHAR), 1, 12))::BIGINT
+                    + 1) / 281474976710656.0) / n_chars::DOUBLE AS p
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT row_number() OVER (ORDER BY p, doc_id) AS rank,
+           doc_id, weight, round(p, 8) AS priority
+    FROM t ORDER BY p, doc_id LIMIT 100
+"""
+
+ORACLE_SQL["key_candidates_lineitem"] = """
+    WITH w AS (
+        SELECT count(*)::BIGINT AS n,
+               count(DISTINCT l_orderkey)::BIGINT AS d0,
+               count(DISTINCT (l_orderkey, l_linenumber))::BIGINT AS d1,
+               count(DISTINCT (l_partkey, l_suppkey))::BIGINT AS d2,
+               count(DISTINCT (l_orderkey, l_partkey, l_suppkey))::BIGINT
+                   AS d3
+        FROM lineitem
+    )
+    SELECT candidate, n AS n_rows, d AS n_distinct, n - d AS dup_rows,
+           n = d AS is_key
+    FROM (
+        SELECT n, 'l_orderkey' AS candidate, d0 AS d FROM w
+        UNION ALL SELECT n, 'l_orderkey+l_linenumber', d1 FROM w
+        UNION ALL SELECT n, 'l_partkey+l_suppkey', d2 FROM w
+        UNION ALL SELECT n, 'l_orderkey+l_partkey+l_suppkey', d3 FROM w
+    ) ORDER BY candidate
 """
 
 

@@ -638,3 +638,61 @@ def monotonicity_violations(
         (F.col(value_col) <= prev) if strict else (F.col(value_col) < prev)
     )
     return with_prev.filter(F.coalesce(bad, F.lit(False)))
+
+
+def reconcile_totals(
+    header: DataFrame,
+    detail: DataFrame,
+    header_key: str,
+    detail_key: str,
+    header_total_col: str,
+    detail_amount: F.Column,
+    group_col: str | None = None,
+    rel_tol: float = 0.01,
+) -> DataFrame:
+    """Header-vs-detail totals reconciliation — the classic ETL gate
+    that every invoice/order pipeline runs: does the pre-aggregated
+    total stored on the header row equal the sum recomputed from its
+    detail lines? (Reference analog: the batch summary totals the
+    engine cross-checks per strip, engine.rs-style accounting; here
+    generalized to any header/detail pair.)
+
+    Returns one row per ``group_col`` value (or a single ``_all``
+    row) with: header count, headers with no detail lines at all,
+    headers within ``rel_tol`` relative error, mismatch count, and
+    the mean/max relative error over headers that have detail.
+
+    Scale: detail aggregates on its key with map-side partials (one
+    shuffle of O(headers) rows); the header join lands on the same
+    key so AQE plans a co-partitioned join; the final rollup is
+    O(groups). Detail rows never move unaggregated.
+    """
+    agg = detail.groupBy(F.col(detail_key).alias("__k")).agg(
+        F.sum(detail_amount).alias("__detail_total"),
+        F.count(F.lit(1)).alias("__n_lines"),
+    )
+    g = F.col(group_col) if group_col else F.lit("_all")
+    joined = header.join(
+        agg, F.col(header_key) == F.col("__k"), "left"
+    ).select(
+        g.alias("group_key"),
+        F.col(header_total_col).cast("double").alias("__h"),
+        F.col("__detail_total").cast("double").alias("__d"),
+    )
+    rel_err = F.when(
+        F.col("__d").isNotNull(),
+        F.abs(F.col("__h") - F.col("__d"))
+        / F.greatest(F.abs(F.col("__h")), F.lit(1e-12)),
+    )
+    return (
+        joined.groupBy("group_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_headers"),
+            F.sum(F.col("__d").isNull().cast("long")).alias("n_no_detail"),
+            F.sum((rel_err <= rel_tol).cast("long")).alias("n_within_tol"),
+            F.sum((rel_err > rel_tol).cast("long")).alias("n_mismatch"),
+            F.round(F.avg(rel_err), 6).alias("mean_rel_err"),
+            F.round(F.max(rel_err), 6).alias("max_rel_err"),
+        )
+        .orderBy("group_key")
+    )

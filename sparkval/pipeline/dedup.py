@@ -1299,3 +1299,59 @@ def cut_spans(
             F.concat_ws(" ", kept).alias("text_clean"),
         )
     )
+
+
+def near_duplicates_levenshtein(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 8,
+    block_prefix: int = 12,
+    max_block: int = 1000,
+) -> DataFrame:
+    """Edit-distance near-dup pairs via prefix blocking — the
+    fuzzy-matching member of the dedup family for SHORT texts (titles,
+    paths, names) where token-set methods (minhash) under-resolve
+    single-character typos. Exact within its blocking recall contract:
+    every pair sharing the first ``block_prefix`` characters and
+    within ``max_dist`` edits is returned with its true distance.
+
+    Blocking/scale:
+    - block key = first ``block_prefix`` chars; the self-join shuffles
+      (id, text) once on that key — never all-pairs.
+    - hot blocks (> ``max_block`` rows; degenerate shared prefixes
+      like boilerplate headers) are excluded by an aggregate hot-list,
+      bounding any block's pair count at max_block^2 — same df-cap
+      discipline as the simhash/winnow hot-token lists.
+    - |len(a) - len(b)| <= max_dist prunes before the O(n*m) distance
+      (edit distance is lower-bounded by the length difference), and
+      the JVM levenshtein early-exits above ``max_dist`` (threshold
+      form), so mismatched pairs cost O(n * max_dist), not O(n^2).
+    """
+    t = df.select(
+        F.col(id_col).alias("__id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+    ).withColumn("__blk", F.substring("__t", 1, block_prefix))
+    ok_blocks = (
+        t.groupBy("__blk")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter((F.col("__n") >= 2) & (F.col("__n") <= max_block))
+        .select("__blk")
+    )
+    blocked = t.join(ok_blocks, "__blk")
+    a = blocked.select(
+        F.col("__blk"), F.col("__id").alias("a"), F.col("__t").alias("__ta")
+    )
+    b = blocked.select(
+        F.col("__blk"), F.col("__id").alias("b"), F.col("__t").alias("__tb")
+    )
+    pairs = (
+        a.join(b, "__blk")
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            F.abs(F.length("__ta") - F.length("__tb")) <= max_dist
+        )
+        .withColumn("dist", F.levenshtein("__ta", "__tb", max_dist))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )
+    return pairs.select("a", "b", "dist").orderBy("a", "b")

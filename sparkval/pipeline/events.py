@@ -378,3 +378,39 @@ def coverage_gaps(
         group_col,
         F.timestamp_micros(F.col("u") * unit).alias("missing_ts"),
     )
+
+
+def trend_fit(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    origin_us: int = 1704067200000000,
+) -> DataFrame:
+    """Per-key OLS trend of a metric over time: slope per day,
+    intercept at ``origin_us`` (epoch microseconds; default
+    2024-01-01T00:00Z), fit quality (r^2), and point count — the
+    monitoring primitive behind "is this metric drifting up?" gates.
+
+    x is integer epoch-microseconds minus the origin, divided by a
+    day — integer arithmetic then one double division, so every
+    engine computes bit-identical regressors (no tz or float-epoch
+    ambiguity). regr_* are single-pass mergeable aggregates: one
+    shuffle of O(keys) partial moment rows, nothing else moves.
+    """
+    x = (
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) - F.lit(origin_us))
+        / F.lit(86400.0 * 1e6)
+    )
+    y = F.col(value_col).cast("double")
+    return (
+        events.groupBy(key_col)
+        .agg(
+            F.regr_count(y, x).alias("n_points"),
+            F.round(F.regr_slope(y, x), 6).alias("slope_per_day"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.round(F.avg(y), 6).alias("mean_value"),
+        )
+        .orderBy(key_col)
+    )

@@ -453,3 +453,57 @@ def apply_mixture(
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
         .drop("_n_copies", "sample_factor")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis-Spirakis A-Res scheme with the randomness replaced by
+    the same sha256 hash-uniform the rest of the sampling family uses.
+    Each row draws u in (0,1] from its id hash and gets an exponential
+    priority -ln(u)/w; the k smallest priorities are exactly a
+    weighted sample without replacement (heavier rows draw smaller
+    priorities). Deterministic => reproducible releases, cross-engine
+    replayable, and stable under repartitioning — none of which
+    df.sample(weights) gives.
+
+    Rows with w <= 0 or NULL are excluded (zero weight = never
+    sampled), matching the E-S definition.
+
+    Scale: pure projection + TakeOrderedAndProject (per-partition
+    top-k, then a k-row merge on the driver) — no shuffle of the
+    corpus, no global sort. The k-row rank window runs on the already-
+    limited result (bounded single partition by construction).
+    """
+    h = (
+        F.conv(
+            F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 12),
+            16,
+            10,
+        ).cast("long")
+    )
+    u = (h + F.lit(1).cast("long")).cast("double") / F.lit(float(2**48))
+    w = F.col(weight_col).cast("double")
+    picked = (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(
+            F.col(id_col),
+            F.col(weight_col).alias("weight"),
+            (-F.log(u) / w).alias("__p"),
+        )
+        .orderBy("__p", id_col)
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    rank_w = Window.orderBy("__p", id_col)
+    return picked.select(
+        F.row_number().over(rank_w).alias("rank"),
+        id_col,
+        "weight",
+        F.round("__p", 8).alias("priority"),
+    )

@@ -1225,3 +1225,45 @@ def correlation_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, r, n_pairs)"
     )
+
+
+def key_candidates(
+    df: DataFrame, candidates: list[tuple[str, ...]]
+) -> DataFrame:
+    """Candidate-key profiling: for each column combination, how many
+    distinct values exist, how many rows collide, and whether the
+    combination is a key — the schema-discovery twin of fd_check
+    (an FD X -> all-columns is exactly "X is a key").
+
+    One scan, one aggregate: all count-distincts evaluate in a single
+    pass (Catalyst expands the input once per distinct group —
+    O(candidates) narrow row copies with map-side partial dedup, the
+    standard multi-distinct plan), then the 1-row wide result unpivots
+    via stack into one row per candidate. NULL caveat: countDistinct
+    skips rows where any member column is NULL, so candidates over
+    nullable columns under-count; profile null rates first
+    (null_violations) when that matters.
+    """
+    import re
+
+    for cand in candidates:
+        for c in cand:
+            if not re.fullmatch(r"[A-Za-z0-9_]+", c):
+                raise ValueError(f"column name must be [A-Za-z0-9_]+: {c!r}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, cand in enumerate(candidates):
+        aggs.append(F.countDistinct(*cand).alias(f"__d_{i}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{'+'.join(cand)}', __d_{i}" for i, cand in enumerate(candidates)
+    )
+    long = wide.selectExpr(
+        "__n", f"stack({len(candidates)}, {stack_args}) AS (candidate, n_distinct)"
+    )
+    return long.select(
+        "candidate",
+        F.col("__n").alias("n_rows"),
+        "n_distinct",
+        (F.col("__n") - F.col("n_distinct")).alias("dup_rows"),
+        (F.col("__n") == F.col("n_distinct")).alias("is_key"),
+    ).orderBy("candidate")
