@@ -2870,6 +2870,64 @@ def q_key_candidates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wasserstein_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-mover drift per lang (stats.wasserstein_drift) between
+    the even- and odd-doc_id halves of documents' n_chars — the
+    integrated companion to ks_drift_documents (same split). W1 sums
+    |ECDF gap| x value-gap over merged distinct values; the oracle
+    replays the running-sum + lead windows exactly."""
+    from sparkval.stats import wasserstein_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    cur = docs.filter(F.col("doc_id") % 2 == 0)
+    ref = docs.filter(F.col("doc_id") % 2 == 1)
+    out = wasserstein_drift(cur, ref, "n_chars", group_col="lang")
+    return out.select(
+        "lang", "w1", "w1_norm",
+        F.col("n_current").cast("long").alias("n_current"),
+        F.col("n_reference").cast("long").alias("n_reference"),
+    ).orderBy("lang")
+
+
+def q_event_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition table (events.event_transitions):
+    per (prev type -> next type) within each user's ts-ordered
+    timeline (event_id tiebreak), counts + P(next|prev). Integer
+    count ratio — bit-identical probability on both engines."""
+    from sparkval.pipeline.events import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev)
+
+
+def q_change_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period change attribution (events.
+    change_attribution): which event types drove the value-sum change
+    across the 2024-01-16 midpoint — both period sums, delta, pct
+    change, share of total delta."""
+    from sparkval.pipeline.events import change_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return change_attribution(ev, "2024-01-16 00:00:00")
+
+
+def q_gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series with LOCF imputation (events.gap_fill) —
+    the repair step for the holes coverage_gaps_events detects: every
+    hour in each type's span gets a row; empty hours inherit the last
+    observed hourly mean with is_filled=true."""
+    from sparkval.pipeline.events import gap_fill
+
+    ev = _t(spark, sf_dir, "events")
+    out = gap_fill(ev, unit_seconds=3600)
+    return out.select(
+        "event_type",
+        F.date_format("bucket_ts", _TS_FMT).alias("bucket_ts"),
+        "value",
+        "is_filled",
+    ).orderBy("event_type", "bucket_ts")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -2985,6 +3043,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_near_dups_documents": q_fuzzy_near_dups_documents,
     "priority_sample_documents": q_priority_sample_documents,
     "key_candidates_lineitem": q_key_candidates_lineitem,
+    "wasserstein_drift_documents": q_wasserstein_drift_documents,
+    "event_transitions_events": q_event_transitions_events,
+    "change_attribution_events": q_change_attribution_events,
+    "gap_fill_events": q_gap_fill_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5311,6 +5373,115 @@ ORACLE_SQL["priority_sample_documents"] = """
     SELECT row_number() OVER (ORDER BY p, doc_id) AS rank,
            doc_id, weight, round(p, 8) AS priority
     FROM t ORDER BY p, doc_id LIMIT 100
+"""
+
+# wasserstein oracle: the collapsed-table windows replayed — running
+# ECDF sums, lead value gap, range normalization; one-sided langs
+# would emit NULL on both engines (this split has none)
+ORACLE_SQL["wasserstein_drift_documents"] = """
+    WITH u AS (
+        SELECT lang, v, sum(c)::BIGINT AS n_cur, sum(r)::BIGINT AS n_ref
+        FROM (
+            SELECT lang, n_chars::DOUBLE AS v, 1 AS c, 0 AS r
+            FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+            UNION ALL
+            SELECT lang, n_chars::DOUBLE, 0, 1
+            FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+        ) GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT lang,
+               lead(v) OVER (PARTITION BY lang ORDER BY v) - v AS dv,
+               sum(n_cur) OVER (PARTITION BY lang ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum_cur,
+               sum(n_ref) OVER (PARTITION BY lang ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum_ref,
+               sum(n_cur) OVER (PARTITION BY lang) AS tot_cur,
+               sum(n_ref) OVER (PARTITION BY lang) AS tot_ref,
+               max(v) OVER (PARTITION BY lang)
+                   - min(v) OVER (PARTITION BY lang) AS rng
+        FROM u
+    )
+    SELECT lang,
+           round(sum(abs(cum_cur::DOUBLE / tot_cur
+                         - cum_ref::DOUBLE / tot_ref) * dv), 6) AS w1,
+           round(CASE WHEN max(rng) > 0 THEN
+                 sum(abs(cum_cur::DOUBLE / tot_cur
+                         - cum_ref::DOUBLE / tot_ref) * dv) / max(rng)
+                 END, 6) AS w1_norm,
+           max(tot_cur)::BIGINT AS n_current,
+           max(tot_ref)::BIGINT AS n_reference
+    FROM w GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["event_transitions_events"] = """
+    WITH p AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type,
+               event_type AS next_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, next_type, count(*)::BIGINT AS n
+        FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6)
+               AS prob
+    FROM c ORDER BY 1, 2
+"""
+
+# attribution oracle: UNROUNDED deltas feed the share window; rounding
+# is display-only on both engines
+ORACLE_SQL["change_attribution_events"] = """
+    WITH seg AS (
+        SELECT event_type,
+               sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 0.0 ELSE value::DOUBLE END) AS sum_before,
+               sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN value::DOUBLE ELSE 0.0 END) AS sum_after
+        FROM events GROUP BY 1
+    )
+    SELECT event_type,
+           round(sum_before, 6) AS sum_before,
+           round(sum_after, 6) AS sum_after,
+           round(sum_after - sum_before, 6) AS delta,
+           round(CASE WHEN abs(sum_before) > 0
+                 THEN (sum_after - sum_before) / abs(sum_before) END, 6)
+               AS pct_change,
+           round(CASE WHEN abs(sum(sum_after - sum_before) OVER ()) > 1e-12
+                 THEN (sum_after - sum_before)
+                      / sum(sum_after - sum_before) OVER () END, 6)
+               AS share_of_total_delta
+    FROM seg ORDER BY 1
+"""
+
+# gap-fill oracle: per-(type, hour) means, dense range() calendar,
+# LOCF via IGNORE NULLS window — the repair twin of coverage_gaps
+ORACLE_SQL["gap_fill_events"] = """
+    WITH o AS (
+        SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS u,
+               avg(value::DOUBLE) AS obs
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, min(u) AS lo, max(u) AS hi FROM o GROUP BY 1
+    ),
+    d AS (
+        SELECT event_type, unnest(range(lo, hi + 1)) AS u FROM s
+    ),
+    j AS (
+        SELECT d.event_type, d.u, o.obs
+        FROM d LEFT JOIN o ON d.event_type = o.event_type AND d.u = o.u
+    )
+    SELECT event_type,
+           strftime(make_timestamp(u * 3600000000), '%Y-%m-%d %H:%M:%S')
+               AS bucket_ts,
+           round(last_value(obs IGNORE NULLS)
+                     OVER (PARTITION BY event_type ORDER BY u
+                           ROWS UNBOUNDED PRECEDING), 6) AS value,
+           obs IS NULL AS is_filled
+    FROM j ORDER BY 1, 2
 """
 
 ORACLE_SQL["key_candidates_lineitem"] = """

@@ -414,3 +414,147 @@ def trend_fit(
         )
         .orderBy(key_col)
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition profile of the event stream: for
+    every (previous type -> next type) pair within a user's timeline,
+    the transition count and conditional probability P(next | prev).
+    The behavioral fingerprint behind bot detection and funnel-shape
+    drift (compare two snapshots' transition tables with any of the
+    drift gates).
+
+    One shuffle on the user (the lag window), one hash agg on the
+    pair, then a probability window over the O(types^2) pair table —
+    nothing user-sized survives past the first aggregation. Ordering
+    ties at equal timestamps break on ``id_col``, keeping the pairs
+    engine-replayable.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("prob"),
+    ).orderBy("prev_type", "next_type")
+
+
+def change_attribution(
+    events: DataFrame,
+    split_ts: str,
+    segment_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Period-over-period change attribution: which segments drove the
+    metric's move between the window before ``split_ts`` and the
+    window after it. Per segment: both period sums, the delta, the
+    percent change, and the segment's share of the total delta — the
+    first question after any volume-anomaly alert fires.
+
+    One scan, conditional sums (map-side partials, one shuffle of
+    O(segments) rows); the total-delta share is a window over the
+    collapsed segment table.
+    """
+    after = F.col(ts_col) >= F.lit(split_ts).cast("timestamp_ntz")
+    v = F.col(value_col).cast("double")
+    seg = events.groupBy(segment_col).agg(
+        F.sum(F.when(~after, v).otherwise(F.lit(0.0))).alias("sum_before"),
+        F.sum(F.when(after, v).otherwise(F.lit(0.0))).alias("sum_after"),
+    )
+    delta = F.col("sum_after") - F.col("sum_before")
+    tot = Window.partitionBy()
+    return seg.select(
+        segment_col,
+        F.round("sum_before", 6).alias("sum_before"),
+        F.round("sum_after", 6).alias("sum_after"),
+        F.round(delta, 6).alias("delta"),
+        F.round(
+            F.when(F.abs(F.col("sum_before")) > 0, delta / F.abs(F.col("sum_before"))),
+            6,
+        ).alias("pct_change"),
+        F.round(
+            F.when(
+                F.abs(F.sum(delta).over(tot)) > 1e-12,
+                delta / F.sum(delta).over(tot),
+            ),
+            6,
+        ).alias("share_of_total_delta"),
+    ).orderBy(segment_col)
+
+
+def gap_fill(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    unit_seconds: int = 3600,
+    max_units_per_group: int = 1_000_000,
+) -> DataFrame:
+    """Dense time series with last-observation-carried-forward: the
+    REPAIR step for the holes coverage_gaps detects. Per group, every
+    unit in [first observation, last observation] gets a row; units
+    with no events inherit the most recent observed per-unit mean and
+    an ``is_filled`` flag (leading units are never invented — the
+    span starts at the group's first observation, so filled values
+    always have a real ancestor).
+
+    Observed values collapse to per-(group, unit) means at the scan
+    (one shuffle); the dense calendar is sequence()-generated per
+    group under the same span guard as coverage_gaps, and the
+    carried-forward value is one ignoreNulls last() window per group
+    — O(span units) rows, never O(events).
+    """
+    unit = int(unit_seconds) * 1_000_000
+    u = (F.unix_micros(F.col(ts_col).cast("timestamp")) / unit).cast("long")
+    observed = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(group_col), u.alias("u"))
+        .agg(F.avg(F.col(value_col).cast("double")).alias("obs"))
+    )
+    span = observed.groupBy(group_col).agg(
+        F.min("u").alias("lo"), F.max("u").alias("hi")
+    )
+    guard = F.when(
+        F.col("hi") - F.col("lo") > max_units_per_group,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"gap_fill: span exceeds {max_units_per_group} "
+                    "units for group "
+                ),
+                F.col(group_col).cast("string"),
+            )
+        ),
+    ).otherwise(F.col("lo"))
+    dense = span.select(
+        group_col, F.explode(F.sequence(guard, F.col("hi"))).alias("u")
+    )
+    joined = dense.join(observed, [group_col, "u"], "left")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("u")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        group_col,
+        F.timestamp_micros(F.col("u") * unit).alias("bucket_ts"),
+        F.round(F.last("obs", ignorenulls=True).over(w), 6).alias("value"),
+        F.col("obs").isNull().alias("is_filled"),
+    ).orderBy(group_col, "bucket_ts")

@@ -1267,3 +1267,76 @@ def key_candidates(
         (F.col("__n") - F.col("n_distinct")).alias("dup_rows"),
         (F.col("__n") == F.col("n_distinct")).alias("is_key"),
     ).orderBy("candidate")
+
+
+def wasserstein_drift(
+    current: DataFrame,
+    reference: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Two-sample Wasserstein-1 (earth-mover) distance between the
+    current and reference distributions of ``value_col``, optionally
+    per group — the integrated companion to ``ks_drift``: KS reports
+    the WORST ECDF gap, W1 integrates ALL of them (sum over merged
+    distinct values of |F_cur - F_ref| * gap-to-next-value), so a
+    broad small shift that KS under-reports shows up at full weight,
+    in the value column's own units.
+
+    Same plan shape as ks_drift — both sides collapse to per-(group,
+    distinct value) tagged counts at the scan, one shuffle on
+    (group, v), then per-group running-sum + lead windows over the
+    collapsed table. One-sided groups emit NULL w1 (no two-sample
+    distance exists), with counts still reported. ``w1_norm``
+    divides by the merged value range (scale-free, in [0, 1], NULL
+    for a single-point support).
+    """
+    groups = [F.col(group_col)] if group_col else [F.lit("all").alias("group")]
+    gname = group_col if group_col else "group"
+    a = current.filter(F.col(value_col).isNotNull()).select(
+        *groups,
+        F.col(value_col).cast("double").alias("v"),
+        F.lit(1).alias("c"),
+        F.lit(0).alias("r"),
+    )
+    b = reference.filter(F.col(value_col).isNotNull()).select(
+        *groups,
+        F.col(value_col).cast("double").alias("v"),
+        F.lit(0).alias("c"),
+        F.lit(1).alias("r"),
+    )
+    u = (
+        a.unionByName(b)
+        .groupBy(gname, "v")
+        .agg(F.sum("c").alias("n_cur"), F.sum("r").alias("n_ref"))
+    )
+    run = (
+        Window.partitionBy(gname)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = Window.partitionBy(gname).orderBy("v")
+    tot = Window.partitionBy(gname)
+    w = u.select(
+        gname,
+        F.col("v"),
+        (F.lead("v").over(seq) - F.col("v")).alias("dv"),
+        F.sum("n_cur").over(run).alias("cum_cur"),
+        F.sum("n_ref").over(run).alias("cum_ref"),
+        F.sum("n_cur").over(tot).alias("tot_cur"),
+        F.sum("n_ref").over(tot).alias("tot_ref"),
+        (F.max("v").over(tot) - F.min("v").over(tot)).alias("rng"),
+    )
+
+    def cdf(cum: str, tot_c: str) -> F.Column:
+        return F.when(F.col(tot_c) > 0, F.col(cum) / F.col(tot_c))
+
+    contrib = F.abs(cdf("cum_cur", "tot_cur") - cdf("cum_ref", "tot_ref")) * F.col("dv")
+    return w.groupBy(gname).agg(
+        F.round(F.sum(contrib), 6).alias("w1"),
+        F.round(
+            F.when(F.max("rng") > 0, F.sum(contrib) / F.max("rng")), 6
+        ).alias("w1_norm"),
+        F.max("tot_cur").alias("n_current"),
+        F.max("tot_ref").alias("n_reference"),
+    )

@@ -309,3 +309,172 @@ def test_round5_session4_ops_plan_discipline(spark, sf_dir):
     # candidate profiling is ONE scan
     kplan = plans["keys"]._jdf.queryExecution().executedPlan().toString()
     assert kplan.count("FileScan parquet") == 1, kplan
+
+
+# --------------------------------------------------------- wasserstein_drift
+
+def test_wasserstein_unit_shift_is_one(spark):
+    from sparkval.stats import wasserstein_drift
+
+    cur = spark.createDataFrame(pd.DataFrame({"g": ["x", "x"], "v": [0.0, 1.0]}))
+    ref = spark.createDataFrame(pd.DataFrame({"g": ["x", "x"], "v": [1.0, 2.0]}))
+    r = wasserstein_drift(cur, ref, "v", group_col="g").collect()[0]
+    assert r["w1"] == pytest.approx(1.0, abs=1e-9)
+    assert r["w1_norm"] == pytest.approx(0.5, abs=1e-9)  # range = 2
+    assert r["n_current"] == 2 and r["n_reference"] == 2
+
+
+def test_wasserstein_identical_zero_and_one_sided_null(spark):
+    from sparkval.stats import wasserstein_drift
+
+    a = spark.createDataFrame(pd.DataFrame({"g": ["x"] * 3, "v": [1, 5, 9]}))
+    same = wasserstein_drift(a, a, "v", group_col="g").collect()[0]
+    assert same["w1"] == 0.0
+    only = spark.createDataFrame(pd.DataFrame({"g": ["y"] * 2, "v": [1, 2]}))
+    rows = {
+        r["g"]: r for r in wasserstein_drift(a, only, "v", group_col="g").collect()
+    }
+    assert rows["x"]["w1"] is None and rows["y"]["w1"] is None
+
+
+def test_wasserstein_vs_scipy_style_oracle(spark):
+    from sparkval.stats import wasserstein_drift
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    cur = rng.integers(0, 40, 200).astype(float)
+    ref = rng.integers(5, 60, 300).astype(float)
+    # closed form: integral of |F1 - F2| over the merged support
+    vals = np.unique(np.concatenate([cur, ref]))
+    f1 = np.searchsorted(np.sort(cur), vals, side="right") / len(cur)
+    f2 = np.searchsorted(np.sort(ref), vals, side="right") / len(ref)
+    want = float(np.sum(np.abs(f1 - f2)[:-1] * np.diff(vals)))
+
+    df = lambda v: spark.createDataFrame(  # noqa: E731
+        pd.DataFrame({"g": ["x"] * len(v), "v": v})
+    )
+    r = wasserstein_drift(df(cur), df(ref), "v", group_col="g").collect()[0]
+    assert r["w1"] == pytest.approx(want, abs=1e-6)
+
+
+# --------------------------------------------------------- event_transitions
+
+def test_event_transitions_counts_and_probs(spark):
+    from sparkval.pipeline.events import event_transitions
+
+    rows = [
+        # user 1: a b a b    user 2: a a
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (2, 1, "2024-01-01 00:01:00", "b"),
+        (3, 1, "2024-01-01 00:02:00", "a"),
+        (4, 1, "2024-01-01 00:03:00", "b"),
+        (5, 2, "2024-01-01 00:00:00", "a"),
+        (6, 2, "2024-01-01 00:00:00", "a"),  # tie ts: event_id orders
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["prob"])
+        for r in event_transitions(df).collect()
+    }
+    assert got[("a", "b")] == (2, pytest.approx(2 / 3, abs=1e-6))
+    assert got[("a", "a")] == (1, pytest.approx(1 / 3, abs=1e-6))
+    assert got[("b", "a")] == (1, 1.0)
+    # no cross-user pair: user2's first event never follows user1's last
+    assert ("b", "b") not in got and len(got) == 3
+
+
+# ------------------------------------------------------- change_attribution
+
+def test_change_attribution_shares(spark):
+    from sparkval.pipeline.events import change_attribution
+
+    rows = [
+        ("s1", "2024-01-01 00:00:00", 10.0),
+        ("s1", "2024-02-01 00:00:00", 30.0),   # s1: +20
+        ("s2", "2024-01-01 00:00:00", 50.0),
+        ("s2", "2024-02-01 00:00:00", 30.0),   # s2: -20
+        ("s3", "2024-02-01 00:00:00", 5.0),    # s3: +5, nothing before
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["seg", "ts", "value"])
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {
+        r["seg"]: r
+        for r in change_attribution(
+            df, "2024-01-15 00:00:00", segment_col="seg"
+        ).collect()
+    }
+    assert out["s1"]["delta"] == 20.0
+    assert out["s1"]["pct_change"] == pytest.approx(2.0, abs=1e-6)
+    assert out["s1"]["share_of_total_delta"] == pytest.approx(4.0, abs=1e-6)
+    assert out["s2"]["share_of_total_delta"] == pytest.approx(-4.0, abs=1e-6)
+    # total delta = +5: shares sum to 1
+    assert out["s3"]["pct_change"] is None  # empty before-period
+    assert out["s3"]["share_of_total_delta"] == pytest.approx(1.0, abs=1e-6)
+
+
+# ------------------------------------------------------------------ gap_fill
+
+def test_gap_fill_carries_forward_and_flags(spark):
+    from sparkval.pipeline.events import gap_fill
+
+    rows = [
+        ("m", "2024-01-01 00:10:00", 4.0),
+        ("m", "2024-01-01 00:40:00", 8.0),   # hour 0 mean = 6
+        # hours 1, 2 silent
+        ("m", "2024-01-01 03:15:00", 10.0),  # hour 3
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = gap_fill(df).collect()
+    assert len(out) == 4  # hours 0..3, nothing invented before/after
+    vals = [(r["value"], r["is_filled"]) for r in out]
+    assert vals == [(6.0, False), (6.0, True), (6.0, True), (10.0, False)]
+    assert out[0]["bucket_ts"].minute == 0  # bucket-aligned timestamps
+
+
+def test_gap_fill_span_guard_raises(spark):
+    from sparkval.pipeline.events import gap_fill
+
+    rows = [
+        ("m", "2024-01-01 00:00:00", 1.0),
+        ("m", "2025-01-01 00:00:00", 2.0),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    with pytest.raises(Exception, match="span exceeds"):
+        gap_fill(df, max_units_per_group=100).collect()
+
+
+def test_round5_session4b_ops_plan_discipline(spark, sf_dir):
+    """Second sweep: the drift/repair/behavior ops stay vectorized —
+    no per-row Python, no cartesian on data."""
+    from sparkval.pipeline.events import (
+        change_attribution,
+        event_transitions,
+        gap_fill,
+    )
+    from sparkval.stats import wasserstein_drift
+
+    docs = load(spark, sf_dir, "documents")
+    ev = load(spark, sf_dir, "events")
+    plans = {
+        "wasserstein": wasserstein_drift(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            "n_chars",
+            group_col="lang",
+        ),
+        "transitions": event_transitions(ev),
+        "attribution": change_attribution(ev, "2024-01-16 00:00:00"),
+        "gapfill": gap_fill(ev),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
