@@ -5288,19 +5288,20 @@ ORACLE_SQL["rate_limit_events"] = """
     ) WHERE n_in_window > 2 ORDER BY event_id
 """
 
-# reconciliation oracle: NULL rel_err rows (no detail) vanish from the
-# tolerance sums on both engines (Spark: NULL-cast skipped by sum;
-# here: CASE falls through to 0 / NULL aggregates skip)
+# reconciliation oracle: the four-bucket accounting replayed —
+# no-detail (no lines), unverifiable (lines but no computable error:
+# NULL total or all-NULL amounts), within-tol, mismatch; the buckets
+# partition n_headers on both engines
 ORACLE_SQL["reconcile_orders_lineitem"] = """
     WITH agg AS (
         SELECT l_orderkey AS k,
-               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS d
+               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS d,
+               count(*) AS nl
         FROM lineitem GROUP BY 1
     ),
     e AS (
-        SELECT o_orderpriority AS group_key,
-               d,
-               CASE WHEN d IS NOT NULL
+        SELECT o_orderpriority AS group_key, nl,
+               CASE WHEN o_totalprice IS NOT NULL AND d IS NOT NULL
                     THEN abs(o_totalprice::DOUBLE - d)
                          / greatest(abs(o_totalprice::DOUBLE), 1e-12)
                END AS rel_err
@@ -5308,7 +5309,9 @@ ORACLE_SQL["reconcile_orders_lineitem"] = """
     )
     SELECT group_key,
            count(*)::BIGINT AS n_headers,
-           sum((d IS NULL)::INT)::BIGINT AS n_no_detail,
+           sum((nl IS NULL)::INT)::BIGINT AS n_no_detail,
+           sum((rel_err IS NULL AND nl IS NOT NULL)::INT)::BIGINT
+               AS n_unverifiable,
            sum(CASE WHEN rel_err <= 0.5 THEN 1 ELSE 0 END)::BIGINT
                AS n_within_tol,
            sum(CASE WHEN rel_err > 0.5 THEN 1 ELSE 0 END)::BIGINT
@@ -5403,11 +5406,14 @@ ORACLE_SQL["wasserstein_drift_documents"] = """
         FROM u
     )
     SELECT lang,
-           round(sum(abs(cum_cur::DOUBLE / tot_cur
-                         - cum_ref::DOUBLE / tot_ref) * dv), 6) AS w1,
-           round(CASE WHEN max(rng) > 0 THEN
-                 sum(abs(cum_cur::DOUBLE / tot_cur
-                         - cum_ref::DOUBLE / tot_ref) * dv) / max(rng)
+           round(CASE WHEN max(tot_cur) > 0 AND max(tot_ref) > 0 THEN
+                 coalesce(sum(abs(cum_cur::DOUBLE / tot_cur
+                         - cum_ref::DOUBLE / tot_ref) * dv), 0.0)
+                 END, 6) AS w1,
+           round(CASE WHEN max(tot_cur) > 0 AND max(tot_ref) > 0
+                      AND max(rng) > 0 THEN
+                 coalesce(sum(abs(cum_cur::DOUBLE / tot_cur
+                         - cum_ref::DOUBLE / tot_ref) * dv), 0.0) / max(rng)
                  END, 6) AS w1_norm,
            max(tot_cur)::BIGINT AS n_current,
            max(tot_ref)::BIGINT AS n_reference
@@ -5419,7 +5425,7 @@ ORACLE_SQL["event_transitions_events"] = """
         SELECT lag(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev_type,
                event_type AS next_type
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     c AS (
         SELECT prev_type, next_type, count(*)::BIGINT AS n
@@ -5440,7 +5446,7 @@ ORACLE_SQL["change_attribution_events"] = """
                         THEN 0.0 ELSE value::DOUBLE END) AS sum_before,
                sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
                         THEN value::DOUBLE ELSE 0.0 END) AS sum_after
-        FROM events GROUP BY 1
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
     )
     SELECT event_type,
            round(sum_before, 6) AS sum_before,
@@ -5486,12 +5492,21 @@ ORACLE_SQL["gap_fill_events"] = """
 
 ORACLE_SQL["key_candidates_lineitem"] = """
     WITH w AS (
+        -- FILTERs replicate Spark countDistinct's any-NULL-skips
+        -- semantics (no-op on lineitem's non-null keys, exact on
+        -- nullable columns)
         SELECT count(*)::BIGINT AS n,
                count(DISTINCT l_orderkey)::BIGINT AS d0,
-               count(DISTINCT (l_orderkey, l_linenumber))::BIGINT AS d1,
-               count(DISTINCT (l_partkey, l_suppkey))::BIGINT AS d2,
-               count(DISTINCT (l_orderkey, l_partkey, l_suppkey))::BIGINT
-                   AS d3
+               count(DISTINCT (l_orderkey, l_linenumber))
+                   FILTER (l_orderkey IS NOT NULL
+                           AND l_linenumber IS NOT NULL)::BIGINT AS d1,
+               count(DISTINCT (l_partkey, l_suppkey))
+                   FILTER (l_partkey IS NOT NULL
+                           AND l_suppkey IS NOT NULL)::BIGINT AS d2,
+               count(DISTINCT (l_orderkey, l_partkey, l_suppkey))
+                   FILTER (l_orderkey IS NOT NULL
+                           AND l_partkey IS NOT NULL
+                           AND l_suppkey IS NOT NULL)::BIGINT AS d3
         FROM lineitem
     )
     SELECT candidate, n AS n_rows, d AS n_distinct, n - d AS dup_rows,

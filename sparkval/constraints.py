@@ -658,9 +658,19 @@ def reconcile_totals(
     generalized to any header/detail pair.)
 
     Returns one row per ``group_col`` value (or a single ``_all``
-    row) with: header count, headers with no detail lines at all,
-    headers within ``rel_tol`` relative error, mismatch count, and
-    the mean/max relative error over headers that have detail.
+    row). Every header lands in exactly ONE of four buckets, so the
+    accounting always closes (n_no_detail + n_unverifiable +
+    n_within_tol + n_mismatch == n_headers):
+
+    - ``n_no_detail``: no detail lines exist for the key at all;
+    - ``n_unverifiable``: detail lines exist but no relative error is
+      computable (NULL stored total, or every detail amount NULL) —
+      the most suspicious headers, surfaced rather than dropped;
+    - ``n_within_tol`` / ``n_mismatch``: comparable headers, split at
+      ``rel_tol`` relative error.
+
+    mean/max relative error cover the comparable headers only (NULL
+    when a group has none).
 
     Scale: detail aggregates on its key with map-side partials (one
     shuffle of O(headers) rows); the header join lands on the same
@@ -678,19 +688,27 @@ def reconcile_totals(
         g.alias("group_key"),
         F.col(header_total_col).cast("double").alias("__h"),
         F.col("__detail_total").cast("double").alias("__d"),
+        F.col("__n_lines"),
     )
     rel_err = F.when(
-        F.col("__d").isNotNull(),
+        F.col("__h").isNotNull() & F.col("__d").isNotNull(),
         F.abs(F.col("__h") - F.col("__d"))
         / F.greatest(F.abs(F.col("__h")), F.lit(1e-12)),
     )
+    no_detail = F.col("__n_lines").isNull()
+    unverifiable = rel_err.isNull() & ~no_detail
     return (
         joined.groupBy("group_key")
         .agg(
             F.count(F.lit(1)).alias("n_headers"),
-            F.sum(F.col("__d").isNull().cast("long")).alias("n_no_detail"),
-            F.sum((rel_err <= rel_tol).cast("long")).alias("n_within_tol"),
-            F.sum((rel_err > rel_tol).cast("long")).alias("n_mismatch"),
+            F.sum(no_detail.cast("long")).alias("n_no_detail"),
+            F.sum(unverifiable.cast("long")).alias("n_unverifiable"),
+            F.sum(
+                F.coalesce((rel_err <= rel_tol).cast("long"), F.lit(0))
+            ).alias("n_within_tol"),
+            F.sum(
+                F.coalesce((rel_err > rel_tol).cast("long"), F.lit(0))
+            ).alias("n_mismatch"),
             F.round(F.avg(rel_err), 6).alias("mean_rel_err"),
             F.round(F.max(rel_err), 6).alias("max_rel_err"),
         )

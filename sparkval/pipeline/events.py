@@ -438,7 +438,10 @@ def event_transitions(
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     pairs = (
-        events.select(
+        # a NULL-ts event has no defined timeline position (and Spark
+        # and SQL engines disagree on NULLS FIRST/LAST): exclude it
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
             F.lag(type_col).over(w).alias("prev_type"),
             F.col(type_col).alias("next_type"),
         )
@@ -470,11 +473,13 @@ def change_attribution(
 
     One scan, conditional sums (map-side partials, one shuffle of
     O(segments) rows); the total-delta share is a window over the
-    collapsed segment table.
+    collapsed segment table. Rows with a NULL timestamp belong to
+    neither period and are excluded outright (they'd otherwise fall
+    into whichever branch an engine's NULL-comparison default picks).
     """
     after = F.col(ts_col) >= F.lit(split_ts).cast("timestamp_ntz")
     v = F.col(value_col).cast("double")
-    seg = events.groupBy(segment_col).agg(
+    seg = events.filter(F.col(ts_col).isNotNull()).groupBy(segment_col).agg(
         F.sum(F.when(~after, v).otherwise(F.lit(0.0))).alias("sum_before"),
         F.sum(F.when(after, v).otherwise(F.lit(0.0))).alias("sum_after"),
     )
@@ -532,7 +537,7 @@ def gap_fill(
         F.min("u").alias("lo"), F.max("u").alias("hi")
     )
     guard = F.when(
-        F.col("hi") - F.col("lo") > max_units_per_group,
+        F.col("hi") - F.col("lo") >= max_units_per_group,
         F.raise_error(
             F.concat(
                 F.lit(

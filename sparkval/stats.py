@@ -1332,10 +1332,15 @@ def wasserstein_drift(
         return F.when(F.col(tot_c) > 0, F.col(cum) / F.col(tot_c))
 
     contrib = F.abs(cdf("cum_cur", "tot_cur") - cdf("cum_ref", "tot_ref")) * F.col("dv")
+    # two-sided groups always have a distance: a single-point support
+    # (every contrib NULL because lead(v) is NULL on the only row) is
+    # W1 = 0, not NULL — only genuinely one-sided groups emit NULL
+    two_sided = (F.max("tot_cur") > 0) & (F.max("tot_ref") > 0)
+    w1 = F.when(two_sided, F.coalesce(F.sum(contrib), F.lit(0.0)))
     return w.groupBy(gname).agg(
-        F.round(F.sum(contrib), 6).alias("w1"),
+        F.round(w1, 6).alias("w1"),
         F.round(
-            F.when(F.max("rng") > 0, F.sum(contrib) / F.max("rng")), 6
+            F.when(F.max("rng") > 0, w1 / F.max("rng")), 6
         ).alias("w1_norm"),
         F.max("tot_cur").alias("n_current"),
         F.max("tot_ref").alias("n_reference"),

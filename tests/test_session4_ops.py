@@ -22,17 +22,19 @@ def _hd(spark):
     header = spark.createDataFrame(
         pd.DataFrame(
             {
-                "hk": [1, 2, 3, 4],
-                "total": [10.0, 99.0, 7.5, 4.0],
-                "grp": ["a", "a", "b", "b"],
+                # hk=5: NULL stored total (has detail) -> unverifiable
+                # hk=6: detail exists but every amount NULL -> unverifiable
+                "hk": [1, 2, 3, 4, 5, 6],
+                "total": [10.0, 99.0, 7.5, 4.0, None, 2.0],
+                "grp": ["a", "a", "b", "b", "c", "c"],
             }
         )
     )
     detail = spark.createDataFrame(
         pd.DataFrame(
             {
-                "dk": [1, 1, 2, 3],
-                "amt": [4.0, 6.0, 50.0, 7.5],
+                "dk": [1, 1, 2, 3, 5, 6],
+                "amt": [4.0, 6.0, 50.0, 7.5, 1.0, None],
             }
         )
     )
@@ -61,6 +63,17 @@ def test_reconcile_totals_counts_and_errors(spark):
     assert b["n_within_tol"] == 1 and b["n_mismatch"] == 0
     # error stats ignore the no-detail header (NULL rel_err)
     assert b["mean_rel_err"] == 0.0 and b["max_rel_err"] == 0.0
+    # group c: NULL stored total + all-NULL amounts are SURFACED as
+    # unverifiable (not dropped), and the buckets still close
+    c = out["c"]
+    assert c["n_unverifiable"] == 2 and c["n_no_detail"] == 0
+    assert c["n_within_tol"] == 0 and c["n_mismatch"] == 0  # 0, not NULL
+    assert c["mean_rel_err"] is None
+    for r in out.values():
+        assert (
+            r["n_no_detail"] + r["n_unverifiable"]
+            + r["n_within_tol"] + r["n_mismatch"]
+        ) == r["n_headers"]
 
 
 def test_reconcile_totals_single_group_default(spark):
@@ -71,7 +84,7 @@ def test_reconcile_totals_single_group_default(spark):
         header, detail, "hk", "dk", "total", F.col("amt")
     ).collect()
     assert len(rows) == 1 and rows[0]["group_key"] == "_all"
-    assert rows[0]["n_headers"] == 4
+    assert rows[0]["n_headers"] == 6
 
 
 # -------------------------------------------------------------- trend_fit
@@ -335,6 +348,11 @@ def test_wasserstein_identical_zero_and_one_sided_null(spark):
         r["g"]: r for r in wasserstein_drift(a, only, "v", group_col="g").collect()
     }
     assert rows["x"]["w1"] is None and rows["y"]["w1"] is None
+    # degenerate single-point support, both sides present: W1 = 0 (not
+    # NULL), and w1_norm stays NULL (zero range)
+    pt = spark.createDataFrame(pd.DataFrame({"g": ["z"] * 2, "v": [5.0, 5.0]}))
+    deg = wasserstein_drift(pt, pt.limit(1), "v", group_col="g").collect()[0]
+    assert deg["w1"] == 0.0 and deg["w1_norm"] is None
 
 
 def test_wasserstein_vs_scipy_style_oracle(spark):
@@ -383,6 +401,18 @@ def test_event_transitions_counts_and_probs(spark):
     assert got[("b", "a")] == (1, 1.0)
     # no cross-user pair: user2's first event never follows user1's last
     assert ("b", "b") not in got and len(got) == 3
+    # NULL-ts events have no timeline position: excluded entirely
+    with_null = df.union(
+        spark.createDataFrame(
+            pd.DataFrame([(99, 1, None, "c")],
+                         columns=["event_id", "user_id", "ts", "event_type"])
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    )
+    got2 = {
+        (r["prev_type"], r["next_type"])
+        for r in event_transitions(with_null).collect()
+    }
+    assert all("c" not in p for p in got2)
 
 
 # ------------------------------------------------------- change_attribution
