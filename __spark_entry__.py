@@ -2928,6 +2928,52 @@ def q_gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket_ts")
 
 
+def q_proportion_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per lang (stats.proportion_drift): did the
+    rate of long documents (n_chars > 300) move between the even- and
+    odd-doc_id halves beyond sampling noise? The significance-floored
+    rate-drift gate; z and the drift flag replay exactly in SQL."""
+    from sparkval.stats import proportion_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return proportion_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        F.col("n_chars") > 300,
+        group_col="lang",
+    )
+
+
+def q_interval_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity-interval integrity (constraints.interval_violations):
+    each event claims [ts, ts + floor(value) minutes] on its user's
+    timeline; the check reports intervals that start before a prior
+    interval of the same user ended (running-max catches containment).
+    727 natural overlaps at sf0.01 — a real workload, not a planted
+    toy; the oracle replays the running-max window to the microsecond."""
+    from sparkval.constraints import interval_violations
+
+    ev = _t(spark, sf_dir, "events")
+    start = F.col("ts").cast("timestamp")
+    end = F.timestamp_micros(
+        F.unix_micros(start) + F.floor("value").cast("long") * 60_000_000
+    )
+    iv = ev.select(
+        "event_id", "user_id",
+        start.alias("start_ts"), end.alias("end_ts"),
+    )
+    out = interval_violations(
+        iv, "user_id", "start_ts", "end_ts", id_col="event_id"
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("start_ts", _TS_FMT).alias("start_ts"),
+        F.date_format("end_ts", _TS_FMT).alias("end_ts"),
+        "violation",
+        F.date_format("conflicts_until", _TS_FMT).alias("conflicts_until"),
+    ).orderBy("event_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -3047,6 +3093,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions_events": q_event_transitions_events,
     "change_attribution_events": q_change_attribution_events,
     "gap_fill_events": q_gap_fill_events,
+    "proportion_drift_documents": q_proportion_drift_documents,
+    "interval_violations_events": q_interval_violations_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5488,6 +5536,77 @@ ORACLE_SQL["gap_fill_events"] = """
                            ROWS UNBOUNDED PRECEDING), 6) AS value,
            obs IS NULL AS is_filled
     FROM j ORDER BY 1, 2
+"""
+
+# two-proportion z oracle: identical pooled-variance formula over
+# identical integer counts -> bit-identical z before rounding
+ORACLE_SQL["proportion_drift_documents"] = """
+    WITH c AS (
+        SELECT lang, count(*)::BIGINT AS n_cur,
+               coalesce(sum((n_chars > 300)::INT), 0)::BIGINT AS k_cur
+        FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    r AS (
+        SELECT lang, count(*)::BIGINT AS n_ref,
+               coalesce(sum((n_chars > 300)::INT), 0)::BIGINT AS k_ref
+        FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+    ),
+    j AS (
+        SELECT coalesce(c.lang, r.lang) AS lang, n_cur, k_cur, n_ref, k_ref,
+               (k_cur + k_ref)::DOUBLE / (n_cur + n_ref) AS pp
+        FROM c FULL JOIN r ON c.lang = r.lang
+    ),
+    zc AS (
+        SELECT lang, n_cur, k_cur, n_ref, k_ref,
+               CASE WHEN n_cur IS NOT NULL AND n_ref IS NOT NULL
+                         AND pp > 0 AND pp < 1
+                    THEN (k_cur / n_cur - k_ref / n_ref)
+                         / sqrt(pp * (1 - pp) * (1.0 / n_cur + 1.0 / n_ref))
+               END AS z
+        FROM j
+    )
+    SELECT lang,
+           coalesce(n_cur, 0) AS n_current,
+           coalesce(k_cur, 0) AS k_current,
+           coalesce(n_ref, 0) AS n_reference,
+           coalesce(k_ref, 0) AS k_reference,
+           round(k_cur / n_cur, 6) AS rate_current,
+           round(k_ref / n_ref, 6) AS rate_reference,
+           round(z, 6) AS z,
+           coalesce(abs(z) > 3.0, FALSE) AS is_drift
+    FROM zc ORDER BY lang
+"""
+
+# interval oracle: the running-max-prior-end window replayed over
+# integer epoch-micros; inverted branch is structurally present
+# (empty here: floor(value) >= 0)
+ORACLE_SQL["interval_violations_events"] = """
+    WITH iv AS (
+        SELECT event_id, user_id, epoch_us(ts) AS s,
+               epoch_us(ts) + floor(value)::BIGINT * 60000000 AS e
+        FROM events
+    ),
+    o AS (
+        SELECT event_id, user_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pme
+        FROM iv WHERE e >= s
+    )
+    SELECT event_id, user_id,
+           strftime(make_timestamp(s), '%Y-%m-%d %H:%M:%S') AS start_ts,
+           strftime(make_timestamp(e), '%Y-%m-%d %H:%M:%S') AS end_ts,
+           'inverted' AS violation,
+           NULL::VARCHAR AS conflicts_until
+    FROM iv WHERE e < s
+    UNION ALL
+    SELECT event_id, user_id,
+           strftime(make_timestamp(s), '%Y-%m-%d %H:%M:%S'),
+           strftime(make_timestamp(e), '%Y-%m-%d %H:%M:%S'),
+           'overlap',
+           strftime(make_timestamp(pme), '%Y-%m-%d %H:%M:%S')
+    FROM o WHERE s < pme
+    ORDER BY event_id
 """
 
 ORACLE_SQL["key_candidates_lineitem"] = """

@@ -714,3 +714,67 @@ def reconcile_totals(
         )
         .orderBy("group_key")
     )
+
+
+def interval_violations(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Validity-interval integrity — the SCD2 / booking / lease check:
+    within each key, intervals must be well-formed (start <= end) and
+    non-overlapping (a new interval may START exactly where a previous
+    one ended, but not before). Emits one row per violating interval
+    with the violation kind and the furthest prior end it collides
+    with:
+
+    - ``inverted``: end < start (malformed row — reported first and
+      excluded from the overlap scan so one bad row doesn't cascade);
+    - ``overlap``: start < the running max end of all PRIOR intervals
+      of the key (ordered by start, end, then ``id_col``) — the
+      running max catches containment too, which lag(end) misses.
+
+    One shuffle on the key; the running-max window is O(1) state per
+    row. Timestamps compare as integer epoch-micros, so the check is
+    engine-replayable to the microsecond.
+    """
+    start_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    end_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    base = df.select(
+        *([F.col(id_col)] if id_col else []),
+        F.col(key_col),
+        F.col(start_col),
+        F.col(end_col),
+        start_us.alias("__s"),
+        end_us.alias("__e"),
+    )
+    inverted = base.filter(F.col("__e") < F.col("__s")).select(
+        *([id_col] if id_col else []),
+        key_col,
+        start_col,
+        end_col,
+        F.lit("inverted").alias("violation"),
+        F.lit(None).cast("timestamp").alias("conflicts_until"),
+    )
+    order = [F.col("__s"), F.col("__e")] + ([F.col(id_col)] if id_col else [])
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    overlaps = (
+        base.filter(F.col("__e") >= F.col("__s"))
+        .withColumn("__prev_max_e", F.max("__e").over(w))
+        .filter(F.col("__s") < F.col("__prev_max_e"))
+        .select(
+            *([id_col] if id_col else []),
+            key_col,
+            start_col,
+            end_col,
+            F.lit("overlap").alias("violation"),
+            F.timestamp_micros(F.col("__prev_max_e")).alias("conflicts_until"),
+        )
+    )
+    return inverted.unionByName(overlaps)

@@ -1345,3 +1345,60 @@ def wasserstein_drift(
         F.max("tot_cur").alias("n_current"),
         F.max("tot_ref").alias("n_reference"),
     )
+
+
+def proportion_drift(
+    current: DataFrame,
+    reference: DataFrame,
+    flag,
+    group_col: str | None = None,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Two-proportion z-test per group: is the rate of ``flag`` (any
+    boolean Column) different between current and reference beyond
+    sampling noise? The significance-testing sibling of chi2 (which
+    tests independence inside ONE table) and psi/ks/w1 (which compare
+    whole distributions): this one answers the narrower, most common
+    monitoring question — "did the error rate move?" — with a noise
+    floor, so small-sample wobbles don't page anyone.
+
+    z = (p_cur - p_ref) / sqrt(p_pool (1 - p_pool) (1/n_cur + 1/n_ref))
+    with the pooled rate p_pool = (k_cur + k_ref) / (n_cur + n_ref).
+    NULL flags count as False (a missing flag is not a hit). One
+    conditional-sum aggregate per side over the scan — O(groups)
+    rows ever shuffle; z is NULL when either side is empty or the
+    pooled rate is degenerate (0 or 1: no variance, nothing to test).
+    """
+    groups = [F.col(group_col)] if group_col else [F.lit("all").alias("group")]
+    gname = group_col if group_col else "group"
+    hit = F.coalesce(flag.cast("boolean"), F.lit(False)).cast("long")
+
+    def side(df: DataFrame, prefix: str) -> DataFrame:
+        return df.groupBy(*groups).agg(
+            F.count(F.lit(1)).alias(f"n_{prefix}"),
+            F.sum(hit).alias(f"k_{prefix}"),
+        )
+
+    j = side(current, "cur").join(side(reference, "ref"), gname, "full")
+    n_cur, k_cur = F.col("n_cur"), F.col("k_cur")
+    n_ref, k_ref = F.col("n_ref"), F.col("k_ref")
+    p_cur = k_cur / n_cur
+    p_ref = k_ref / n_ref
+    p_pool = (k_cur + k_ref) / (n_cur + n_ref)
+    z = F.when(
+        n_cur.isNotNull() & n_ref.isNotNull()
+        & (p_pool > 0) & (p_pool < 1),
+        (p_cur - p_ref)
+        / F.sqrt(p_pool * (1 - p_pool) * (1 / n_cur + 1 / n_ref)),
+    )
+    return j.select(
+        gname,
+        F.coalesce(n_cur, F.lit(0)).alias("n_current"),
+        F.coalesce(k_cur, F.lit(0)).alias("k_current"),
+        F.coalesce(n_ref, F.lit(0)).alias("n_reference"),
+        F.coalesce(k_ref, F.lit(0)).alias("k_reference"),
+        F.round(p_cur, 6).alias("rate_current"),
+        F.round(p_ref, 6).alias("rate_reference"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_drift"),
+    ).orderBy(gname)

@@ -488,7 +488,8 @@ def test_round5_session4b_ops_plan_discipline(spark, sf_dir):
         event_transitions,
         gap_fill,
     )
-    from sparkval.stats import wasserstein_drift
+    from sparkval.constraints import interval_violations
+    from sparkval.stats import proportion_drift, wasserstein_drift
 
     docs = load(spark, sf_dir, "documents")
     ev = load(spark, sf_dir, "events")
@@ -502,9 +503,140 @@ def test_round5_session4b_ops_plan_discipline(spark, sf_dir):
         "transitions": event_transitions(ev),
         "attribution": change_attribution(ev, "2024-01-16 00:00:00"),
         "gapfill": gap_fill(ev),
+        "proportion": proportion_drift(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            F.col("n_chars") > 300,
+            group_col="lang",
+        ),
+        "intervals": interval_violations(
+            ev.select(
+                "event_id", "user_id",
+                F.col("ts").alias("s"),
+                (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+            ),
+            "user_id", "s", "e", id_col="event_id",
+        ),
     }
     for name, df in plans.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+# --------------------------------------------------------- proportion_drift
+
+def test_proportion_drift_zero_diff_and_flag(spark):
+    from sparkval.stats import proportion_drift
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["x"] * 100, "hit": [True] * 30 + [False] * 70})
+    )
+    r = proportion_drift(df, df, F.col("hit"), group_col="g").collect()[0]
+    assert r["z"] == 0.0 and not r["is_drift"]
+    assert r["rate_current"] == r["rate_reference"] == 0.3
+    assert r["n_current"] == r["n_reference"] == 100
+    assert r["k_current"] == r["k_reference"] == 30
+
+
+def test_proportion_drift_matches_closed_form(spark):
+    from sparkval.stats import proportion_drift
+
+    cur = spark.createDataFrame(
+        pd.DataFrame({"g": ["x"] * 200, "hit": [True] * 80 + [False] * 120})
+    )
+    ref = spark.createDataFrame(
+        pd.DataFrame({"g": ["x"] * 300, "hit": [True] * 60 + [False] * 240})
+    )
+    r = proportion_drift(cur, ref, F.col("hit"), group_col="g").collect()[0]
+    p1, p2 = 80 / 200, 60 / 300
+    pp = (80 + 60) / 500
+    z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / 200 + 1 / 300))
+    assert r["z"] == pytest.approx(z, abs=1e-6)
+    assert r["is_drift"]  # |z| ~ 5: well past 3
+
+
+def test_proportion_drift_degenerate_and_one_sided(spark):
+    from sparkval.stats import proportion_drift
+
+    allhit = spark.createDataFrame(
+        pd.DataFrame({"g": ["x"] * 10, "hit": [True] * 10})
+    )
+    r = proportion_drift(allhit, allhit, F.col("hit"), group_col="g").collect()[0]
+    assert r["z"] is None and not r["is_drift"]  # pooled rate 1: no variance
+    only = spark.createDataFrame(
+        pd.DataFrame({"g": ["y"] * 5, "hit": [True] * 5})
+    )
+    rows = {
+        r["g"]: r
+        for r in proportion_drift(allhit, only, F.col("hit"), group_col="g").collect()
+    }
+    assert rows["y"]["z"] is None and rows["y"]["n_current"] == 0
+    # NULL flags count as misses, not hits
+    withnull = spark.createDataFrame(
+        pd.DataFrame({"g": ["x"] * 4, "hit": [True, False, None, None]})
+    )
+    r2 = proportion_drift(withnull, withnull, F.col("hit"), group_col="g").collect()[0]
+    assert r2["k_current"] == 1 and r2["n_current"] == 4
+
+
+# ------------------------------------------------------- interval_violations
+
+def _iv(spark, rows):
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "k", "s", "e"])
+    )
+    return (
+        df.withColumn("s", F.col("s").cast("timestamp_ntz"))
+        .withColumn("e", F.col("e").cast("timestamp_ntz"))
+    )
+
+
+def test_interval_violations_overlap_containment_inverted(spark):
+    from sparkval.constraints import interval_violations
+
+    rows = [
+        (1, "u", "2024-01-01 00:00:00", "2024-01-01 02:00:00"),
+        (2, "u", "2024-01-01 01:00:00", "2024-01-01 01:30:00"),  # contained
+        (3, "u", "2024-01-01 02:00:00", "2024-01-01 03:00:00"),  # touching: OK
+        (4, "u", "2024-01-01 02:30:00", "2024-01-01 02:40:00"),  # overlaps 3
+        (5, "u", "2024-01-01 05:00:00", "2024-01-01 04:00:00"),  # inverted
+        (6, "v", "2024-01-01 00:30:00", "2024-01-01 01:00:00"),  # other key: OK
+    ]
+    out = {
+        r["event_id"]: r
+        for r in interval_violations(
+            _iv(spark, rows), "k", "s", "e", id_col="event_id"
+        ).collect()
+    }
+    assert set(out) == {2, 4, 5}
+    assert out[2]["violation"] == "overlap"
+    assert out[4]["violation"] == "overlap"
+    assert out[5]["violation"] == "inverted"
+    assert out[5]["conflicts_until"] is None
+    # running max catches containment: event 2 conflicts with 1's end,
+    # event 4 with 3's end
+    assert str(out[2]["conflicts_until"]).startswith("2024-01-01 02:00:00")
+    assert str(out[4]["conflicts_until"]).startswith("2024-01-01 03:00:00")
+
+
+def test_interval_violations_inverted_rows_do_not_cascade(spark):
+    from sparkval.constraints import interval_violations
+
+    # the inverted row's bogus end (year 2030) must NOT poison the
+    # running max for later rows
+    rows = [
+        (1, "u", "2024-01-01 00:00:00", "2030-01-01 00:00:00"),
+        (2, "u", "2024-01-02 00:00:00", "2024-01-02 01:00:00"),
+    ]
+    bad_first = [
+        (1, "u", "2030-01-01 00:00:00", "2024-01-01 00:00:00"),  # inverted
+        (2, "u", "2024-01-02 00:00:00", "2024-01-02 01:00:00"),
+    ]
+    out1 = {r["event_id"]: r["violation"] for r in interval_violations(
+        _iv(spark, rows), "k", "s", "e", id_col="event_id").collect()}
+    assert out1 == {2: "overlap"}  # legit long interval does overlap
+    out2 = {r["event_id"]: r["violation"] for r in interval_violations(
+        _iv(spark, bad_first), "k", "s", "e", id_col="event_id").collect()}
+    assert out2 == {1: "inverted"}  # row 2 unaffected by the malformed row
