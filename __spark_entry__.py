@@ -5541,37 +5541,39 @@ ORACLE_SQL["gap_fill_events"] = """
 # two-proportion z oracle: identical pooled-variance formula over
 # identical integer counts -> bit-identical z before rounding
 ORACLE_SQL["proportion_drift_documents"] = """
-    WITH c AS (
-        SELECT lang, count(*)::BIGINT AS n_cur,
-               coalesce(sum((n_chars > 300)::INT), 0)::BIGINT AS k_cur
-        FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+    WITH u AS (
+        SELECT lang, coalesce((n_chars > 300), FALSE)::BIGINT AS h, 1 AS c
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT lang, coalesce((n_chars > 300), FALSE)::BIGINT, 0
+        FROM documents WHERE doc_id % 2 = 1
     ),
-    r AS (
-        SELECT lang, count(*)::BIGINT AS n_ref,
-               coalesce(sum((n_chars > 300)::INT), 0)::BIGINT AS k_ref
-        FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
-    ),
-    j AS (
-        SELECT coalesce(c.lang, r.lang) AS lang, n_cur, k_cur, n_ref, k_ref,
-               (k_cur + k_ref)::DOUBLE / (n_cur + n_ref) AS pp
-        FROM c FULL JOIN r ON c.lang = r.lang
+    g AS (
+        SELECT lang,
+               sum(c)::BIGINT AS n_cur, sum(h * c)::BIGINT AS k_cur,
+               sum(1 - c)::BIGINT AS n_ref, sum(h * (1 - c))::BIGINT AS k_ref
+        FROM u GROUP BY 1
     ),
     zc AS (
         SELECT lang, n_cur, k_cur, n_ref, k_ref,
-               CASE WHEN n_cur IS NOT NULL AND n_ref IS NOT NULL
-                         AND pp > 0 AND pp < 1
+               CASE WHEN n_cur > 0 AND n_ref > 0
+                         AND (k_cur + k_ref)::DOUBLE / (n_cur + n_ref) > 0
+                         AND (k_cur + k_ref)::DOUBLE / (n_cur + n_ref) < 1
                     THEN (k_cur / n_cur - k_ref / n_ref)
-                         / sqrt(pp * (1 - pp) * (1.0 / n_cur + 1.0 / n_ref))
+                         / sqrt(((k_cur + k_ref)::DOUBLE / (n_cur + n_ref))
+                                * (1 - (k_cur + k_ref)::DOUBLE
+                                       / (n_cur + n_ref))
+                                * (1.0 / n_cur + 1.0 / n_ref))
                END AS z
-        FROM j
+        FROM g
     )
     SELECT lang,
-           coalesce(n_cur, 0) AS n_current,
-           coalesce(k_cur, 0) AS k_current,
-           coalesce(n_ref, 0) AS n_reference,
-           coalesce(k_ref, 0) AS k_reference,
-           round(k_cur / n_cur, 6) AS rate_current,
-           round(k_ref / n_ref, 6) AS rate_reference,
+           n_cur AS n_current, k_cur AS k_current,
+           n_ref AS n_reference, k_ref AS k_reference,
+           round(CASE WHEN n_cur > 0 THEN k_cur / n_cur END, 6)
+               AS rate_current,
+           round(CASE WHEN n_ref > 0 THEN k_ref / n_ref END, 6)
+               AS rate_reference,
            round(z, 6) AS z,
            coalesce(abs(z) > 3.0, FALSE) AS is_drift
     FROM zc ORDER BY lang

@@ -724,21 +724,30 @@ def interval_violations(
     id_col: str | None = None,
 ) -> DataFrame:
     """Validity-interval integrity — the SCD2 / booking / lease check:
-    within each key, intervals must be well-formed (start <= end) and
-    non-overlapping (a new interval may START exactly where a previous
-    one ended, but not before). Emits one row per violating interval
-    with the violation kind and the furthest prior end it collides
-    with:
+    within each key, intervals must be well-formed and non-overlapping
+    (a new interval may START exactly where a previous one ended, but
+    not before). Emits one row per violating interval with the kind
+    and, for overlaps, the furthest prior end it collides with:
 
-    - ``inverted``: end < start (malformed row — reported first and
-      excluded from the overlap scan so one bad row doesn't cascade);
-    - ``overlap``: start < the running max end of all PRIOR intervals
-      of the key (ordered by start, end, then ``id_col``) — the
-      running max catches containment too, which lag(end) misses.
+    - ``null_bound``: NULL start or end (an unparseable timestamp
+      casts to NULL and lands here too). Open-ended SCD2 "current"
+      rows use this convention deliberately — coalesce the end to a
+      far-future sentinel BEFORE the check if open rows are legal in
+      your model; a generic integrity check must surface them, not
+      guess;
+    - ``inverted``: end < start (malformed — excluded from the
+      running max so one bad row doesn't cascade);
+    - ``overlap``: start < the running max end of all PRIOR
+      well-formed intervals of the key (ordered by start, end, then
+      ``id_col``) — the running max catches containment too, which
+      lag(end) misses.
 
-    One shuffle on the key; the running-max window is O(1) state per
-    row. Timestamps compare as integer epoch-micros, so the check is
-    engine-replayable to the microsecond.
+    ONE scan, one shuffle on the key, O(1) window state per row: the
+    classification is a single when-chain over the windowed
+    projection (null/inverted rows contribute NULL to the running
+    max, which max() ignores). Timestamps compare as integer
+    epoch-micros, so the check is engine-replayable to the
+    microsecond.
     """
     start_us = F.unix_micros(F.col(start_col).cast("timestamp"))
     end_us = F.unix_micros(F.col(end_col).cast("timestamp"))
@@ -750,31 +759,31 @@ def interval_violations(
         start_us.alias("__s"),
         end_us.alias("__e"),
     )
-    inverted = base.filter(F.col("__e") < F.col("__s")).select(
-        *([id_col] if id_col else []),
-        key_col,
-        start_col,
-        end_col,
-        F.lit("inverted").alias("violation"),
-        F.lit(None).cast("timestamp").alias("conflicts_until"),
-    )
     order = [F.col("__s"), F.col("__e")] + ([F.col(id_col)] if id_col else [])
     w = (
         Window.partitionBy(key_col)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    overlaps = (
-        base.filter(F.col("__e") >= F.col("__s"))
-        .withColumn("__prev_max_e", F.max("__e").over(w))
-        .filter(F.col("__s") < F.col("__prev_max_e"))
+    valid_end = F.when(F.col("__e") >= F.col("__s"), F.col("__e"))
+    windowed = base.withColumn("__pme", F.max(valid_end).over(w))
+    violation = (
+        F.when(F.col("__s").isNull() | F.col("__e").isNull(), "null_bound")
+        .when(F.col("__e") < F.col("__s"), "inverted")
+        .when(F.col("__s") < F.col("__pme"), "overlap")
+    )
+    return (
+        windowed.withColumn("violation", violation)
+        .filter(F.col("violation").isNotNull())
         .select(
             *([id_col] if id_col else []),
             key_col,
             start_col,
             end_col,
-            F.lit("overlap").alias("violation"),
-            F.timestamp_micros(F.col("__prev_max_e")).alias("conflicts_until"),
+            "violation",
+            F.when(
+                F.col("violation") == "overlap",
+                F.timestamp_micros(F.col("__pme")),
+            ).alias("conflicts_until"),
         )
     )
-    return inverted.unionByName(overlaps)

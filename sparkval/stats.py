@@ -1364,8 +1364,10 @@ def proportion_drift(
 
     z = (p_cur - p_ref) / sqrt(p_pool (1 - p_pool) (1/n_cur + 1/n_ref))
     with the pooled rate p_pool = (k_cur + k_ref) / (n_cur + n_ref).
-    NULL flags count as False (a missing flag is not a hit). One
-    conditional-sum aggregate per side over the scan — O(groups)
+    NULL flags count as False (a missing flag is not a hit). Tagged
+    union + ONE conditional-sum aggregate (the ks_drift/wasserstein
+    pattern), so a NULL group key is one group on both sides — a
+    join-on-key would split it into two unmatchable rows. O(groups)
     rows ever shuffle; z is NULL when either side is empty or the
     pooled rate is degenerate (0 or 1: no variance, nothing to test).
     """
@@ -1373,30 +1375,34 @@ def proportion_drift(
     gname = group_col if group_col else "group"
     hit = F.coalesce(flag.cast("boolean"), F.lit(False)).cast("long")
 
-    def side(df: DataFrame, prefix: str) -> DataFrame:
-        return df.groupBy(*groups).agg(
-            F.count(F.lit(1)).alias(f"n_{prefix}"),
-            F.sum(hit).alias(f"k_{prefix}"),
+    def side(df: DataFrame, cur: int) -> DataFrame:
+        return df.select(
+            *groups, hit.alias("__h"), F.lit(cur).alias("__c")
         )
 
-    j = side(current, "cur").join(side(reference, "ref"), gname, "full")
+    c = F.col("__c")
+    u = side(current, 1).unionByName(side(reference, 0)).groupBy(gname).agg(
+        F.sum(c).alias("n_cur"),
+        F.sum(F.col("__h") * c).alias("k_cur"),
+        F.sum(1 - c).alias("n_ref"),
+        F.sum(F.col("__h") * (1 - c)).alias("k_ref"),
+    )
     n_cur, k_cur = F.col("n_cur"), F.col("k_cur")
     n_ref, k_ref = F.col("n_ref"), F.col("k_ref")
-    p_cur = k_cur / n_cur
-    p_ref = k_ref / n_ref
+    p_cur = F.when(n_cur > 0, k_cur / n_cur)
+    p_ref = F.when(n_ref > 0, k_ref / n_ref)
     p_pool = (k_cur + k_ref) / (n_cur + n_ref)
     z = F.when(
-        n_cur.isNotNull() & n_ref.isNotNull()
-        & (p_pool > 0) & (p_pool < 1),
-        (p_cur - p_ref)
+        (n_cur > 0) & (n_ref > 0) & (p_pool > 0) & (p_pool < 1),
+        (k_cur / n_cur - k_ref / n_ref)
         / F.sqrt(p_pool * (1 - p_pool) * (1 / n_cur + 1 / n_ref)),
     )
-    return j.select(
+    return u.select(
         gname,
-        F.coalesce(n_cur, F.lit(0)).alias("n_current"),
-        F.coalesce(k_cur, F.lit(0)).alias("k_current"),
-        F.coalesce(n_ref, F.lit(0)).alias("n_reference"),
-        F.coalesce(k_ref, F.lit(0)).alias("k_reference"),
+        n_cur.alias("n_current"),
+        k_cur.alias("k_current"),
+        n_ref.alias("n_reference"),
+        k_ref.alias("k_reference"),
         F.round(p_cur, 6).alias("rate_current"),
         F.round(p_ref, 6).alias("rate_reference"),
         F.round(z, 6).alias("z"),

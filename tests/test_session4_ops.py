@@ -621,6 +621,59 @@ def test_interval_violations_overlap_containment_inverted(spark):
     assert str(out[4]["conflicts_until"]).startswith("2024-01-01 03:00:00")
 
 
+def test_interval_violations_null_bounds_are_surfaced(spark):
+    from sparkval.constraints import interval_violations
+
+    rows = [
+        (1, "u", "2024-01-01 00:00:00", None),                    # open end
+        (2, "u", None, "2024-01-01 01:00:00"),                    # null start
+        (3, "u", "2024-01-02 00:00:00", "2024-01-02 01:00:00"),   # clean
+    ]
+    out = {
+        r["event_id"]: r
+        for r in interval_violations(
+            _iv(spark, rows), "k", "s", "e", id_col="event_id"
+        ).collect()
+    }
+    # NULL bounds are reported, not silently dropped, and they don't
+    # poison the running max for clean rows
+    assert set(out) == {1, 2}
+    assert out[1]["violation"] == out[2]["violation"] == "null_bound"
+    assert out[1]["conflicts_until"] is None
+
+
+def test_interval_violations_single_scan(spark, sf_dir):
+    from sparkval.constraints import interval_violations
+
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id", "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+    )
+    plan = (
+        interval_violations(iv, "user_id", "s", "e", id_col="event_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_proportion_drift_null_group_is_one_group(spark):
+    from sparkval.stats import proportion_drift
+
+    cur = spark.createDataFrame(
+        pd.DataFrame({"g": [None, None, "x"], "hit": [True, False, True]})
+    )
+    ref = spark.createDataFrame(
+        pd.DataFrame({"g": [None, "x"], "hit": [False, True]})
+    )
+    rows = proportion_drift(cur, ref, F.col("hit"), group_col="g").collect()
+    null_rows = [r for r in rows if r["g"] is None]
+    # ONE row for the NULL group, with both sides populated
+    assert len(null_rows) == 1
+    assert null_rows[0]["n_current"] == 2 and null_rows[0]["n_reference"] == 1
+
+
 def test_interval_violations_inverted_rows_do_not_cascade(spark):
     from sparkval.constraints import interval_violations
 
