@@ -2974,6 +2974,21 @@ def q_interval_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_embedding_drift_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift (similarity.embedding_drift) between the
+    even- and odd-vec_id halves: cosine + L2 distance between the two
+    mean vectors and the worst-shifted dimension — the encoder-change
+    gate. Both sides collapse to per-dim moment rows at the scan; the
+    oracle replays the same sums over a constant 64-dim grid."""
+    from sparkval.pipeline.similarity import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -3095,6 +3110,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gap_fill_events": q_gap_fill_events,
     "proportion_drift_documents": q_proportion_drift_documents,
     "interval_violations_events": q_interval_violations_events,
+    "embedding_drift_embeddings": q_embedding_drift_embeddings,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5609,6 +5625,50 @@ ORACLE_SQL["interval_violations_events"] = """
            strftime(make_timestamp(pme), '%Y-%m-%d %H:%M:%S')
     FROM o WHERE s < pme
     ORDER BY event_id
+"""
+
+# embedding-drift oracle: per-dim sums over the constant 64-dim grid,
+# then the identical scalar formulas; worst_dim via arg_max (unique on
+# continuous data)
+ORACLE_SQL["embedding_drift_embeddings"] = """
+    WITH cur AS (
+        SELECT g.i - 1 AS dim, sum(embedding[g.i]::DOUBLE) AS s,
+               count(*)::BIGINT AS n
+        FROM embeddings, generate_series(1, 64) g(i)
+        WHERE g.i <= len(embedding) AND vec_id % 2 = 0
+        GROUP BY 1
+    ),
+    ref AS (
+        SELECT g.i - 1 AS dim, sum(embedding[g.i]::DOUBLE) AS s,
+               count(*)::BIGINT AS n
+        FROM embeddings, generate_series(1, 64) g(i)
+        WHERE g.i <= len(embedding) AND vec_id % 2 = 1
+        GROUP BY 1
+    ),
+    j AS (
+        SELECT cur.s / cur.n AS mc, ref.s / ref.n AS mr,
+               cur.s / cur.n - ref.s / ref.n AS d,
+               cur.n AS n_cur, ref.n AS n_ref, cur.dim AS dim
+        FROM cur FULL JOIN ref ON cur.dim = ref.dim
+    ),
+    a AS (
+        SELECT max(n_cur)::BIGINT AS n_current,
+               max(n_ref)::BIGINT AS n_reference,
+               sum(mc * mr) AS dot,
+               sqrt(sum(mc * mc)) AS na,
+               sqrt(sum(mr * mr)) AS nb,
+               sqrt(sum(d * d)) AS l2,
+               max(abs(d)) AS maxd,
+               arg_max(dim, abs(d)) AS wd
+        FROM j
+    )
+    SELECT n_current, n_reference,
+           round(CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) END, 6)
+               AS mean_cosine,
+           round(l2, 6) AS l2_shift,
+           round(maxd, 6) AS max_dim_shift,
+           wd::INT AS worst_dim
+    FROM a
 """
 
 ORACLE_SQL["key_candidates_lineitem"] = """

@@ -815,3 +815,65 @@ def bit_lsh_near_dups(
     )
     pairs = cosine_pairs_exact(dbl, cand, id_col, vec_col)
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def embedding_drift(
+    current: DataFrame, reference: DataFrame, col: str = "embedding"
+) -> DataFrame:
+    """Embedding-space drift between two snapshots — the "did the
+    encoder change under us?" gate a pipeline runs after any model
+    or preprocessing update, before trusting cached ANN indexes or
+    near-dup thresholds built on the old space. Compares the two
+    corpora's MEAN vectors:
+
+    - ``mean_cosine``: cosine between the mean vectors (1.0 = same
+      direction; degenerate zero-norm means emit NULL);
+    - ``l2_shift``: euclidean distance between the mean vectors;
+    - ``max_dim_shift`` / ``worst_dim``: the largest single-dimension
+      displacement and where it happened (the starting point for a
+      drill-down).
+
+    Scale shape: same monoid as embedding_stats — posexplode feeds a
+    per-dim partial hash-agg, so each side collapses to O(tasks x
+    dims) rows at the scan; the join and all scalars run on two
+    n_dims-row tables. Vectors never round-trip through Python.
+    """
+
+    def per_dim(df: DataFrame, s: str, n: str) -> DataFrame:
+        return (
+            df.select(F.posexplode(F.col(col)).alias("dim", "_v"))
+            .select("dim", F.col("_v").cast("double").alias("_v"))
+            .groupBy("dim")
+            .agg(F.sum("_v").alias(s), F.count(F.lit(1)).alias(n))
+        )
+
+    j = per_dim(current, "_s_cur", "_n_cur").join(
+        per_dim(reference, "_s_ref", "_n_ref"), "dim", "full"
+    )
+    m_cur = F.col("_s_cur") / F.col("_n_cur")
+    m_ref = F.col("_s_ref") / F.col("_n_ref")
+    d = m_cur - m_ref
+    agg = j.agg(
+        F.max("_n_cur").alias("n_current"),
+        F.max("_n_ref").alias("n_reference"),
+        F.sum(m_cur * m_ref).alias("_dot"),
+        F.sqrt(F.sum(m_cur * m_cur)).alias("_na"),
+        F.sqrt(F.sum(m_ref * m_ref)).alias("_nb"),
+        F.sqrt(F.sum(d * d)).alias("_l2"),
+        F.max(F.abs(d)).alias("_maxd"),
+        F.max_by("dim", F.abs(d)).alias("worst_dim"),
+    )
+    return agg.select(
+        "n_current",
+        "n_reference",
+        F.round(
+            F.when(
+                (F.col("_na") > 0) & (F.col("_nb") > 0),
+                F.col("_dot") / (F.col("_na") * F.col("_nb")),
+            ),
+            6,
+        ).alias("mean_cosine"),
+        F.round("_l2", 6).alias("l2_shift"),
+        F.round("_maxd", 6).alias("max_dim_shift"),
+        "worst_dim",
+    )

@@ -693,3 +693,45 @@ def test_interval_violations_inverted_rows_do_not_cascade(spark):
     out2 = {r["event_id"]: r["violation"] for r in interval_violations(
         _iv(spark, bad_first), "k", "s", "e", id_col="event_id").collect()}
     assert out2 == {1: "inverted"}  # row 2 unaffected by the malformed row
+
+
+# --------------------------------------------------------- embedding_drift
+
+def test_embedding_drift_known_shift(spark):
+    from sparkval.pipeline.similarity import embedding_drift
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    ref = rng.normal(0, 1, (50, 8))
+    cur = ref + np.array([0, 0, 0, 2.0, 0, 0, 0, 0])  # dim 3 shifted by 2
+
+    def df(m):
+        return spark.createDataFrame(
+            pd.DataFrame({"embedding": [list(map(float, r)) for r in m]})
+        )
+
+    r = embedding_drift(df(cur), df(ref)).collect()[0]
+    ma, mb = cur.mean(axis=0), ref.mean(axis=0)
+    want_cos = float(ma @ mb / (np.linalg.norm(ma) * np.linalg.norm(mb)))
+    assert r["n_current"] == r["n_reference"] == 50
+    assert r["mean_cosine"] == pytest.approx(want_cos, abs=1e-6)
+    assert r["l2_shift"] == pytest.approx(2.0, abs=1e-9)
+    assert r["max_dim_shift"] == pytest.approx(2.0, abs=1e-9)
+    assert r["worst_dim"] == 3
+
+
+def test_embedding_drift_identical_and_degenerate(spark):
+    from sparkval.pipeline.similarity import embedding_drift
+
+    same = spark.createDataFrame(
+        pd.DataFrame({"embedding": [[1.0, 2.0], [3.0, 4.0]]})
+    )
+    r = embedding_drift(same, same).collect()[0]
+    assert r["mean_cosine"] == 1.0 and r["l2_shift"] == 0.0
+    # zero-norm mean on one side: cosine is undefined -> NULL
+    zero = spark.createDataFrame(
+        pd.DataFrame({"embedding": [[1.0, 0.0], [-1.0, 0.0]]})
+    )
+    r2 = embedding_drift(zero, same).collect()[0]
+    assert r2["mean_cosine"] is None
+    assert r2["l2_shift"] is not None  # distance still defined
