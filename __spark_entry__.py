@@ -5646,14 +5646,17 @@ ORACLE_SQL["embedding_drift_embeddings"] = """
         GROUP BY 1
     ),
     j AS (
-        SELECT cur.s / cur.n AS mc, ref.s / ref.n AS mr,
-               cur.s / cur.n - ref.s / ref.n AS d,
-               cur.n AS n_cur, ref.n AS n_ref, cur.dim AS dim
+        SELECT coalesce(cur.s / cur.n, 0.0) AS mc,
+               coalesce(ref.s / ref.n, 0.0) AS mr,
+               coalesce(cur.s / cur.n, 0.0)
+                   - coalesce(ref.s / ref.n, 0.0) AS d,
+               cur.n AS n_cur, ref.n AS n_ref,
+               coalesce(cur.dim, ref.dim) AS dim
         FROM cur FULL JOIN ref ON cur.dim = ref.dim
     ),
     a AS (
-        SELECT max(n_cur)::BIGINT AS n_current,
-               max(n_ref)::BIGINT AS n_reference,
+        SELECT coalesce(max(n_cur), 0)::BIGINT AS n_current,
+               coalesce(max(n_ref), 0)::BIGINT AS n_reference,
                sum(mc * mr) AS dot,
                sqrt(sum(mc * mc)) AS na,
                sqrt(sum(mr * mr)) AS nb,

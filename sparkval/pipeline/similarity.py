@@ -682,6 +682,24 @@ def random_projection(
     ).mapInPandas(project, schema)
 
 
+def _per_dim_moments(df: DataFrame, col: str) -> DataFrame:
+    """The per-dimension (sum, sumsq, n) moment monoid shared by
+    embedding_stats and embedding_drift: posexplode -> double cast ->
+    groupBy(dim) with map-side partials, so each task collapses to
+    n_dims rows before the exchange. These rows are the persistable
+    per-shard stats artifact both operators document."""
+    return (
+        df.select(F.posexplode(F.col(col)).alias("dim", "_v"))
+        .select("dim", F.col("_v").cast("double").alias("_v"))
+        .groupBy("dim")
+        .agg(
+            F.sum("_v").alias("_s"),
+            F.sum(F.col("_v") * F.col("_v")).alias("_ss"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+
+
 def embedding_stats(df: DataFrame, col: str = "embedding") -> DataFrame:
     """Embedding-quality diagnostics: per-dimension mean and
     population std plus the corpus ANISOTROPY ratio
@@ -699,14 +717,7 @@ def embedding_stats(df: DataFrame, col: str = "embedding") -> DataFrame:
     scalar agg over a higher-order fold. Variance comes from the
     (sum, sumsq, n) moment monoid — the same partials a persisted
     per-shard stats table would merge."""
-    exploded = df.select(
-        F.posexplode(F.col(col)).alias("dim", "_v")
-    ).select("dim", F.col("_v").cast("double").alias("_v"))
-    per_dim = exploded.groupBy("dim").agg(
-        F.sum("_v").alias("_s"),
-        F.sum(F.col("_v") * F.col("_v")).alias("_ss"),
-        F.count(F.lit(1)).alias("_n"),
-    )
+    per_dim = _per_dim_moments(df, col)
     norm = F.sqrt(
         F.aggregate(
             F.col(col),
@@ -839,23 +850,24 @@ def embedding_drift(
     n_dims-row tables. Vectors never round-trip through Python.
     """
 
-    def per_dim(df: DataFrame, s: str, n: str) -> DataFrame:
-        return (
-            df.select(F.posexplode(F.col(col)).alias("dim", "_v"))
-            .select("dim", F.col("_v").cast("double").alias("_v"))
-            .groupBy("dim")
-            .agg(F.sum("_v").alias(s), F.count(F.lit(1)).alias(n))
+    def side(df: DataFrame, s: str, n: str) -> DataFrame:
+        return _per_dim_moments(df, col).select(
+            "dim", F.col("_s").alias(s), F.col("_n").alias(n)
         )
 
-    j = per_dim(current, "_s_cur", "_n_cur").join(
-        per_dim(reference, "_s_ref", "_n_ref"), "dim", "full"
+    j = side(current, "_s_cur", "_n_cur").join(
+        side(reference, "_s_ref", "_n_ref"), "dim", "full"
     )
-    m_cur = F.col("_s_cur") / F.col("_n_cur")
-    m_ref = F.col("_s_ref") / F.col("_n_ref")
+    # a dimension present in only ONE snapshot (ragged vectors, encoder
+    # width change) zero-pads on the missing side — it contributes its
+    # full mean as displacement instead of silently dropping out
+    m_cur = F.coalesce(F.col("_s_cur") / F.col("_n_cur"), F.lit(0.0))
+    m_ref = F.coalesce(F.col("_s_ref") / F.col("_n_ref"), F.lit(0.0))
     d = m_cur - m_ref
     agg = j.agg(
-        F.max("_n_cur").alias("n_current"),
-        F.max("_n_ref").alias("n_reference"),
+        # empty snapshot => 0 rows on that side: report n = 0, never NULL
+        F.coalesce(F.max("_n_cur"), F.lit(0).cast("long")).alias("n_current"),
+        F.coalesce(F.max("_n_ref"), F.lit(0).cast("long")).alias("n_reference"),
         F.sum(m_cur * m_ref).alias("_dot"),
         F.sqrt(F.sum(m_cur * m_cur)).alias("_na"),
         F.sqrt(F.sum(m_ref * m_ref)).alias("_nb"),

@@ -735,3 +735,25 @@ def test_embedding_drift_identical_and_degenerate(spark):
     r2 = embedding_drift(zero, same).collect()[0]
     assert r2["mean_cosine"] is None
     assert r2["l2_shift"] is not None  # distance still defined
+
+
+def test_embedding_drift_ragged_dims_zero_pad(spark):
+    from sparkval.pipeline.similarity import embedding_drift
+    import numpy as np
+
+    # encoder width change: current is 4-dim, reference is 2-dim; the
+    # two new dims must contribute their full mean as displacement
+    cur = spark.createDataFrame(
+        pd.DataFrame({"embedding": [[1.0, 1.0, 3.0, 0.0], [1.0, 1.0, 3.0, 0.0]]})
+    )
+    ref = spark.createDataFrame(
+        pd.DataFrame({"embedding": [[1.0, 1.0], [1.0, 1.0]]})
+    )
+    r = embedding_drift(cur, ref).collect()[0]
+    assert r["l2_shift"] == pytest.approx(3.0, abs=1e-9)
+    assert r["max_dim_shift"] == pytest.approx(3.0, abs=1e-9)
+    assert r["worst_dim"] == 2
+    # empty snapshot: counts are 0, not NULL
+    empty = cur.filter(F.lit(False))
+    r2 = embedding_drift(empty, ref).collect()[0]
+    assert r2["n_current"] == 0 and r2["n_reference"] == 2
