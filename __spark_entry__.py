@@ -2989,6 +2989,19 @@ def q_embedding_drift_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_numeric_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram profile (stats.numeric_histogram): 20
+    fixed-shape bins of `value` per event type, empty bins emitted
+    with n = 0 — the profiling staple and the pinned-bin input a
+    PSI-style gate consumes. Zero sorting: closed-form bin index over
+    broadcast per-group bounds; the oracle replays the identical
+    float bin arithmetic."""
+    from sparkval.stats import numeric_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return numeric_histogram(ev, "value", n_bins=20, group_col="event_type")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -3111,6 +3124,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "proportion_drift_documents": q_proportion_drift_documents,
     "interval_violations_events": q_interval_violations_events,
     "embedding_drift_embeddings": q_embedding_drift_embeddings,
+    "numeric_histogram_events": q_numeric_histogram_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5672,6 +5686,40 @@ ORACLE_SQL["embedding_drift_embeddings"] = """
            round(maxd, 6) AS max_dim_shift,
            wd::INT AS worst_dim
     FROM a
+"""
+
+# histogram oracle: identical closed-form bin arithmetic (floor over
+# the same IEEE quotient; max pinned into the last bin), dense grid
+# zero-filled
+ORACLE_SQL["numeric_histogram_events"] = """
+    WITH vals AS (
+        SELECT event_type, value::DOUBLE AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+        SELECT event_type, min(v) AS lo, max(v) AS hi
+        FROM vals GROUP BY 1
+    ),
+    binned AS (
+        SELECT vals.event_type,
+               (CASE WHEN hi > lo
+                     THEN least(floor((v - lo) / ((hi - lo) / 20.0)), 19)
+                     ELSE 0 END)::BIGINT AS bin,
+               count(*)::BIGINT AS n
+        FROM vals JOIN b ON vals.event_type = b.event_type
+        GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT event_type, lo, hi, unnest(range(0, 20)) AS bin FROM b
+    )
+    SELECT d.event_type,
+           d.bin,
+           round(lo + (hi - lo) / 20.0 * d.bin, 6) AS bin_lo,
+           round(CASE WHEN d.bin = 19 THEN hi
+                 ELSE lo + (hi - lo) / 20.0 * (d.bin + 1) END, 6) AS bin_hi,
+           coalesce(n, 0)::BIGINT AS n
+    FROM dense d LEFT JOIN binned USING (event_type, bin)
+    ORDER BY 1, 2
 """
 
 ORACLE_SQL["key_candidates_lineitem"] = """

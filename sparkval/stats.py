@@ -1408,3 +1408,71 @@ def proportion_drift(
         F.round(z, 6).alias("z"),
         F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_drift"),
     ).orderBy(gname)
+
+
+def numeric_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 20,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Equal-width histogram profile of a numeric column, optionally
+    per group — the TFDV/profiling staple for eyeballing a
+    distribution and the pinned-bin input a PSI-style gate wants.
+    Returns one row per (group, bin) with the bin's [lo, hi) edges
+    and count; EMPTY bins are emitted with n = 0 (a gap in the
+    support is information, and fixed-shape output diffs cleanly
+    across snapshots). A single-point support collapses to bin 0.
+
+    Zero sorting anywhere: pass 1 collapses each group to (min, max)
+    at the scan; pass 2 computes the bin index closed-form
+    (least(floor((v - lo) / w), n_bins - 1), so the max lands in the
+    last bin) and hash-aggregates. The dense bin grid is a
+    sequence() explode over the O(groups) bounds table. Two scans of
+    one column, shuffles of O(groups x n_bins) rows only.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1: {n_bins}")
+    groups = [F.col(group_col)] if group_col else [F.lit("all").alias("group")]
+    gname = group_col if group_col else "group"
+    v = F.col(value_col).cast("double")
+    vals = df.filter(v.isNotNull()).select(*groups, v.alias("__v"))
+    bounds = vals.groupBy(gname).agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    binned = (
+        vals.join(F.broadcast(bounds), gname)
+        .select(
+            gname,
+            F.when(F.col("__hi") > F.col("__lo"),
+                   F.least(
+                       F.floor((F.col("__v") - F.col("__lo")) / width),
+                       F.lit(n_bins - 1).cast("long"),
+                   ))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bin"),
+        )
+        .groupBy(gname, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dense = bounds.select(
+        gname, "__lo", "__hi",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+    )
+    w_ = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    return (
+        dense.join(binned, [gname, "bin"], "left")
+        .select(
+            gname,
+            F.col("bin").cast("long").alias("bin"),
+            F.round(F.col("__lo") + w_ * F.col("bin"), 6).alias("bin_lo"),
+            F.round(
+                F.when(F.col("bin") == n_bins - 1, F.col("__hi"))
+                .otherwise(F.col("__lo") + w_ * (F.col("bin") + 1)),
+                6,
+            ).alias("bin_hi"),
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+        )
+        .orderBy(gname, "bin")
+    )

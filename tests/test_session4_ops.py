@@ -757,3 +757,45 @@ def test_embedding_drift_ragged_dims_zero_pad(spark):
     empty = cur.filter(F.lit(False))
     r2 = embedding_drift(empty, ref).collect()[0]
     assert r2["n_current"] == 0 and r2["n_reference"] == 2
+
+
+# -------------------------------------------------------- numeric_histogram
+
+def test_numeric_histogram_bins_and_zero_fill(spark):
+    from sparkval.stats import numeric_histogram
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["x"] * 5, "v": [0.0, 1.0, 1.5, 9.9, 10.0]})
+    )
+    out = numeric_histogram(df, "v", n_bins=5, group_col="g").collect()
+    assert len(out) == 5  # fixed shape: every bin emitted
+    by_bin = {r["bin"]: r for r in out}
+    # width 2: [0,2) holds 0,1,1.5; [8,10] holds 9.9 and the max
+    assert by_bin[0]["n"] == 3
+    assert by_bin[4]["n"] == 2  # max value pinned INTO the last bin
+    assert by_bin[1]["n"] == by_bin[2]["n"] == by_bin[3]["n"] == 0
+    assert by_bin[0]["bin_lo"] == 0.0 and by_bin[0]["bin_hi"] == 2.0
+    assert by_bin[4]["bin_hi"] == 10.0
+    assert sum(r["n"] for r in out) == 5  # counts partition the rows
+
+
+def test_numeric_histogram_single_point_support(spark):
+    from sparkval.stats import numeric_histogram
+
+    df = spark.createDataFrame(pd.DataFrame({"g": ["x"] * 3, "v": [7.0] * 3}))
+    out = numeric_histogram(df, "v", n_bins=4, group_col="g").collect()
+    by_bin = {r["bin"]: r["n"] for r in out}
+    assert by_bin[0] == 3 and sum(by_bin.values()) == 3
+
+
+def test_numeric_histogram_plan_no_sort_no_python(spark, sf_dir):
+    from sparkval.stats import numeric_histogram
+
+    ev = load(spark, sf_dir, "events")
+    plan = (
+        numeric_histogram(ev, "value", group_col="event_type")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # bounds broadcast back
