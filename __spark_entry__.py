@@ -5694,7 +5694,7 @@ ORACLE_SQL["embedding_drift_embeddings"] = """
 ORACLE_SQL["numeric_histogram_events"] = """
     WITH vals AS (
         SELECT event_type, value::DOUBLE AS v
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
     ),
     b AS (
         SELECT event_type, min(v) AS lo, max(v) AS hi
@@ -5706,7 +5706,7 @@ ORACLE_SQL["numeric_histogram_events"] = """
                      THEN least(floor((v - lo) / ((hi - lo) / 20.0)), 19)
                      ELSE 0 END)::BIGINT AS bin,
                count(*)::BIGINT AS n
-        FROM vals JOIN b ON vals.event_type = b.event_type
+        FROM vals JOIN b ON vals.event_type IS NOT DISTINCT FROM b.event_type
         GROUP BY 1, 2
     ),
     dense AS (
@@ -5718,7 +5718,9 @@ ORACLE_SQL["numeric_histogram_events"] = """
            round(CASE WHEN d.bin = 19 THEN hi
                  ELSE lo + (hi - lo) / 20.0 * (d.bin + 1) END, 6) AS bin_hi,
            coalesce(n, 0)::BIGINT AS n
-    FROM dense d LEFT JOIN binned USING (event_type, bin)
+    FROM dense d LEFT JOIN binned
+        ON d.event_type IS NOT DISTINCT FROM binned.event_type
+        AND d.bin = binned.bin
     ORDER BY 1, 2
 """
 

@@ -288,6 +288,18 @@ def mad_outliers(
     )
 
 
+def _bin_index(v, lo, width, n_bins: int, clamp_low: bool):
+    """Closed-form equal-width bin index shared by psi_report (pinned
+    literal bounds, clamped at both ends) and numeric_histogram
+    (data-derived Column bounds, lower clamp unnecessary: v >= lo by
+    construction). floor((v - lo) / width) with the top edge pinned
+    into the last bin."""
+    raw = F.floor((v - lo) / width)
+    if clamp_low:
+        raw = F.greatest(raw, F.lit(0))
+    return F.least(raw, F.lit(n_bins - 1)).cast("long")
+
+
 def psi_report(
     current: DataFrame,
     reference: DataFrame,
@@ -322,12 +334,9 @@ def psi_report(
     gname = group_col if group_col else "group"
 
     def bin_counts(df: DataFrame, alias: str) -> DataFrame:
-        b = F.least(
-            F.greatest(
-                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)
-            ),
-            F.lit(n_bins - 1),
-        ).cast("int")
+        b = _bin_index(
+            F.col(value_col), F.lit(lo), F.lit(width), n_bins, clamp_low=True
+        )
         return (
             df.filter(F.col(value_col).isNotNull())
             .select(*groups, b.alias("bin"))
@@ -1423,56 +1432,75 @@ def numeric_histogram(
     and count; EMPTY bins are emitted with n = 0 (a gap in the
     support is information, and fixed-shape output diffs cleanly
     across snapshots). A single-point support collapses to bin 0.
+    NULL and NaN values are excluded (NaN would poison the bounds
+    and bin every engine differently); a NULL group key is a group
+    like any other (null-safe joins throughout).
 
-    Zero sorting anywhere: pass 1 collapses each group to (min, max)
-    at the scan; pass 2 computes the bin index closed-form
-    (least(floor((v - lo) / w), n_bins - 1), so the max lands in the
-    last bin) and hash-aggregates. The dense bin grid is a
-    sequence() explode over the O(groups) bounds table. Two scans of
-    one column, shuffles of O(groups x n_bins) rows only.
+    Zero sorting: the per-group (min, max) bounds collapse at the
+    scan and broadcast back into a closed-form bin-index projection
+    (shared with psi_report) plus one hash aggregate; the dense bin
+    grid is a sequence() explode over the O(groups) bounds table.
+    The bounds subtree feeds two consumers (the bin projection and
+    the grid), so worst case the column scans once more than the
+    documented two passes when Catalyst cannot reuse the exchange —
+    cache the input upstream if that matters. Shuffles carry
+    O(groups x n_bins) rows only.
     """
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1: {n_bins}")
-    groups = [F.col(group_col)] if group_col else [F.lit("all").alias("group")]
+    if group_col in ("bin", "bin_lo", "bin_hi", "n"):
+        raise ValueError(f"group_col collides with an output column: {group_col!r}")
+    g = F.col(group_col) if group_col else F.lit("all")
     gname = group_col if group_col else "group"
     v = F.col(value_col).cast("double")
-    vals = df.filter(v.isNotNull()).select(*groups, v.alias("__v"))
-    bounds = vals.groupBy(gname).agg(
+    vals = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        g.alias("__g"), v.alias("__v")
+    )
+    bounds = vals.groupBy("__g").agg(
         F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
     )
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    b = F.broadcast(bounds).alias("b")
     binned = (
-        vals.join(F.broadcast(bounds), gname)
+        vals.alias("v")
+        .join(b, F.col("v.__g").eqNullSafe(F.col("b.__g")))
         .select(
-            gname,
-            F.when(F.col("__hi") > F.col("__lo"),
-                   F.least(
-                       F.floor((F.col("__v") - F.col("__lo")) / width),
-                       F.lit(n_bins - 1).cast("long"),
-                   ))
+            F.col("v.__g").alias("__g"),
+            F.when(
+                F.col("__hi") > F.col("__lo"),
+                _bin_index(
+                    F.col("__v"), F.col("__lo"), width, n_bins, clamp_low=False
+                ),
+            )
             .otherwise(F.lit(0).cast("long"))
-            .alias("bin"),
+            .alias("__bin"),
         )
-        .groupBy(gname, "bin")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("__g", "__bin")
+        .agg(F.count(F.lit(1)).alias("__n"))
     )
     dense = bounds.select(
-        gname, "__lo", "__hi",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+        "__g", "__lo", "__hi",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("__bin"),
     )
     w_ = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
     return (
-        dense.join(binned, [gname, "bin"], "left")
+        dense.alias("d")
+        .join(
+            binned.alias("c"),
+            F.col("d.__g").eqNullSafe(F.col("c.__g"))
+            & (F.col("d.__bin") == F.col("c.__bin")),
+            "left",
+        )
         .select(
-            gname,
-            F.col("bin").cast("long").alias("bin"),
-            F.round(F.col("__lo") + w_ * F.col("bin"), 6).alias("bin_lo"),
+            F.col("d.__g").alias(gname),
+            F.col("d.__bin").cast("long").alias("bin"),
+            F.round(F.col("__lo") + w_ * F.col("d.__bin"), 6).alias("bin_lo"),
             F.round(
-                F.when(F.col("bin") == n_bins - 1, F.col("__hi"))
-                .otherwise(F.col("__lo") + w_ * (F.col("bin") + 1)),
+                F.when(F.col("d.__bin") == n_bins - 1, F.col("__hi"))
+                .otherwise(F.col("__lo") + w_ * (F.col("d.__bin") + 1)),
                 6,
             ).alias("bin_hi"),
-            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+            F.coalesce(F.col("__n"), F.lit(0).cast("long")).alias("n"),
         )
         .orderBy(gname, "bin")
     )

@@ -799,3 +799,25 @@ def test_numeric_histogram_plan_no_sort_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # bounds broadcast back
+
+
+def test_numeric_histogram_null_group_and_nan(spark):
+    from sparkval.stats import numeric_histogram
+    import math as _m
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "g": [None, None, "x", "x"],
+                "v": [1.0, 3.0, 5.0, _m.nan],
+            }
+        )
+    )
+    out = numeric_histogram(df, "v", n_bins=2, group_col="g").collect()
+    null_rows = [r for r in out if r["g"] is None]
+    x_rows = [r for r in out if r["g"] == "x"]
+    # NULL group keeps its counts (null-safe joins), NaN excluded
+    assert sum(r["n"] for r in null_rows) == 2
+    assert sum(r["n"] for r in x_rows) == 1
+    with pytest.raises(ValueError, match="collides"):
+        numeric_histogram(df.withColumnRenamed("g", "bin"), "v", group_col="bin")
