@@ -3002,6 +3002,41 @@ def q_numeric_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numeric_histogram(ev, "value", n_bins=20, group_col="event_type")
 
 
+def q_table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint (constraints.
+    table_fingerprint) over orders' integer/string columns: one row of
+    (count, xor-of-row-hashes, min/max hash) — the no-sort migration
+    reconciliation scalar. The oracle recomputes the identical
+    sha256-derived 60-bit row hashes and folds."""
+    from sparkval.constraints import table_fingerprint
+
+    orders = _t(spark, sf_dir, "orders")
+    return table_fingerprint(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+def q_split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit (sampling.cross_split_leakage) with
+    planted exact copies: every 10th doc gets a copy under an
+    independent id (id + 200000), so hash_split assigns the pair's
+    sides independently and a deterministic subset crosses splits —
+    byte-identical eval rows inside train. The oracle replays the
+    split arithmetic, the content hash, and the pair counting."""
+    from sparkval.pipeline.sampling import cross_split_leakage
+
+    docs = _t(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    planted = docs.select("doc_id", "text").unionByName(copies)
+    out = cross_split_leakage(planted)
+    return out.select(
+        "split_a", "split_b", "n_leaked_pairs",
+        F.col("n_leaked_contents").cast("long").alias("n_leaked_contents"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -3125,6 +3160,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_violations_events": q_interval_violations_events,
     "embedding_drift_embeddings": q_embedding_drift_embeddings,
     "numeric_histogram_events": q_numeric_histogram_events,
+    "table_fingerprint_orders": q_table_fingerprint_orders,
+    "split_leakage_documents": q_split_leakage_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5722,6 +5759,49 @@ ORACLE_SQL["numeric_histogram_events"] = """
         ON d.event_type IS NOT DISTINCT FROM binned.event_type
         AND d.bin = binned.bin
     ORDER BY 1, 2
+"""
+
+ORACLE_SQL["table_fingerprint_orders"] = """
+    WITH h AS (
+        SELECT ('0x' || substr(sha256(concat_ws(chr(31),
+                   coalesce(o_orderkey::VARCHAR, chr(0) || 'NULL'),
+                   coalesce(o_custkey::VARCHAR, chr(0) || 'NULL'),
+                   coalesce(o_orderstatus, chr(0) || 'NULL'),
+                   coalesce(o_orderpriority, chr(0) || 'NULL'))),
+               1, 15))::BIGINT AS v
+        FROM orders
+    )
+    SELECT count(*)::BIGINT AS n_rows,
+           bit_xor(v)::BIGINT AS xor_hash,
+           min(v) AS min_hash,
+           max(v) AS max_hash
+    FROM h
+"""
+
+# leakage oracle: split arithmetic (hash_split's bucket math), planted
+# copies under independent ids, content-hash self-join across splits
+ORACLE_SQL["split_leakage_documents"] = """
+    WITH planted AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    s AS (
+        SELECT sha256(coalesce(text, '')) AS h,
+               CASE WHEN b < 800 THEN 'train'
+                    WHEN b < 900 THEN 'val' ELSE 'test' END AS split
+        FROM (
+            SELECT text,
+                   ('0x' || substr(sha256(doc_id::VARCHAR), 1, 4))::BIGINT
+                       % 1000 AS b
+            FROM planted
+        )
+    )
+    SELECT a.split AS split_a, b.split AS split_b,
+           count(*)::BIGINT AS n_leaked_pairs,
+           count(DISTINCT a.h)::BIGINT AS n_leaked_contents
+    FROM s a JOIN s b ON a.h = b.h AND a.split < b.split
+    GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 ORACLE_SQL["key_candidates_lineitem"] = """

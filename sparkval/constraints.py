@@ -787,3 +787,38 @@ def interval_violations(
             ).alias("conflicts_until"),
         )
     )
+
+
+def table_fingerprint(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-independent whole-table fingerprint: ONE row summarizing
+    the table's content so two engines / snapshots / replicas can be
+    compared without sorting or shipping rows — the cheap first check
+    of any migration ("same fingerprint -> move on; different ->
+    run corpus_diff to find out where").
+
+    Per row: a 60-bit hash of the selected columns (sha256 over a
+    0x1F-joined canonical string; NULL encodes distinctly from the
+    string 'NULL'). Aggregated order-independently: row count, XOR of
+    hashes, and min/max hash. XOR alone cancels duplicate rows of
+    even multiplicity, so the count and extrema corroborate it —
+    collisions require matching all four. Avoid float columns across
+    engines (string renderings differ); cast them to fixed decimals
+    upstream.
+
+    One scan, zero shuffle beyond the single partial-aggregated
+    scalar row. sha256 is codegen'd JVM — compute-dense, scan-speed.
+    """
+    canon = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in cols
+        ],
+    )
+    h = F.conv(F.substring(F.sha2(canon, 256), 1, 15), 16, 10).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(h).alias("xor_hash"),
+        F.min(h).alias("min_hash"),
+        F.max(h).alias("max_hash"),
+    )

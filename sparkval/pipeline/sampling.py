@@ -507,3 +507,52 @@ def priority_sample(
         "weight",
         F.round("__p", 8).alias("priority"),
     )
+
+
+def cross_split_leakage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    permille: dict[str, int] | None = None,
+) -> DataFrame:
+    """Train/val/test leakage audit: exact-content duplicates that
+    hash_split assigned to DIFFERENT splits. hash_split keys on the
+    id, so two ids with identical text land wherever their id hashes
+    say — byte-identical eval examples inside the training split are
+    exactly the contamination an evaluation must not have. Returns
+    one row per unordered split pair with the number of leaking
+    pairs and distinct leaked contents.
+
+    Plan: split assignment is a pure projection (hash_split), the
+    content key is sha256 (codegen), and the leak detection is one
+    self-join on the content hash restricted to split_a < split_b —
+    shuffle carries (hash, split) only, never text. Run it before
+    publishing any split manifest; the remedy is dedup-then-split,
+    never resplit (id-keyed splits must stay stable).
+    """
+    s = hash_split(df.select(id_col, text_col), permille=permille)
+    keyed = s.select(
+        F.col(id_col).alias("__id"),
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")).cast("binary"), 256).alias(
+            "__h"
+        ),
+        F.col("split"),
+    )
+    a = keyed.select(
+        F.col("__h"), F.col("__id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    b = keyed.select(
+        F.col("__h"), F.col("__id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    # splits partition the id space, so split_a < split_b alone keys
+    # each unordered cross-split pair exactly once (same-split dups
+    # are dedup's business, not leakage)
+    pairs = a.join(b, "__h").filter(F.col("split_a") < F.col("split_b"))
+    return (
+        pairs.groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_leaked_pairs"),
+            F.countDistinct("__h").alias("n_leaked_contents"),
+        )
+        .orderBy("split_a", "split_b")
+    )

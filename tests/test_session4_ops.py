@@ -821,3 +821,52 @@ def test_numeric_histogram_null_group_and_nan(spark):
     assert sum(r["n"] for r in x_rows) == 1
     with pytest.raises(ValueError, match="collides"):
         numeric_histogram(df.withColumnRenamed("g", "bin"), "v", group_col="bin")
+
+
+# -------------------------------------------------------- table_fingerprint
+
+def test_table_fingerprint_order_independent_and_sensitive(spark):
+    from sparkval.constraints import table_fingerprint
+
+    pdf = pd.DataFrame({"a": range(100), "b": [f"s{i % 7}" for i in range(100)]})
+    df = spark.createDataFrame(pdf)
+    f1 = table_fingerprint(df, ["a", "b"]).collect()[0]
+    f2 = table_fingerprint(df.repartition(13).orderBy(F.rand(7)), ["a", "b"]).collect()[0]
+    assert f1 == f2  # pure function of content, not layout
+    changed = spark.createDataFrame(pdf.assign(b=pdf.b.mask(pdf.index == 50, "XX")))
+    f3 = table_fingerprint(changed, ["a", "b"]).collect()[0]
+    assert f3["xor_hash"] != f1["xor_hash"] and f3["n_rows"] == f1["n_rows"]
+
+
+def test_table_fingerprint_null_distinct_from_null_string(spark):
+    from sparkval.constraints import table_fingerprint
+
+    with_null = spark.createDataFrame(pd.DataFrame({"a": [1], "b": [None]}))
+    with_str = spark.createDataFrame(pd.DataFrame({"a": [1], "b": ["NULL"]}))
+    h1 = table_fingerprint(with_null, ["a", "b"]).collect()[0]["xor_hash"]
+    h2 = table_fingerprint(with_str, ["a", "b"]).collect()[0]["xor_hash"]
+    assert h1 != h2
+
+
+# ------------------------------------------------------ cross_split_leakage
+
+def test_cross_split_leakage_detects_planted_and_clean_is_empty(spark):
+    from sparkval.pipeline.sampling import cross_split_leakage, hash_split
+
+    base = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(200), "text": [f"t{i}" for i in range(200)]})
+    )
+    assert cross_split_leakage(base).count() == 0  # unique contents: clean
+    copies = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    leaky = base.unionByName(copies)
+    out = cross_split_leakage(leaky).collect()
+    total_pairs = sum(r["n_leaked_pairs"] for r in out)
+    # every (orig, copy) pair whose ids hashed to different splits leaks
+    s = {r["doc_id"]: r["split"] for r in hash_split(
+        leaky.select("doc_id")).collect()}
+    want = sum(1 for i in range(200) if s[i] != s[i + 1000])
+    assert total_pairs == want and want > 0
+    for r in out:
+        assert r["split_a"] < r["split_b"]
