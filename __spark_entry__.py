@@ -3037,6 +3037,23 @@ def q_split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profile (stats.profile_table) over lineitem's
+    integer/string columns: per column, rows / nulls / EXACT distinct
+    count / min / max from a single multi-distinct aggregate. Floats
+    and timestamps excluded (their string renderings differ across
+    engines; the op profiles them fine, the cross-engine compare
+    would not)."""
+    from sparkval.stats import profile_table
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_table(
+        li,
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+         "l_returnflag", "l_linestatus"],
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -3162,6 +3179,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "numeric_histogram_events": q_numeric_histogram_events,
     "table_fingerprint_orders": q_table_fingerprint_orders,
     "split_leakage_documents": q_split_leakage_documents,
+    "profile_lineitem": q_profile_lineitem,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5802,6 +5820,64 @@ ORACLE_SQL["split_leakage_documents"] = """
            count(DISTINCT a.h)::BIGINT AS n_leaked_contents
     FROM s a JOIN s b ON a.h = b.h AND a.split < b.split
     GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# profile oracle: one scalar block per column, UNION ALL'd — the same
+# exact aggregates the one-pass Spark plan computes via Expand
+ORACLE_SQL["profile_lineitem"] = """
+    WITH p AS (
+        SELECT 'l_orderkey' AS column_name,
+               count(*)::BIGINT AS n_rows,
+               sum((l_orderkey IS NULL)::INT)::BIGINT AS n_nulls,
+               count(DISTINCT l_orderkey)::BIGINT AS n_distinct,
+               min(l_orderkey)::VARCHAR AS min_value,
+               max(l_orderkey)::VARCHAR AS max_value
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey' AS column_name,
+               count(*)::BIGINT AS n_rows,
+               sum((l_partkey IS NULL)::INT)::BIGINT AS n_nulls,
+               count(DISTINCT l_partkey)::BIGINT AS n_distinct,
+               min(l_partkey)::VARCHAR AS min_value,
+               max(l_partkey)::VARCHAR AS max_value
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey' AS column_name,
+               count(*)::BIGINT AS n_rows,
+               sum((l_suppkey IS NULL)::INT)::BIGINT AS n_nulls,
+               count(DISTINCT l_suppkey)::BIGINT AS n_distinct,
+               min(l_suppkey)::VARCHAR AS min_value,
+               max(l_suppkey)::VARCHAR AS max_value
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linenumber' AS column_name,
+               count(*)::BIGINT AS n_rows,
+               sum((l_linenumber IS NULL)::INT)::BIGINT AS n_nulls,
+               count(DISTINCT l_linenumber)::BIGINT AS n_distinct,
+               min(l_linenumber)::VARCHAR AS min_value,
+               max(l_linenumber)::VARCHAR AS max_value
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag' AS column_name,
+               count(*)::BIGINT AS n_rows,
+               sum((l_returnflag IS NULL)::INT)::BIGINT AS n_nulls,
+               count(DISTINCT l_returnflag)::BIGINT AS n_distinct,
+               min(l_returnflag)::VARCHAR AS min_value,
+               max(l_returnflag)::VARCHAR AS max_value
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus' AS column_name,
+               count(*)::BIGINT AS n_rows,
+               sum((l_linestatus IS NULL)::INT)::BIGINT AS n_nulls,
+               count(DISTINCT l_linestatus)::BIGINT AS n_distinct,
+               min(l_linestatus)::VARCHAR AS min_value,
+               max(l_linestatus)::VARCHAR AS max_value
+        FROM lineitem
+    )
+    SELECT column_name, n_rows, n_nulls, n_distinct,
+           round(n_nulls::DOUBLE / greatest(n_rows, 1), 6) AS null_frac,
+           min_value, max_value
+    FROM p ORDER BY column_name
 """
 
 ORACLE_SQL["key_candidates_lineitem"] = """

@@ -1504,3 +1504,59 @@ def numeric_histogram(
         )
         .orderBy(gname, "bin")
     )
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-scan whole-table column profile — the deequ/TFDV-style
+    first look at an unfamiliar table: one output row per column with
+    row count, null count, EXACT distinct count, and min/max (typed
+    comparison, rendered as strings for the uniform output schema).
+
+    Everything computes in ONE aggregate pass: Catalyst plans the
+    multi-distinct via Expand (each input row copies once per
+    profiled column, map-side partially deduped), so profiling N
+    columns costs one scan plus an O(N x distinct values) shuffle —
+    not N scans. For web-scale tables where exact distincts are too
+    hot, use distinct_sketches (HLL) per column instead; this op is
+    the exact, oracle-replayable form. Float columns profile fine
+    internally, but min/max STRING RENDERINGS of floats differ
+    across engines — keep them out of cross-engine comparisons.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
+    import re
+
+    for c in cols:
+        if not re.fullmatch(r"[A-Za-z0-9_]+", c):
+            raise ValueError(f"column name must be [A-Za-z0-9_]+: {c!r}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{i}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__d_{i}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__mn_{i}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__mx_{i}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{i}, __d_{i}, __mn_{i}, __mx_{i}"
+        for i, c in enumerate(cols)
+    )
+    return (
+        wide.selectExpr(
+            "__n",
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)",
+        )
+        .select(
+            "column_name",
+            F.col("__n").alias("n_rows"),
+            "n_nulls",
+            "n_distinct",
+            F.round(
+                F.col("n_nulls") / F.greatest(F.col("__n"), F.lit(1)), 6
+            ).alias("null_frac"),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("column_name")
+    )

@@ -870,3 +870,33 @@ def test_cross_split_leakage_detects_planted_and_clean_is_empty(spark):
     assert total_pairs == want and want > 0
     for r in out:
         assert r["split_a"] < r["split_b"]
+
+
+# ----------------------------------------------------------- profile_table
+
+def test_profile_table_values_and_single_scan(spark, sf_dir):
+    from sparkval.stats import profile_table
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "a": [1, 2, 2, None],
+                "b": ["x", None, None, "y"],
+            }
+        )
+    )
+    out = {r["column_name"]: r for r in profile_table(df).collect()}
+    assert out["a"]["n_rows"] == 4 and out["a"]["n_nulls"] == 1
+    assert out["a"]["n_distinct"] == 2  # NULL not a distinct value
+    assert out["a"]["min_value"] == "1" and out["a"]["max_value"] == "2"
+    assert out["b"]["n_nulls"] == 2 and out["b"]["null_frac"] == 0.5
+    assert out["b"]["min_value"] == "x" and out["b"]["max_value"] == "y"
+    with pytest.raises(ValueError):
+        profile_table(df, ["a; drop"])
+    # single FileScan for a 4-column profile over parquet
+    li = load(spark, sf_dir, "lineitem")
+    plan = (
+        profile_table(li, ["l_orderkey", "l_partkey", "l_returnflag"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan parquet") == 1, plan
