@@ -878,12 +878,7 @@ def test_profile_table_values_and_single_scan(spark, sf_dir):
     from sparkval.stats import profile_table
 
     df = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "a": [1, 2, 2, None],
-                "b": ["x", None, None, "y"],
-            }
-        )
+        [(1, "x"), (2, None), (2, None), (None, "y")], "a int, b string"
     )
     out = {r["column_name"]: r for r in profile_table(df).collect()}
     assert out["a"]["n_rows"] == 4 and out["a"]["n_nulls"] == 1
