@@ -3054,6 +3054,35 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness gate (events.freshness_report): per event type,
+    last-seen timestamp and lag vs the table's max instant, stale at
+    > 120 min — the observability first-page. Deterministic because
+    the evaluation instant derives from the data, never wall clock."""
+    from sparkval.pipeline.events import freshness_report
+
+    ev = _t(spark, sf_dir, "events")
+    out = freshness_report(ev)
+    return out.select(
+        "event_type", "n_events",
+        F.date_format("last_ts", _TS_FMT).alias("last_ts"),
+        "lag_minutes", "is_stale",
+    )
+
+
+def q_stratified_priority_sample_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-k-per-stratum weighted sampling (sampling.
+    stratified_priority_sample): top-10 docs per lang by E-S priority
+    -ln(u)/n_chars — exact quotas, deterministic, replayed fully in
+    SQL via the same hash-uniform and a rank window."""
+    from sparkval.pipeline.sampling import stratified_priority_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_priority_sample(docs, k_per_group=10)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -3180,6 +3209,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_fingerprint_orders": q_table_fingerprint_orders,
     "split_leakage_documents": q_split_leakage_documents,
     "profile_lineitem": q_profile_lineitem,
+    "freshness_events": q_freshness_events,
+    "stratified_priority_sample_documents": q_stratified_priority_sample_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5878,6 +5909,41 @@ ORACLE_SQL["profile_lineitem"] = """
            round(n_nulls::DOUBLE / greatest(n_rows, 1), 6) AS null_frac,
            min_value, max_value
     FROM p ORDER BY column_name
+"""
+
+ORACLE_SQL["freshness_events"] = """
+    WITH per AS (
+        SELECT event_type, count(*)::BIGINT AS n_events,
+               max(epoch_us(ts)) AS last_us
+        FROM events GROUP BY 1
+    ),
+    ref AS (SELECT max(epoch_us(ts)) AS as_of_us FROM events)
+    SELECT event_type, n_events,
+           strftime(make_timestamp(last_us), '%Y-%m-%d %H:%M:%S') AS last_ts,
+           round((as_of_us - last_us) / 60000000.0, 6) AS lag_minutes,
+           coalesce((as_of_us - last_us) / 60000000.0 > 120.0, TRUE)
+               AS is_stale
+    FROM per, ref ORDER BY event_type
+"""
+
+# stratified sample oracle: same hash-uniform priority, ranked inside
+# each lang via a window, quota 10
+ORACLE_SQL["stratified_priority_sample_documents"] = """
+    WITH t AS (
+        SELECT lang, doc_id, n_chars AS weight,
+               -ln((('0x' || substr(sha256(doc_id::VARCHAR), 1, 12))::BIGINT
+                    + 1) / 281474976710656.0) / n_chars::DOUBLE AS p
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    r AS (
+        SELECT lang, doc_id, weight, p,
+               row_number() OVER (PARTITION BY lang ORDER BY p, doc_id)
+                   AS rank
+        FROM t
+    )
+    SELECT lang, rank::BIGINT AS rank, doc_id, weight,
+           round(p, 8) AS priority
+    FROM r WHERE rank <= 10 ORDER BY lang, rank
 """
 
 ORACLE_SQL["key_candidates_lineitem"] = """

@@ -563,3 +563,43 @@ def gap_fill(
         F.round(F.last("obs", ignorenulls=True).over(w), 6).alias("value"),
         F.col("obs").isNull().alias("is_filled"),
     ).orderBy(group_col, "bucket_ts")
+
+
+def freshness_report(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    max_lag_minutes: float = 120.0,
+    as_of_us: int | None = None,
+) -> DataFrame:
+    """Data-freshness gate — the first page of every observability
+    tool: per group, when did we last hear from it, how far behind
+    the reference instant is that, and is it stale? ``as_of_us``
+    (epoch microseconds) is the evaluation instant; when None it
+    defaults to the table's own max timestamp, which keeps the report
+    deterministic and replayable (a wall-clock default would make
+    identical inputs produce different verdicts).
+
+    One aggregate over the scan (O(groups) rows shuffle), a 1-row
+    broadcast of the reference instant when it is derived. Groups
+    with only NULL timestamps report NULL last_ts and stale = true —
+    "never heard from it" is the stalest state there is.
+    """
+    u = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per = events.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(u).alias("__last_us"),
+    )
+    if as_of_us is None:
+        ref = events.agg(F.max(u).alias("__as_of_us"))
+        per = per.join(F.broadcast(ref))
+    else:
+        per = per.withColumn("__as_of_us", F.lit(int(as_of_us)))
+    lag_min = (F.col("__as_of_us") - F.col("__last_us")) / F.lit(60e6)
+    return per.select(
+        group_col,
+        "n_events",
+        F.timestamp_micros(F.col("__last_us")).alias("last_ts"),
+        F.round(lag_min, 6).alias("lag_minutes"),
+        F.coalesce(lag_min > max_lag_minutes, F.lit(True)).alias("is_stale"),
+    ).orderBy(group_col)

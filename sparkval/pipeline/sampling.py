@@ -556,3 +556,54 @@ def cross_split_leakage(
         )
         .orderBy("split_a", "split_b")
     )
+
+
+def stratified_priority_sample(
+    df: DataFrame,
+    k_per_group: int,
+    group_col: str = "lang",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-k-per-stratum weighted sampling without replacement —
+    the "take the best 1000 docs per language, weighted by length"
+    composition step. Same Efraimidis-Spirakis hash-derived
+    exponential priorities as priority_sample, ranked INSIDE each
+    group, so quotas are exact (groups smaller than k return whole).
+
+    Deterministic and engine-replayable like the rest of the sampling
+    family. One shuffle on the group for the rank window; rows with
+    w <= 0 or NULL are excluded before ranking.
+    """
+    from pyspark.sql import Window
+
+    if k_per_group < 1:
+        raise ValueError(f"k_per_group must be >= 1: {k_per_group}")
+    h = F.conv(
+        F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 12), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1).cast("long")).cast("double") / F.lit(float(2**48))
+    w = F.col(weight_col).cast("double")
+    ranked = (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            F.col(weight_col).alias("weight"),
+            (-F.log(u) / w).alias("__p"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(group_col).orderBy("__p", id_col)
+            ),
+        )
+        .filter(F.col("rank") <= k_per_group)
+    )
+    return ranked.select(
+        group_col,
+        F.col("rank").cast("long").alias("rank"),
+        id_col,
+        "weight",
+        F.round("__p", 8).alias("priority"),
+    ).orderBy(group_col, "rank")

@@ -895,3 +895,59 @@ def test_profile_table_values_and_single_scan(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("FileScan parquet") == 1, plan
+
+
+# ---------------------------------------------------------- freshness_report
+
+def test_freshness_report_lag_and_stale(spark):
+    from sparkval.pipeline.events import freshness_report
+
+    rows = [
+        ("fresh", "2024-01-02 00:00:00"),
+        ("fresh", "2024-01-02 11:00:00"),   # table max: the reference
+        ("stale", "2024-01-01 00:00:00"),   # 35h behind
+        ("silent", None),                    # only NULL ts
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "ts"])
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["event_type"]: r for r in freshness_report(df).collect()}
+    assert out["fresh"]["lag_minutes"] == 0.0 and not out["fresh"]["is_stale"]
+    assert out["stale"]["lag_minutes"] == 35 * 60.0 and out["stale"]["is_stale"]
+    assert out["silent"]["last_ts"] is None and out["silent"]["is_stale"]
+    # explicit as_of instant
+    out2 = freshness_report(
+        df.filter(F.col("event_type") == "fresh"),
+        as_of_us=1704240000000000,  # 2024-01-03T00:00Z
+    ).collect()[0]
+    assert out2["lag_minutes"] == 13 * 60.0
+
+
+# -------------------------------------------- stratified_priority_sample
+
+def test_stratified_priority_sample_exact_quotas_and_replay(spark):
+    from sparkval.pipeline.sampling import stratified_priority_sample
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(100),
+            "lang": ["en"] * 60 + ["fr"] * 37 + ["xx"] * 3,
+            "n_chars": [(i % 9) * 30 + 10 for i in range(100)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = stratified_priority_sample(df, k_per_group=5)
+    got = out.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["lang"], []).append(r)
+    assert len(per["en"]) == 5 and len(per["fr"]) == 5
+    assert len(per["xx"]) == 3  # smaller group returns whole
+    # matches the python replay of the E-S priorities per group
+    for lang, rows in per.items():
+        ids = [i for i in range(100) if pdf.lang[i] == lang]
+        want = _expected_priorities(ids, [pdf.n_chars[i] for i in ids])
+        assert [r["doc_id"] for r in rows] == [i for _, i in want[: len(rows)]]
+    # stable under repartitioning
+    again = stratified_priority_sample(df.repartition(7), k_per_group=5)
+    assert [r["doc_id"] for r in again.collect()] == [r["doc_id"] for r in got]
