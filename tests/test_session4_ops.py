@@ -951,3 +951,34 @@ def test_stratified_priority_sample_exact_quotas_and_replay(spark):
     # stable under repartitioning
     again = stratified_priority_sample(df.repartition(7), k_per_group=5)
     assert [r["doc_id"] for r in again.collect()] == [r["doc_id"] for r in got]
+
+
+def test_round5_session4c_ops_plan_discipline(spark, sf_dir):
+    """Plan sweep for the profiling/audit batch: no per-row Python, no
+    cartesian on data. (freshness_report's 1-row reference instant
+    broadcast legitimately appears as BroadcastNestedLoopJoin — a
+    bounded scalar crossJoin, same as the BM25 stats row.)"""
+    from sparkval.constraints import table_fingerprint
+    from sparkval.pipeline.events import freshness_report
+    from sparkval.pipeline.sampling import (
+        cross_split_leakage,
+        stratified_priority_sample,
+    )
+    from sparkval.stats import profile_table
+
+    docs = load(spark, sf_dir, "documents")
+    ev = load(spark, sf_dir, "events")
+    li = load(spark, sf_dir, "lineitem")
+    plans = {
+        "fingerprint": table_fingerprint(li, ["l_orderkey", "l_returnflag"]),
+        "leakage": cross_split_leakage(docs),
+        "profile": profile_table(li, ["l_orderkey", "l_returnflag"]),
+        "freshness": freshness_report(ev),
+        "strat_sample": stratified_priority_sample(docs, k_per_group=5),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        if name != "freshness":
+            assert "BroadcastNestedLoopJoin" not in plan, name
