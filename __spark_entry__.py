@@ -5813,10 +5813,14 @@ ORACLE_SQL["numeric_histogram_events"] = """
 ORACLE_SQL["table_fingerprint_orders"] = """
     WITH h AS (
         SELECT ('0x' || substr(sha256(concat_ws(chr(31),
-                   coalesce(o_orderkey::VARCHAR, chr(0) || 'NULL'),
-                   coalesce(o_custkey::VARCHAR, chr(0) || 'NULL'),
-                   coalesce(o_orderstatus, chr(0) || 'NULL'),
-                   coalesce(o_orderpriority, chr(0) || 'NULL'))),
+                   coalesce(length(o_orderkey::VARCHAR)::VARCHAR || ':'
+                            || o_orderkey::VARCHAR, 'N'),
+                   coalesce(length(o_custkey::VARCHAR)::VARCHAR || ':'
+                            || o_custkey::VARCHAR, 'N'),
+                   coalesce(length(o_orderstatus)::VARCHAR || ':'
+                            || o_orderstatus, 'N'),
+                   coalesce(length(o_orderpriority)::VARCHAR || ':'
+                            || o_orderpriority, 'N'))),
                1, 15))::BIGINT AS v
         FROM orders
     )

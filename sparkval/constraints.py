@@ -797,8 +797,11 @@ def table_fingerprint(df: DataFrame, cols: list[str]) -> DataFrame:
     run corpus_diff to find out where").
 
     Per row: a 60-bit hash of the selected columns (sha256 over a
-    0x1F-joined canonical string; NULL encodes distinctly from the
-    string 'NULL'). Aggregated order-independently: row count, XOR of
+    length-framed canonical string — each value encodes as
+    "<char_length>:<value>", NULL as "N", frames joined by 0x1F — so
+    a separator INSIDE a value can never realign with a column
+    boundary, and NULL is distinct from every string including
+    'NULL'). Aggregated order-independently: row count, XOR of
     hashes, and min/max hash. XOR alone cancels duplicate rows of
     even multiplicity, so the count and extrema corroborate it —
     collisions require matching all four. Avoid float columns across
@@ -808,13 +811,16 @@ def table_fingerprint(df: DataFrame, cols: list[str]) -> DataFrame:
     One scan, zero shuffle beyond the single partial-aggregated
     scalar row. sha256 is codegen'd JVM — compute-dense, scan-speed.
     """
-    canon = F.concat_ws(
-        "\x1f",
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
-            for c in cols
-        ],
-    )
+    if not cols:
+        raise ValueError("table_fingerprint needs at least one column")
+
+    def frame(c: str) -> F.Column:
+        s = F.col(c).cast("string")
+        return F.coalesce(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s), F.lit("N")
+        )
+
+    canon = F.concat_ws("\x1f", *[frame(c) for c in cols])
     h = F.conv(F.substring(F.sha2(canon, 256), 1, 15), 16, 10).cast("long")
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),

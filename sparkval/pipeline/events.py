@@ -581,9 +581,11 @@ def freshness_report(
     identical inputs produce different verdicts).
 
     One aggregate over the scan (O(groups) rows shuffle), a 1-row
-    broadcast of the reference instant when it is derived. Groups
-    with only NULL timestamps report NULL last_ts and stale = true —
-    "never heard from it" is the stalest state there is.
+    broadcast of the reference instant when it is derived — computed
+    from the per-group maxes (groups partition the rows, so their max
+    IS the table max), never a second table scan. Groups with only
+    NULL timestamps report NULL last_ts and stale = true — "never
+    heard from it" is the stalest state there is.
     """
     u = F.unix_micros(F.col(ts_col).cast("timestamp"))
     per = events.groupBy(group_col).agg(
@@ -591,7 +593,7 @@ def freshness_report(
         F.max(u).alias("__last_us"),
     )
     if as_of_us is None:
-        ref = events.agg(F.max(u).alias("__as_of_us"))
+        ref = per.agg(F.max("__last_us").alias("__as_of_us"))
         per = per.join(F.broadcast(ref))
     else:
         per = per.withColumn("__as_of_us", F.lit(int(as_of_us)))

@@ -34,6 +34,20 @@ def _hash_bucket(id_col: str) -> F.Column:
     )
 
 
+def _es_priority(id_col: str, weight_col: str):
+    """Efraimidis-Spirakis exponential priority -ln(u)/w with the
+    uniform u in (0,1] drawn from the row id's sha256 (first 12 hex
+    chars = 48 bits). The 12-char width and 2^48 divisor are the
+    DuckDB-oracle-pinned contract shared by priority_sample and
+    stratified_priority_sample — change them in ONE place or not at
+    all."""
+    h = F.conv(
+        F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 12), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1).cast("long")).cast("double") / F.lit(float(2**48))
+    return -F.log(u) / F.col(weight_col).cast("double")
+
+
 def deterministic_sample(df: DataFrame, permille: int, id_col: str = "doc_id") -> DataFrame:
     """Keep rows whose hash bucket < ``permille`` (0..1000): a
     reproducible ~permille/1000 sample, nested across rates."""
@@ -479,21 +493,13 @@ def priority_sample(
     corpus, no global sort. The k-row rank window runs on the already-
     limited result (bounded single partition by construction).
     """
-    h = (
-        F.conv(
-            F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 12),
-            16,
-            10,
-        ).cast("long")
-    )
-    u = (h + F.lit(1).cast("long")).cast("double") / F.lit(float(2**48))
     w = F.col(weight_col).cast("double")
     picked = (
         df.filter(w.isNotNull() & (w > 0))
         .select(
             F.col(id_col),
             F.col(weight_col).alias("weight"),
-            (-F.log(u) / w).alias("__p"),
+            _es_priority(id_col, weight_col).alias("__p"),
         )
         .orderBy("__p", id_col)
         .limit(k)
@@ -530,20 +536,15 @@ def cross_split_leakage(
     publishing any split manifest; the remedy is dedup-then-split,
     never resplit (id-keyed splits must stay stable).
     """
-    s = hash_split(df.select(id_col, text_col), permille=permille)
+    s = hash_split(df.select(id_col, text_col), permille=permille, id_col=id_col)
     keyed = s.select(
-        F.col(id_col).alias("__id"),
         F.sha2(F.coalesce(F.col(text_col), F.lit("")).cast("binary"), 256).alias(
             "__h"
         ),
         F.col("split"),
     )
-    a = keyed.select(
-        F.col("__h"), F.col("__id").alias("id_a"), F.col("split").alias("split_a")
-    )
-    b = keyed.select(
-        F.col("__h"), F.col("__id").alias("id_b"), F.col("split").alias("split_b")
-    )
+    a = keyed.select(F.col("__h"), F.col("split").alias("split_a"))
+    b = keyed.select(F.col("__h"), F.col("split").alias("split_b"))
     # splits partition the id space, so split_a < split_b alone keys
     # each unordered cross-split pair exactly once (same-split dups
     # are dedup's business, not leakage)
@@ -579,10 +580,9 @@ def stratified_priority_sample(
 
     if k_per_group < 1:
         raise ValueError(f"k_per_group must be >= 1: {k_per_group}")
-    h = F.conv(
-        F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 12), 16, 10
-    ).cast("long")
-    u = (h + F.lit(1).cast("long")).cast("double") / F.lit(float(2**48))
+    for c in (group_col, id_col):
+        if c in ("rank", "weight", "priority"):
+            raise ValueError(f"column collides with an output column: {c!r}")
     w = F.col(weight_col).cast("double")
     ranked = (
         df.filter(w.isNotNull() & (w > 0))
@@ -590,7 +590,7 @@ def stratified_priority_sample(
             F.col(group_col),
             F.col(id_col),
             F.col(weight_col).alias("weight"),
-            (-F.log(u) / w).alias("__p"),
+            _es_priority(id_col, weight_col).alias("__p"),
         )
         .withColumn(
             "rank",

@@ -982,3 +982,35 @@ def test_round5_session4c_ops_plan_discipline(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         if name != "freshness":
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_table_fingerprint_framing_is_unambiguous(spark):
+    from sparkval.constraints import table_fingerprint
+
+    # separator inside a value must NOT realign with a column boundary
+    a = spark.createDataFrame([("x\x1fy", "z")], "c1 string, c2 string")
+    b = spark.createDataFrame([("x", "y\x1fz")], "c1 string, c2 string")
+    ha = table_fingerprint(a, ["c1", "c2"]).collect()[0]["xor_hash"]
+    hb = table_fingerprint(b, ["c1", "c2"]).collect()[0]["xor_hash"]
+    assert ha != hb
+    with pytest.raises(ValueError):
+        table_fingerprint(a, [])
+
+
+def test_stratified_priority_sample_collision_guard_and_id_col(spark):
+    from sparkval.pipeline.sampling import (
+        cross_split_leakage,
+        stratified_priority_sample,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"rank": [1], "doc_id": [1], "n_chars": [5]})
+    )
+    with pytest.raises(ValueError, match="collides"):
+        stratified_priority_sample(df, 1, group_col="rank")
+    # cross_split_leakage honors a non-default id column
+    d2 = spark.createDataFrame(
+        pd.DataFrame({"item_id": range(40), "body": ["t"] * 40})
+    )
+    out = cross_split_leakage(d2, text_col="body", id_col="item_id")
+    assert out.count() > 0  # identical contents spread across splits
