@@ -1236,6 +1236,22 @@ def correlation_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def _spread_narrow_scan(df: DataFrame) -> DataFrame:
+    """Small-input fast path for Expand-heavy aggregates (multi-distinct
+    plans copy every row once per distinct group BEFORE the first
+    partial agg): a table stored as a couple of parquet files arrives
+    as 1-3 scan partitions and serializes that copy+hash work onto as
+    many cores. Repartition ONLY when the scan is narrower than the
+    cluster — at web scale the input always has >> slots partitions
+    and this never fires (same contract as dedup._spread_small_input;
+    measured 12.5 s -> 5.0 s for the 6-column lineitem profile at
+    local[32]; the residual is the genuine distinct shuffle)."""
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < slots:
+        return df.repartition(slots)
+    return df
+
+
 def key_candidates(
     df: DataFrame, candidates: list[tuple[str, ...]]
 ) -> DataFrame:
@@ -1262,7 +1278,7 @@ def key_candidates(
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, cand in enumerate(candidates):
         aggs.append(F.countDistinct(*cand).alias(f"__d_{i}"))
-    wide = df.agg(*aggs)
+    wide = _spread_narrow_scan(df).agg(*aggs)
     stack_args = ", ".join(
         f"'{'+'.join(cand)}', __d_{i}" for i, cand in enumerate(candidates)
     )
@@ -1536,7 +1552,7 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         aggs.append(F.countDistinct(F.col(c)).alias(f"__d_{i}"))
         aggs.append(F.min(F.col(c)).cast("string").alias(f"__mn_{i}"))
         aggs.append(F.max(F.col(c)).cast("string").alias(f"__mx_{i}"))
-    wide = df.agg(*aggs)
+    wide = _spread_narrow_scan(df.select(*cols)).agg(*aggs)
     stack_args = ", ".join(
         f"'{c}', __nn_{i}, __d_{i}, __mn_{i}, __mx_{i}"
         for i, c in enumerate(cols)
