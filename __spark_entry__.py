@@ -3083,6 +3083,21 @@ def q_stratified_priority_sample_documents(
     return stratified_priority_sample(docs, k_per_group=10)
 
 
+def q_fingerprint_partitions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint monoid (constraints.partition_fingerprints): one
+    mergeable (count, xor, min, max) fingerprint row per order
+    priority — persist once, reconcile any slice union later by
+    folding kilobyte rows. `xor-fold == whole-table fingerprint` is
+    pinned in pytest; the oracle replays the per-partition hashes."""
+    from sparkval.constraints import partition_fingerprints
+
+    orders = _t(spark, sf_dir, "orders")
+    return partition_fingerprints(
+        orders, "o_orderpriority",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -3211,6 +3226,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_lineitem": q_profile_lineitem,
     "freshness_events": q_freshness_events,
     "stratified_priority_sample_documents": q_stratified_priority_sample_documents,
+    "fingerprint_partitions_orders": q_fingerprint_partitions_orders,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5948,6 +5964,29 @@ ORACLE_SQL["stratified_priority_sample_documents"] = """
     SELECT lang, rank::BIGINT AS rank, doc_id, weight,
            round(p, 8) AS priority
     FROM r WHERE rank <= 10 ORDER BY lang, rank
+"""
+
+ORACLE_SQL["fingerprint_partitions_orders"] = """
+    WITH h AS (
+        SELECT o_orderpriority,
+               ('0x' || substr(sha256(concat_ws(chr(31),
+                   coalesce(length(o_orderkey::VARCHAR)::VARCHAR || ':'
+                            || o_orderkey::VARCHAR, 'N'),
+                   coalesce(length(o_custkey::VARCHAR)::VARCHAR || ':'
+                            || o_custkey::VARCHAR, 'N'),
+                   coalesce(length(o_orderstatus)::VARCHAR || ':'
+                            || o_orderstatus, 'N'),
+                   coalesce(length(o_orderpriority)::VARCHAR || ':'
+                            || o_orderpriority, 'N'))),
+               1, 15))::BIGINT AS v
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_rows,
+           bit_xor(v)::BIGINT AS xor_hash,
+           min(v) AS min_hash,
+           max(v) AS max_hash
+    FROM h GROUP BY 1 ORDER BY 1
 """
 
 ORACLE_SQL["key_candidates_lineitem"] = """

@@ -789,6 +789,24 @@ def interval_violations(
     )
 
 
+def _framed_row_hash(cols: list[str]) -> F.Column:
+    """The 60-bit canonical row hash shared by table_fingerprint and
+    partition_fingerprints: each value length-framed ("<len>:<value>",
+    NULL -> "N") so separators inside values can never realign with a
+    column boundary, frames 0x1F-joined, sha256, first 15 hex chars.
+    One definition — the fingerprint contract cannot drift between
+    the whole-table and the monoid forms."""
+
+    def frame(c: str) -> F.Column:
+        s = F.col(c).cast("string")
+        return F.coalesce(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s), F.lit("N")
+        )
+
+    canon = F.concat_ws("\x1f", *[frame(c) for c in cols])
+    return F.conv(F.substring(F.sha2(canon, 256), 1, 15), 16, 10).cast("long")
+
+
 def table_fingerprint(df: DataFrame, cols: list[str]) -> DataFrame:
     """Order-independent whole-table fingerprint: ONE row summarizing
     the table's content so two engines / snapshots / replicas can be
@@ -813,18 +831,40 @@ def table_fingerprint(df: DataFrame, cols: list[str]) -> DataFrame:
     """
     if not cols:
         raise ValueError("table_fingerprint needs at least one column")
-
-    def frame(c: str) -> F.Column:
-        s = F.col(c).cast("string")
-        return F.coalesce(
-            F.concat(F.length(s).cast("string"), F.lit(":"), s), F.lit("N")
-        )
-
-    canon = F.concat_ws("\x1f", *[frame(c) for c in cols])
-    h = F.conv(F.substring(F.sha2(canon, 256), 1, 15), 16, 10).cast("long")
+    h = _framed_row_hash(cols)
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor(h).alias("xor_hash"),
         F.min(h).alias("min_hash"),
         F.max(h).alias("max_hash"),
+    )
+
+
+def partition_fingerprints(
+    df: DataFrame, part_col: str, cols: list[str]
+) -> DataFrame:
+    """table_fingerprint as a MONOID: one fingerprint row per
+    partition value, xor/min/max/count-mergeable to coarser slices or
+    the whole table (bit_xor is associative-commutative, min/max/sum
+    likewise) — persist per-partition rows once and every future
+    reconciliation of any slice union is a kilobyte fold, no rescan.
+    The same partial/merge shape as the histogram, t-digest, HLL and
+    KMV monoids; `merge == whole` is pinned by a pytest parity test.
+
+    Rows whose ``part_col`` is NULL form their own partition (groupBy
+    keeps NULL keys), so the fold over ALL rows always reproduces the
+    global table_fingerprint.
+    """
+    if not cols:
+        raise ValueError("partition_fingerprints needs at least one column")
+    h = _framed_row_hash(cols)
+    return (
+        df.groupBy(part_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(h).alias("xor_hash"),
+            F.min(h).alias("min_hash"),
+            F.max(h).alias("max_hash"),
+        )
+        .orderBy(part_col)
     )

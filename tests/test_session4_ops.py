@@ -1014,3 +1014,28 @@ def test_stratified_priority_sample_collision_guard_and_id_col(spark):
     )
     out = cross_split_leakage(d2, text_col="body", id_col="item_id")
     assert out.count() > 0  # identical contents spread across splits
+
+
+def test_partition_fingerprints_fold_equals_whole_table(spark):
+    from functools import reduce
+
+    from sparkval.constraints import partition_fingerprints, table_fingerprint
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "p": ["a", "b", None, "a", "b"],
+                "x": [1, 2, 3, 4, 5],
+                "y": ["u", None, "w", "u", "v"],
+            }
+        )
+    )
+    parts = partition_fingerprints(df, "p", ["x", "y"]).collect()
+    whole = table_fingerprint(df, ["x", "y"]).collect()[0]
+    assert sum(r["n_rows"] for r in parts) == whole["n_rows"]
+    assert reduce(lambda a, b: a ^ b, [r["xor_hash"] for r in parts]) == whole["xor_hash"]
+    assert min(r["min_hash"] for r in parts) == whole["min_hash"]
+    assert max(r["max_hash"] for r in parts) == whole["max_hash"]
+    # NULL partition keys form their own partition (else the fold
+    # would not cover all rows)
+    assert any(r["p"] is None for r in parts)
