@@ -3098,6 +3098,56 @@ def q_fingerprint_partitions_orders(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_stream_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming freshness monitor (streaming.stream_freshness): the
+    events table replayed as 3 micro-batches into a complete-mode
+    per-group (count, last-seen) state, finalized with the SAME
+    freshness_verdicts the batch gate uses — the oracle is the batch
+    freshness SQL, so this row IS the stream == batch parity check."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from sparkval.pipeline.events import freshness_verdicts
+    from sparkval.streaming import stream_freshness
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkval_sfresh_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    src, ckpt = f"{tmp}/events", f"{tmp}/ckpt"
+    # three files -> three micro-batches (complete-mode agg: order
+    # cannot matter, no watermark, no late-drop)
+    for i in range(3):
+        ev.filter(F.pmod(F.xxhash64("ts"), F.lit(3)) == i).repartition(
+            1
+        ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_freshness(stream)
+        .writeStream.format("memory")
+        .queryName("sparkval_fresh_state")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = spark.table("sparkval_fresh_state")
+    out = freshness_verdicts(state)
+    return out.select(
+        "event_type", "n_events",
+        F.date_format("last_ts", _TS_FMT).alias("last_ts"),
+        "lag_minutes", "is_stale",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -3227,6 +3277,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "freshness_events": q_freshness_events,
     "stratified_priority_sample_documents": q_stratified_priority_sample_documents,
     "fingerprint_partitions_orders": q_fingerprint_partitions_orders,
+    "stream_freshness_events": q_stream_freshness_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5988,6 +6039,11 @@ ORACLE_SQL["fingerprint_partitions_orders"] = """
            max(v) AS max_hash
     FROM h GROUP BY 1 ORDER BY 1
 """
+
+# streaming freshness oracle == the BATCH freshness SQL: the memory
+# sink's complete-mode state finalized by the shared verdict exprs
+# must equal the one-pass batch aggregate exactly (stream == batch)
+ORACLE_SQL["stream_freshness_events"] = ORACLE_SQL["freshness_events"]
 
 ORACLE_SQL["key_candidates_lineitem"] = """
     WITH w AS (

@@ -586,22 +586,43 @@ def freshness_report(
     IS the table max), never a second table scan. Groups with only
     NULL timestamps report NULL last_ts and stale = true — "never
     heard from it" is the stalest state there is.
+
+    The verdict exprs are shared with the streaming monitor
+    (streaming.stream_freshness state finalized by
+    freshness_verdicts), so batch and streaming freshness can never
+    disagree on what "stale" means.
     """
     u = F.unix_micros(F.col(ts_col).cast("timestamp"))
     per = events.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.max(u).alias("__last_us"),
+        F.max(u).alias("last_us"),
     )
+    return freshness_verdicts(
+        per, group_col=group_col, max_lag_minutes=max_lag_minutes,
+        as_of_us=as_of_us,
+    )
+
+
+def freshness_verdicts(
+    per: DataFrame,
+    group_col: str = "event_type",
+    max_lag_minutes: float = 120.0,
+    as_of_us: int | None = None,
+) -> DataFrame:
+    """Finalize freshness verdicts from per-group state rows
+    ``(group, n_events, last_us)`` — the shape both the batch
+    aggregate and the streaming monitor's complete-mode state table
+    produce. ONE definition of lag and staleness for both paths."""
     if as_of_us is None:
-        ref = per.agg(F.max("__last_us").alias("__as_of_us"))
+        ref = per.agg(F.max("last_us").alias("__as_of_us"))
         per = per.join(F.broadcast(ref))
     else:
         per = per.withColumn("__as_of_us", F.lit(int(as_of_us)))
-    lag_min = (F.col("__as_of_us") - F.col("__last_us")) / F.lit(60e6)
+    lag_min = (F.col("__as_of_us") - F.col("last_us")) / F.lit(60e6)
     return per.select(
         group_col,
         "n_events",
-        F.timestamp_micros(F.col("__last_us")).alias("last_ts"),
+        F.timestamp_micros(F.col("last_us")).alias("last_ts"),
         F.round(lag_min, 6).alias("lag_minutes"),
         F.coalesce(lag_min > max_lag_minutes, F.lit(True)).alias("is_stale"),
     ).orderBy(group_col)

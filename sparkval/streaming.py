@@ -387,3 +387,23 @@ def streaming_sessions(
             F.col("n_events"),
         )
     )
+
+
+def stream_freshness(
+    stream: DataFrame, group_col: str = "event_type", ts_col: str = "ts"
+) -> DataFrame:
+    """Streaming freshness state: per-group event count + last-seen
+    epoch-micros, maintained as a complete-mode aggregation — the
+    always-on "is anything silent?" monitor. State is O(groups)
+    (two longs per group), never O(events), so it runs for months.
+
+    Write with outputMode("complete") and finalize any snapshot of
+    the sink with events.freshness_verdicts — the SAME verdict
+    expressions the batch freshness_report uses, so the monitor and
+    the batch audit can never disagree (stream == batch parity is
+    oracle-checked in the entry query)."""
+    u = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return stream.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(u).alias("last_us"),
+    )

@@ -258,3 +258,52 @@ def test_streaming_sessions_boundary_event_merges(spark, tmp_path):
     assert [(r["session_start"], r["n_events"]) for r in rows] == [
         (t0, 2),
     ]
+
+
+def test_stream_freshness_state_equals_batch_report(spark, tmp_path):
+    """stream == batch for the freshness monitor: 3 micro-batches of a
+    tiny event table into complete-mode state, finalized by the SHARED
+    freshness_verdicts, must equal the batch freshness_report."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from sparkval.pipeline.events import freshness_report, freshness_verdicts
+    from sparkval.streaming import stream_freshness
+
+    rows = [
+        ("a", "2024-01-01 00:00:00"),
+        ("a", "2024-01-01 06:00:00"),
+        ("b", "2024-01-01 01:00:00"),
+        ("c", "2024-01-01 05:30:00"),
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "ts"])
+    ).select("event_type", F.col("ts").cast("timestamp").alias("ts"))
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    for i in range(3):
+        ev.filter(F.pmod(F.xxhash64("ts"), F.lit(3)) == i).repartition(
+            1
+        ).write.mode("append").parquet(src)
+
+    q = (
+        stream_freshness(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("t_fresh_state")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = freshness_verdicts(spark.table("t_fresh_state")).collect()
+    want = freshness_report(ev).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    # and the verdicts themselves: b is >2h behind a's last event
+    by = {r["event_type"]: r for r in got}
+    assert by["b"]["is_stale"] and not by["a"]["is_stale"]
+    assert not by["c"]["is_stale"]  # 30 min lag
