@@ -3148,6 +3148,34 @@ def q_stream_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedupe_fuzzy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUSED fuzzy dedup (dedup.dedupe_near_duplicates with the
+    levenshtein generator): planted typo copies -> blocked
+    edit-distance pairs -> connected components -> keep the lowest-id
+    member. Because this generator is DETERMINISTIC (no LSH
+    probability), the oracle replays the ENTIRE pipeline including
+    the transitive closure — a WITH RECURSIVE reachability CTE — so
+    this is the first fused-dedup row whose CC step is value-oracled
+    end-to-end, not argued via planted-containment bounds. (The
+    exact-first pre-pass is the identity here — planted texts are all
+    distinct — so the oracle's generator+CC replay covers the whole
+    computation.)"""
+    from sparkval.pipeline.dedup import dedupe_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    mut = docs.filter(F.length("text") >= 40).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 20),
+            F.lit("zz"),
+            F.expr("substring(text, 23)"),
+        ).alias("text"),
+    )
+    planted = docs.select("doc_id", "text").unionByName(mut)
+    kept = dedupe_near_duplicates(planted, method="levenshtein", max_edit=4)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential_orders_customer": q_referential_orders_customer,
@@ -3278,6 +3306,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_priority_sample_documents": q_stratified_priority_sample_documents,
     "fingerprint_partitions_orders": q_fingerprint_partitions_orders,
     "stream_freshness_events": q_stream_freshness_events,
+    "dedupe_fuzzy_documents": q_dedupe_fuzzy_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6044,6 +6073,44 @@ ORACLE_SQL["fingerprint_partitions_orders"] = """
 # sink's complete-mode state finalized by the shared verdict exprs
 # must equal the one-pass batch aggregate exactly (stream == batch)
 ORACLE_SQL["stream_freshness_events"] = ORACLE_SQL["freshness_events"]
+
+# fused fuzzy dedup oracle: the ONLY fused-dedup row with a full
+# value oracle through the CC step — the deterministic levenshtein
+# generator makes the transitive closure SQL-replayable via a
+# recursive reachability CTE (min reachable id == component label ==
+# the engine's min-label propagation fixpoint)
+ORACLE_SQL["dedupe_fuzzy_documents"] = """
+    WITH RECURSIVE planted AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000,
+               substr(text, 1, 20) || 'zz' || substr(text, 23)
+        FROM documents WHERE length(text) >= 40
+    ),
+    t AS (
+        SELECT doc_id AS id, coalesce(text, '') AS t,
+               substr(coalesce(text, ''), 1, 12) AS blk
+        FROM planted
+    ),
+    ok AS (
+        SELECT blk FROM t GROUP BY 1 HAVING count(*) BETWEEN 2 AND 1000
+    ),
+    b AS (SELECT t.* FROM t JOIN ok USING (blk)),
+    pairs AS (
+        SELECT x.id AS a, y.id AS b
+        FROM b x JOIN b y ON x.blk = y.blk AND x.id < y.id
+        WHERE abs(length(x.t) - length(y.t)) <= 4
+          AND levenshtein(x.t, y.t) <= 4
+    ),
+    e AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+    reach AS (
+        SELECT id AS n, id AS m FROM t
+        UNION
+        SELECT r.n, e.y FROM reach r JOIN e ON r.m = e.x
+    ),
+    comp AS (SELECT n, min(m) AS mn FROM reach GROUP BY 1)
+    SELECT n AS doc_id FROM comp WHERE mn = n ORDER BY doc_id
+"""
 
 ORACLE_SQL["key_candidates_lineitem"] = """
     WITH w AS (

@@ -428,7 +428,8 @@ def dedupe_near_duplicates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", threshold: float = 0.7,
                            exact_first: bool = True,
                            method: str = "minhash",
-                           max_hamming: int = 3) -> DataFrame:
+                           max_hamming: int = 3,
+                           max_edit: int = 4) -> DataFrame:
     """End-to-end near-duplicate DEDUP — the operation a training
     pipeline actually runs, fused from its three stages: MinHash-LSH
     candidate pairs -> transitive components -> keep the canonical
@@ -451,9 +452,13 @@ def dedupe_near_duplicates(df: DataFrame, text_col: str = "text",
     ``method`` selects the candidate generator: "minhash" (Jaccard >=
     ``threshold``, the default), "simhash" (Hamming <=
     ``max_hamming`` over 64-bit signatures — cheaper per doc, blunter
-    on partial overlap), or "winnow" (MOSS containment >=
-    ``threshold`` over winnowed fingerprints — catches a small file
-    embedded in a large one, which symmetric Jaccard dilutes away).
+    on partial overlap), "winnow" (MOSS containment >= ``threshold``
+    over winnowed fingerprints — catches a small file embedded in a
+    large one, which symmetric Jaccard dilutes away), or
+    "levenshtein" (edit distance <= ``max_edit`` within prefix
+    blocks — the short-text/typo generator, and the only
+    DETERMINISTIC one, which is why the fused pipeline's full
+    CC-closure has a recursive-SQL value oracle on this path).
     Everything downstream (CC, retention) is generator-agnostic."""
     work = dedupe_keep_canonical(df, text_col, id_col) if exact_first else df
     if method == "minhash":
@@ -466,8 +471,14 @@ def dedupe_near_duplicates(df: DataFrame, text_col: str = "text",
             min_containment=threshold,
             max_fingerprint_df=10_000,
         )
+    elif method == "levenshtein":
+        pairs = near_duplicates_levenshtein(
+            work, text_col, id_col, max_dist=max_edit
+        )
     else:
-        raise ValueError(f"unknown method {method!r} (minhash|simhash|winnow)")
+        raise ValueError(
+            f"unknown method {method!r} (minhash|simhash|winnow|levenshtein)"
+        )
     return keep_canonical_from_pairs(work, pairs, id_col)
 
 

@@ -1039,3 +1039,34 @@ def test_partition_fingerprints_fold_equals_whole_table(spark):
     # NULL partition keys form their own partition (else the fold
     # would not cover all rows)
     assert any(r["p"] is None for r in parts)
+
+
+def test_dedupe_fuzzy_fused_keeps_chain_minimum(spark):
+    from sparkval.pipeline.dedup import dedupe_near_duplicates
+
+    base = "chain prefix shared by all variants tail"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13, 99],
+                "text": [
+                    base,              # 10
+                    base + "x",        # 11: 1 edit from 10
+                    base + "xy",       # 12: 1 edit from 11, 2 from 10
+                    base + "xyzk",     # 13: 2 edits from 12 (chain!)
+                    "unrelated other head entirely",  # 99: singleton
+                ],
+            }
+        )
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedupe_near_duplicates(
+            df, method="levenshtein", max_edit=2
+        ).collect()
+    )
+    # 10-11-12-13 form ONE component via transitivity (13 is 4 edits
+    # from 10 — farther than max_edit — but chained through 11/12)
+    assert kept == [10, 99]
+    with pytest.raises(ValueError, match="unknown method"):
+        dedupe_near_duplicates(df, method="nope")
