@@ -96,6 +96,7 @@ def lsh_bands(
     n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """OR-amplified random-hyperplane LSH: ``n_tables`` independent
     hash tables of ``n_planes`` bits each, all from ONE matmul pass.
@@ -108,18 +109,24 @@ def lsh_bands(
 
     Scale shape: output is ONLY (id, band, bucket) — embeddings never
     round-trip through Python or the shuffle; candidate join volume is
-    L x (bucket-local pairs).
+    L x (bucket-local pairs). ``keep_vec=True`` additionally carries
+    the vector column on each banding row (O(n x L x dim) — linear,
+    for the bucket-local verify that replaces per-pair vector joins).
     """
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_tables * n_planes, dim))
     weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
-    schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType(), False),
-            T.StructField("band", T.IntegerType(), False),
-            T.StructField("bucket", T.LongType(), False),
-        ]
-    )
+    fields = [
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("bucket", T.LongType(), False),
+    ]
+    if keep_vec:
+        # mirror the input column's exact element type: the bucket-local
+        # verify recomputes the legacy per-pair arithmetic on these
+        # values, so they must not be re-cast in flight
+        fields.append(T.StructField(vec_col, df.schema[vec_col].dataType, False))
+    schema = T.StructType(fields)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -129,13 +136,14 @@ def lsh_bands(
             bits = (mat @ planes.T) > 0  # (n, L*P), one fused matmul
             buckets = bits.reshape(len(mat), n_tables, n_planes) @ weights
             ids = pdf[id_col].to_numpy()
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(ids, n_tables),
-                    "band": np.tile(np.arange(n_tables, dtype=np.int32), len(ids)),
-                    "bucket": buckets.reshape(-1),
-                }
-            )
+            out = {
+                id_col: np.repeat(ids, n_tables),
+                "band": np.tile(np.arange(n_tables, dtype=np.int32), len(ids)),
+                "bucket": buckets.reshape(-1),
+            }
+            if keep_vec:
+                out[vec_col] = np.repeat(pdf[vec_col].to_numpy(), n_tables)
+            yield pd.DataFrame(out)
 
     return df.select(id_col, vec_col).mapInPandas(gen, schema)
 
@@ -539,6 +547,111 @@ def ivf_topk(
     )
 
 
+_PAIR_COS_SCHEMA = T.StructType(
+    [
+        T.StructField("a", T.LongType(), False),
+        T.StructField("b", T.LongType(), False),
+        T.StructField("cosine", T.DoubleType(), False),
+    ]
+)
+
+#: absolute margin for the fast matmul pre-filter inside the
+#: bucket-local verify: float32-product arithmetic differs from the
+#: float64 matmul by at most ~64 ulp(f32) ≈ 2e-7 for unit-norm
+#: vectors, so a 1e-6 band cannot drop a pair the exact arithmetic
+#: (or its 9-decimal rounding, max +5e-10) would keep
+_COS_MARGIN = 1e-6
+
+
+def _bucket_pairs_cosine(
+    bands: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Bucket-local candidate generation + exact cosine verify in one
+    grouped numpy kernel — the §8 rewrite of the old self-join +
+    distinct + two vector joins, which shuffled the embedding payload
+    once per candidate pair (measured 29M distinct pairs for 20k
+    surviving ones at the 40k-vector bench scale).
+
+    Per (band, bucket) segment: a normalized float64 matmul scores all
+    local pairs; pairs within ``_COS_MARGIN`` of ``threshold`` or
+    above are then re-scored with BIT-EXACT legacy arithmetic — the
+    products in the input element dtype (zip_with multiplies floats as
+    floats), accumulated left-to-right in float64 (np.cumsum ==
+    the JVM aggregate fold), norms likewise — so the emitted cosine is
+    bit-identical to cosine_pairs_exact's pre-rounding value. Rounding
+    and the threshold filter stay JVM-side, unchanged. Pairs below the
+    margin cannot reach ``threshold`` after rounding, so the result
+    set is exactly the join formulation's."""
+    spark = bands.sparkSession
+    n_groups = max(spark.sparkContext.defaultParallelism, 8) * 32
+
+    import pyarrow as pa
+
+    def verify(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+        m = tbl.num_rows
+        if m < 2:
+            return empty
+        tbl = tbl.combine_chunks()
+        ids = tbl.column(id_col).to_numpy().astype(np.int64)
+        band = tbl.column("band").to_numpy()
+        bucket = tbl.column("bucket").to_numpy()
+        # zero-copy (n, dim) view in the NATIVE element dtype — the
+        # exact values the legacy per-pair expressions saw
+        vec_arr = tbl.column(vec_col).chunk(0)
+        flat = vec_arr.flatten().to_numpy()
+        V = flat.reshape(m, len(flat) // m)
+        order = np.lexsort((ids, bucket, band))
+        ids, band, bucket, V = ids[order], band[order], bucket[order], V[order]
+        # exact norms, legacy arithmetic: element-dtype squares,
+        # float64 left-fold
+        sq = V * V
+        norms = np.sqrt(np.cumsum(sq.astype(np.float64), axis=1)[:, -1])
+        Vn = V.astype(np.float64) / np.maximum(norms, 1e-300)[:, None]
+        seg_new = np.empty(m, dtype=bool)
+        seg_new[0] = True
+        seg_new[1:] = (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
+        starts = np.flatnonzero(seg_new)
+        ends = np.append(starts[1:], m)
+        out: list[tuple] = []
+        cut = threshold - _COS_MARGIN
+        blk = 4096  # bounds the matmul tile at ~128 MB f64 per task
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            for i0 in range(s, e, blk):
+                for j0 in range(i0, e, blk):
+                    sims = Vn[i0: min(i0 + blk, e)] @ Vn[j0: min(j0 + blk, e)].T
+                    hit = sims >= cut
+                    if i0 == j0:
+                        hit &= ~np.tri(*hit.shape, dtype=bool)  # strict upper
+                    ii, jj = np.nonzero(hit)
+                    if not len(ii):
+                        continue
+                    gi, gj = i0 + ii, j0 + jj
+                    prods = (V[gi] * V[gj]).astype(np.float64)
+                    dots = np.cumsum(prods, axis=1)[:, -1]
+                    cos = dots / (norms[gi] * norms[gj])
+                    out.append((ids[gi], ids[gj], cos))
+        if not out:
+            return empty
+        return pa.table(
+            {"a": pa.array(np.concatenate([o[0] for o in out]), pa.int64()),
+             "b": pa.array(np.concatenate([o[1] for o in out]), pa.int64()),
+             "cosine": pa.array(np.concatenate([o[2] for o in out]), pa.float64())}
+        )
+
+    grouped = bands.withColumn(
+        "_grp", F.pmod(F.xxhash64("band", "bucket"), F.lit(n_groups))
+    )
+    pairs = grouped.groupBy("_grp").applyInArrow(verify, _PAIR_COS_SCHEMA)
+    # a pair surfacing from k tables carries the identical exact cosine
+    return pairs.dropDuplicates(["a", "b"])
+
+
 def near_duplicates_cosine(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -548,28 +661,28 @@ def near_duplicates_cosine(
     n_tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """Embedding near-dup: OR-amplified LSH candidate join -> exact
+    """Embedding near-dup: OR-amplified LSH -> bucket-local exact
     cosine verify -> filter.
 
     Candidates from ANY of the ``n_tables`` hash tables survive
     (recall ≈ 1-(1-p)^L, see lsh_bands); false positives cost only an
-    exact-cosine verification, never a wrong answer. distinct() after
-    the union dedups multi-table hits before the verify join. No
-    global sort: output is a pair SET (callers order if needed)."""
-    b = lsh_bands(embeddings, id_col, vec_col, n_planes, n_tables, dim)
-    l, r = b.alias("l"), b.alias("r")
-    cands = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        .distinct()
+    exact-cosine verification, never a wrong answer. Round-6 shape:
+    the vector rides the banding rows (O(n x L), linear) and each
+    bucket verifies in place (``_bucket_pairs_cosine``) instead of
+    emitting candidate (a, b) rows and joining the vector payload back
+    per pair — at the 40k-vector bench scale the join shape shuffled
+    29M candidate rows to keep 20k. Emitted cosines are bit-identical
+    to cosine_pairs_exact (same products, same fold order, same
+    9-decimal rounding applied here), so the surviving pair set is
+    unchanged. No global sort: output is a pair SET (callers order if
+    needed)."""
+    b = lsh_bands(
+        embeddings, id_col, vec_col, n_planes, n_tables, dim, keep_vec=True
     )
-    exact = cosine_pairs_exact(embeddings, cands, id_col, vec_col)
-    return exact.filter(F.col("cosine") >= threshold)
+    exact = _bucket_pairs_cosine(b, id_col, vec_col, threshold)
+    return exact.select(
+        "a", "b", F.round("cosine", 9).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
 
 
 def dedupe_near_duplicates_cosine(

@@ -102,17 +102,19 @@ def test_minhash_materialize_false_leaves_cache_to_caller(spark):
         ["doc_id", "text"],
     )
     out = near_duplicates_minhash(docs, threshold=0.5, materialize=False)
-    # lazy: the full LSH lineage (joins) is still in the plan — a
-    # localCheckpoint would have collapsed it to a scan of checkpointed
-    # RDD blocks with no Join left
-    assert "Join" in out._jdf.queryExecution().optimizedPlan().toString()
+    # lazy: the full LSH lineage (the grouped bucket-verify stage) is
+    # still in the plan — a localCheckpoint would have collapsed it to
+    # a scan of checkpointed RDD blocks with no grouped-map stage left
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapGroupsIn" in plan, plan  # Arrow or Pandas grouped map
     assert out.count() > 0
     spark.catalog.clearCache()
 
     # default path: hygiene unchanged — checkpointed (no lineage) and
     # no cached tables survive
     out2 = near_duplicates_minhash(docs, threshold=0.5)
-    assert "Join" not in out2._jdf.queryExecution().optimizedPlan().toString()
+    plan2 = out2._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapGroupsIn" not in plan2, plan2
     assert out2.count() > 0
     jsc = spark._jsparkSession.sharedState().cacheManager()
     assert jsc.isEmpty()

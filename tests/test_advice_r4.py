@@ -91,15 +91,18 @@ def test_release_lazy_caches_owns_materialize_false_sigs(spark):
         [(i, f"shared shingle stream number {i % 2} " * 8) for i in range(20)],
         ["doc_id", "text"],
     )
+    # round 6: the bucket-local verify consumes signatures exactly once
+    # in-plan, so NEITHER mode creates a signature cache — the registry
+    # stays empty and the cache manager is clean throughout (the
+    # ownership problem this ADVICE item flagged no longer exists on
+    # this path)
     out = dedup.near_duplicates_minhash(docs, threshold=0.5, materialize=False)
-    assert len(dedup._LAZY_PERSISTED) == 1
+    assert not dedup._LAZY_PERSISTED
     assert out.count() > 0
     jsc = spark._jsparkSession.sharedState().cacheManager()
-    assert not jsc.isEmpty()  # the lazy cache the registry owns
-    assert dedup.release_lazy_caches() == 1
-    assert not dedup._LAZY_PERSISTED
     assert jsc.isEmpty()
-    # default materialize=True path never registers
+    assert dedup.release_lazy_caches() == 0
+    # default materialize=True path never registers either
     out2 = dedup.near_duplicates_minhash(docs, threshold=0.5)
     assert out2.count() > 0
     assert not dedup._LAZY_PERSISTED and jsc.isEmpty()
@@ -114,10 +117,14 @@ def test_entry_loader_drains_stale_lazy_caches(spark, sf_dir):
 
     dedup.release_lazy_caches()
     spark.catalog.clearCache()
-    docs = spark.createDataFrame([(1, "a b c " * 10), (2, "a b c " * 10)],
-                                 ["doc_id", "text"])
-    dedup.near_duplicates_minhash(docs, threshold=0.1, materialize=False).count()
-    assert len(dedup._LAZY_PERSISTED) == 1
+    # round 6: near_duplicates_minhash no longer registers lazy caches
+    # (no signature cache exists); plant one directly so the loader's
+    # drain contract — any registered lazy table is released by the
+    # first _t of the next query — stays pinned for future registrants
+    planted = spark.createDataFrame([(1, "a b c " * 10), (2, "a b c " * 10)],
+                                    ["doc_id", "text"]).persist()
+    planted.count()
+    dedup._LAZY_PERSISTED.append(planted)
     entry._t(spark, sf_dir, "region").count()
     assert not dedup._LAZY_PERSISTED
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
