@@ -349,7 +349,15 @@ def all_violations(corpus: DataFrame, commits: DataFrame | None = None) -> DataF
             )
         )
     v = F.explode(F.array_compact(F.array(*checks))).alias("v")
-    exploded = probe.select(v, *NATURAL_KEY, content_sha256().alias("content_sha256"))
+    # content rides RAW through the explode and is hashed AFTER it:
+    # the Generate's child projection evaluates for EVERY corpus row,
+    # so hashing there paid full-corpus sha256 (~2.5 s per bench leg at
+    # the 6M-file corpus) to label the handful of rows that actually
+    # violate; post-explode only violating rows remain (guide §1.2 —
+    # don't compute things you throw away)
+    exploded = probe.select(v, *NATURAL_KEY, F.col("content")).select(
+        "v", *NATURAL_KEY, content_sha256().alias("content_sha256")
+    )
     # null_violations blanks NULL key columns in its output rows; the
     # other checks keep them raw — reproduce per emitted row
     key_cols = [

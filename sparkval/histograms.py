@@ -161,15 +161,73 @@ def partial_histograms(
     n_langs = len(LANG_VOCAB)
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # per-TASK accumulation (guide §2.3, aggregate before the
+        # shuffle): fold every batch's per-key partials into one
+        # O(present keys) accumulator and emit ONCE per task — the
+        # per-batch emit shipped (batches x keys) rows into the merge
+        # shuffle (479k rows / ~1.2 GB at the 6M-file bench corpus vs
+        # ~20k rows after this change). The fold is the same monoid the
+        # merge stage applies (sum/xor), so merged outputs are
+        # bit-identical for any batch split.
+        acc = _HistAccumulator(n_langs)
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            yield pa.record_batch(_hist_partial_cols(batch, n_langs))
+            acc.add(*_hist_partial_arrays(batch, n_langs))
+        if acc:
+            yield acc.to_batch()
 
     prepped = prepared_scan(corpus, config.n_repo_buckets, bucket=bucket).select(
         "_key", "_fp", "_len", "_bytes"
     )
     return prepped.mapInArrow(gen, PARTIAL_SCHEMA)
+
+
+class _HistAccumulator:
+    """Per-task fold of per-batch histogram partials, keyed by the
+    composite int key. Sum/xor only — the identical monoid the merge
+    stage applies, so any (batch, task) split yields bit-identical
+    merged histograms."""
+
+    def __init__(self, n_langs: int):
+        self.n_langs = n_langs
+        self.state: dict[int, list] = {}
+
+    def __bool__(self) -> bool:
+        return bool(self.state)
+
+    def add(self, ukeys, n_files, nulls, total, bh, lh, fpx) -> None:
+        for i, k in enumerate(ukeys.tolist()):
+            st = self.state.get(k)
+            if st is None:
+                self.state[k] = [
+                    int(n_files[i]), int(nulls[i]), int(total[i]),
+                    int(fpx[i]), bh[i].copy(), lh[i].copy(),
+                ]
+            else:
+                st[0] += int(n_files[i])
+                st[1] += int(nulls[i])
+                st[2] += int(total[i])
+                st[3] ^= int(fpx[i])
+                st[4] += bh[i]
+                st[5] += lh[i]
+
+    def to_batch(self) -> pa.RecordBatch:
+        keys = sorted(self.state)
+        rows = [self.state[k] for k in keys]
+        karr = np.asarray(keys, dtype=np.int64)
+        return pa.record_batch(
+            {
+                "repo_bucket": pa.array((karr // self.n_langs).astype(np.int32), pa.int32()),
+                "lang": pa.array([LANG_VOCAB[int(k) % self.n_langs] for k in keys], pa.string()),
+                "n_files": pa.array([r[0] for r in rows], pa.int64()),
+                "n_null_content": pa.array([r[1] for r in rows], pa.int64()),
+                "total_bytes": pa.array([r[2] for r in rows], pa.int64()),
+                "byte_hist": pa.array([r[4] for r in rows], pa.list_(pa.int64())),
+                "len_hist": pa.array([r[5] for r in rows], pa.list_(pa.int64())),
+                "fingerprint": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
 
 
 def _hist_partial_cols(batch: pa.RecordBatch, n_langs: int) -> dict:
@@ -181,6 +239,22 @@ def _hist_partial_cols(batch: pa.RecordBatch, n_langs: int) -> dict:
     bins, and bincounts content bytes. Shared verbatim by
     partial_histograms and fused_scan_partials so the two paths can
     never drift."""
+    ukeys, n_files, nulls, total, bh, lh, fpx = _hist_partial_arrays(batch, n_langs)
+    return {
+        "repo_bucket": pa.array((ukeys // n_langs).astype(np.int32), pa.int32()),
+        "lang": pa.array([LANG_VOCAB[int(k) % n_langs] for k in ukeys], pa.string()),
+        "n_files": pa.array(n_files),
+        "n_null_content": pa.array(nulls),
+        "total_bytes": pa.array(total),
+        "byte_hist": pa.array(list(bh), pa.list_(pa.int64())),
+        "len_hist": pa.array(list(lh), pa.list_(pa.int64())),
+        "fingerprint": pa.array(fpx),
+    }
+
+
+def _hist_partial_arrays(batch: pa.RecordBatch, n_langs: int) -> tuple:
+    """Numpy form of the per-batch histogram partials (see
+    _hist_partial_cols): (ukeys, n_files, nulls, total, bh, lh, fpx)."""
     n = batch.num_rows
     key = batch.column(0).to_numpy()
     fp = batch.column(1).to_numpy().view(np.uint64)
@@ -221,16 +295,7 @@ def _hist_partial_cols(batch: pa.RecordBatch, n_langs: int) -> dict:
         if e > s:
             bh[inv[i]] += np.bincount(data[s:e], minlength=BYTE_BINS)
 
-    return {
-        "repo_bucket": pa.array((ukeys // n_langs).astype(np.int32), pa.int32()),
-        "lang": pa.array([LANG_VOCAB[int(k) % n_langs] for k in ukeys], pa.string()),
-        "n_files": pa.array(n_files),
-        "n_null_content": pa.array(nulls),
-        "total_bytes": pa.array(total),
-        "byte_hist": pa.array(list(bh), pa.list_(pa.int64())),
-        "len_hist": pa.array(list(lh), pa.list_(pa.int64())),
-        "fingerprint": pa.array(fpx),
-    }
+    return ukeys, n_files, nulls, total, bh, lh, fpx
 
 
 #: union-schema output of the fused single-scan kernel: kind='h' rows
@@ -290,6 +355,11 @@ def fused_scan_partials(corpus: DataFrame, config: ValidationConfig) -> DataFram
     ).select("_key", "_fp", "_len", "_bytes", *_ROW_COLS)
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # kind='r' rows stream out per batch; kind='h' partials fold
+        # into one per-task accumulator (guide §2.3 — same monoid as
+        # the merge stage, bit-identical downstream; see
+        # partial_histograms) and emit once at task end.
+        acc = _HistAccumulator(n_langs)
         for batch in batches:
             n = batch.num_rows
             if n == 0:
@@ -303,10 +373,14 @@ def fused_scan_partials(corpus: DataFrame, config: ValidationConfig) -> DataFram
                 row_cols[c] = batch.column(4 + i)
             yield pa.record_batch(row_cols, schema=_FUSED_PA_SCHEMA)
 
-            # -- kind='h': histogram partials via the SHARED kernel
-            hist_cols = {"kind": None, **_hist_partial_cols(batch, n_langs)}
-            G = len(hist_cols["n_files"])
-            hist_cols["kind"] = pa.array(["h"] * G, pa.string())
+            acc.add(*_hist_partial_arrays(batch, n_langs))
+
+        if acc:
+            hb = acc.to_batch()
+            G = hb.num_rows
+            hist_cols = {"kind": pa.array(["h"] * G, pa.string())}
+            for f in PARTIAL_SCHEMA.fields:
+                hist_cols[f.name] = hb.column(f.name)
             for c in _ROW_COLS:
                 hist_cols[c] = pa.nulls(G, pa.string())
             yield pa.record_batch(hist_cols, schema=_FUSED_PA_SCHEMA)

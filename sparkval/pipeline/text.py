@@ -71,9 +71,15 @@ def with_lang_id(df: DataFrame, col: str = "text") -> DataFrame:
             arr = F.array(*[F.lit(m) for m in markers])
             cnt = F.size(F.filter(F.col("_toks"), lambda t: F.array_contains(arr, t)))
         scored.append(F.struct(cnt.cast("long").alias("hits"), F.lit(lang).alias("lang")))
-    best = F.greatest(*scored)
-    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown"))
-    return tokenized.withColumn("lang_pred", pred).drop("_toks")
+    # the struct-max is ALSO materialized once: referencing greatest()
+    # directly from both arms of the WHEN inlined the whole 5-language
+    # scoring tree twice per row (plan showed 8 filter() traversals —
+    # guide §7.2 duplicated-subtree check; halves the per-row cost)
+    with_best = tokenized.withColumn("_best", F.greatest(*scored))
+    pred = F.when(
+        F.col("_best")["hits"] > 0, F.col("_best")["lang"]
+    ).otherwise(F.lit("unknown"))
+    return with_best.withColumn("lang_pred", pred).drop("_toks", "_best")
 
 
 def with_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
