@@ -3177,56 +3177,12 @@ def q_dedupe_fuzzy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "uniqueness_lineitem": q_uniqueness_lineitem,
-    "referential_orders_customer": q_referential_orders_customer,
-    "referential_lineitem_part": q_referential_lineitem_part,
-    "null_stats_documents": q_null_stats_documents,
-    "column_stats_documents": q_column_stats_documents,
-    "lang_entropy_by_source": q_lang_entropy_by_source,
-    "score_stats_orders": q_score_stats_orders,
-    "token_counts_documents": q_token_counts_documents,
-    "fingerprint_documents": q_fingerprint_documents,
-    "exact_dup_groups_documents": q_exact_dup_groups_documents,
-    "dedup_keep_canonical_documents": q_dedup_keep_canonical_documents,
-    "dup_components_documents": q_dup_components_documents,
-    "stratified_sample_documents": q_stratified_sample_documents,
-    "lang_id_documents": q_lang_id_documents,
-    "verdict_set_compare": q_verdict_set_compare,
-    "manifest_check_documents": q_manifest_check_documents,
-    "quality_score_documents": q_quality_score_documents,
-    "length_quantiles_documents": q_length_quantiles_documents,
-    "ngram_jaccard_adjacent_documents": q_ngram_jaccard_adjacent_documents,
-    "minhash_near_dups_documents": q_minhash_near_dups_documents,
-    "winnow_overlap_documents": q_winnow_overlap_documents,
-    "salted_repo_stats": q_salted_repo_stats,
-    "simhash_near_dups_documents": q_simhash_near_dups_documents,
-    "events_hourly_counts": q_events_hourly_counts,
-    "events_sessions_per_user": q_events_sessions_per_user,
-    "events_latest_per_user": q_events_latest_per_user,
-    "events_props_extract": q_events_props_extract,
-    "events_asof_click_view": q_events_asof_click_view,
-    "events_funnel": q_events_funnel,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_decode_images": q_multimodal_decode_images,
-    "multimodal_decode_audio": q_multimodal_decode_audio,
-    "ann_topk_embeddings": q_ann_topk_embeddings,
-    "ivf_topk_embeddings": q_ivf_topk_embeddings,
-    "ivf_clustered_recall_embeddings": q_ivf_clustered_recall_embeddings,
-    "ivf_topk_full_probe_embeddings": q_ivf_topk_full_probe_embeddings,
-    "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
-    "dedupe_cosine_embeddings": q_dedupe_cosine_embeddings,
-    "drift_identity_documents": q_drift_identity_documents,
-    "drilldown_bucket_documents": q_drilldown_bucket_documents,
-    "drift_shifted_documents": q_drift_shifted_documents,
-    "drift_topk_partitions": q_drift_topk_partitions,
-    "driftmap_violations_documents": q_driftmap_violations_documents,
-    "dedupe_near_dups_documents": q_dedupe_near_dups_documents,
-    "dedup_report_documents": q_dedup_report_documents,
-    "decontaminate_documents": q_decontaminate_documents,
-    "token_budget_sample_documents": q_token_budget_sample_documents,
-    "repetition_stats_documents": q_repetition_stats_documents,
-    "merge_baselines_documents": q_merge_baselines_documents,
-    "cluster_embeddings_planted": q_cluster_embeddings_planted,
+    # Ordered least-recently-driver-attested first (round-6 /
+    # round-5-verdict #1): the driver's correctness sweep covers ~50
+    # rows per round in dict order, so the 72 rows only ever checked
+    # by the local harness come first, then the 8 last attested in
+    # r4, then the 50 r5-green rows. Pure reordering - every entry
+    # and its oracle are unchanged.
     "duplicated_spans_documents": q_duplicated_spans_documents,
     "dedupe_against_documents": q_dedupe_against_documents,
     "hash_split_documents": q_hash_split_documents,
@@ -3235,14 +3191,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality_documents": q_gopher_quality_documents,
     "pii_stats_documents": q_pii_stats_documents,
     "vocab_topk_documents": q_vocab_topk_documents,
-    "tdigest_lengths_documents": q_tdigest_lengths_documents,
-    "hll_distinct_documents": q_hll_distinct_documents,
-    "strip_validate_documents": q_strip_validate_documents,
-    "lineage_metrics_documents": q_lineage_metrics_documents,
-    "stream_drift_documents": q_stream_drift_documents,
-    "stream_cumulative_drift_documents": q_stream_cumulative_drift_documents,
-    "stream_windowed_counts_events": q_stream_windowed_counts_events,
-    "stream_dedupe_events": q_stream_dedupe_events,
     "corpus_diff_documents": q_corpus_diff_documents,
     "source_overlap_documents": q_source_overlap_documents,
     "unigram_divergence_documents": q_unigram_divergence_documents,
@@ -3307,6 +3255,64 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_partitions_orders": q_fingerprint_partitions_orders,
     "stream_freshness_events": q_stream_freshness_events,
     "dedupe_fuzzy_documents": q_dedupe_fuzzy_documents,
+    "tdigest_lengths_documents": q_tdigest_lengths_documents,
+    "hll_distinct_documents": q_hll_distinct_documents,
+    "strip_validate_documents": q_strip_validate_documents,
+    "lineage_metrics_documents": q_lineage_metrics_documents,
+    "stream_drift_documents": q_stream_drift_documents,
+    "stream_cumulative_drift_documents": q_stream_cumulative_drift_documents,
+    "stream_windowed_counts_events": q_stream_windowed_counts_events,
+    "stream_dedupe_events": q_stream_dedupe_events,
+    "uniqueness_lineitem": q_uniqueness_lineitem,
+    "referential_orders_customer": q_referential_orders_customer,
+    "referential_lineitem_part": q_referential_lineitem_part,
+    "null_stats_documents": q_null_stats_documents,
+    "column_stats_documents": q_column_stats_documents,
+    "lang_entropy_by_source": q_lang_entropy_by_source,
+    "score_stats_orders": q_score_stats_orders,
+    "token_counts_documents": q_token_counts_documents,
+    "fingerprint_documents": q_fingerprint_documents,
+    "exact_dup_groups_documents": q_exact_dup_groups_documents,
+    "dedup_keep_canonical_documents": q_dedup_keep_canonical_documents,
+    "dup_components_documents": q_dup_components_documents,
+    "stratified_sample_documents": q_stratified_sample_documents,
+    "lang_id_documents": q_lang_id_documents,
+    "verdict_set_compare": q_verdict_set_compare,
+    "manifest_check_documents": q_manifest_check_documents,
+    "quality_score_documents": q_quality_score_documents,
+    "length_quantiles_documents": q_length_quantiles_documents,
+    "ngram_jaccard_adjacent_documents": q_ngram_jaccard_adjacent_documents,
+    "minhash_near_dups_documents": q_minhash_near_dups_documents,
+    "winnow_overlap_documents": q_winnow_overlap_documents,
+    "salted_repo_stats": q_salted_repo_stats,
+    "simhash_near_dups_documents": q_simhash_near_dups_documents,
+    "events_hourly_counts": q_events_hourly_counts,
+    "events_sessions_per_user": q_events_sessions_per_user,
+    "events_latest_per_user": q_events_latest_per_user,
+    "events_props_extract": q_events_props_extract,
+    "events_asof_click_view": q_events_asof_click_view,
+    "events_funnel": q_events_funnel,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_decode_images": q_multimodal_decode_images,
+    "multimodal_decode_audio": q_multimodal_decode_audio,
+    "ann_topk_embeddings": q_ann_topk_embeddings,
+    "ivf_topk_embeddings": q_ivf_topk_embeddings,
+    "ivf_clustered_recall_embeddings": q_ivf_clustered_recall_embeddings,
+    "ivf_topk_full_probe_embeddings": q_ivf_topk_full_probe_embeddings,
+    "cosine_near_dups_embeddings": q_cosine_near_dups_embeddings,
+    "dedupe_cosine_embeddings": q_dedupe_cosine_embeddings,
+    "drift_identity_documents": q_drift_identity_documents,
+    "drilldown_bucket_documents": q_drilldown_bucket_documents,
+    "drift_shifted_documents": q_drift_shifted_documents,
+    "drift_topk_partitions": q_drift_topk_partitions,
+    "driftmap_violations_documents": q_driftmap_violations_documents,
+    "dedupe_near_dups_documents": q_dedupe_near_dups_documents,
+    "dedup_report_documents": q_dedup_report_documents,
+    "decontaminate_documents": q_decontaminate_documents,
+    "token_budget_sample_documents": q_token_budget_sample_documents,
+    "repetition_stats_documents": q_repetition_stats_documents,
+    "merge_baselines_documents": q_merge_baselines_documents,
+    "cluster_embeddings_planted": q_cluster_embeddings_planted,
 }
 
 ORACLE_SQL: dict[str, str] = {

@@ -869,6 +869,7 @@ def bit_lsh_bands(
     vec_col: str = "embedding",
     n_bands: int = 8,
     band_bits: int = 4,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Bit-sampling LSH bands from SIGN BITS of the embedding's own
     coordinates — band b's bucket is the ``band_bits``-bit code of
@@ -884,7 +885,8 @@ def bit_lsh_bands(
 
     Output: (id, band, bucket) — one row per (row, band); embeddings
     never enter the shuffle. Tune band_bits to keep ~n/2^band_bits
-    bucket sizes sub-quadratic at scale.
+    bucket sizes sub-quadratic at scale. ``keep_vec=True`` carries the
+    vector column along (O(n x bands), for the bucket-local verify).
     """
     if n_bands < 1 or band_bits < 1:  # not the product: (-2)*(-4) > 0
         raise ValueError("need n_bands and band_bits >= 1")
@@ -895,8 +897,10 @@ def bit_lsh_bands(
             coord = F.element_at(F.col(vec_col), b * band_bits + j + 1)
             code = code + F.when(coord > 0, F.lit(1 << j)).otherwise(F.lit(0))
         buckets.append(code)
+    carry = [F.col(vec_col)] if keep_vec else []
     return df.select(
-        F.col(id_col), F.posexplode(F.array(*buckets)).alias("band", "bucket")
+        F.col(id_col), *carry,
+        F.posexplode(F.array(*buckets)).alias("band", "bucket"),
     )
 
 
@@ -914,31 +918,27 @@ def bit_lsh_near_dups(
     exact zip_with/aggregate cosine and kept at round(cos, 9) >=
     ``threshold``.
 
-    Scale shape: band projection is a map-only expression; the
-    candidate self-join shuffles only (id, band, bucket) triples on
-    (band, bucket); distinct-pair dedup shuffles only id pairs; the
-    verify join brings embeddings back per CANDIDATE, not per pair of
-    all rows. Embeddings are cast to array<double> before any
-    arithmetic so the verify matches a float64 SQL oracle bit-for-bit.
+    Scale shape (round 6): band projection is a map-only expression;
+    the vector rides the banding rows (O(n x bands), linear) and each
+    (band, bucket) verifies IN PLACE via the shared bucket-local
+    kernel (``_bucket_pairs_cosine``) instead of emitting candidate
+    (a, b) rows and joining the vector payload back per pair — with
+    2^band_bits buckets per band the candidate join was
+    O(n^2 x bands / 2^band_bits) rows (~400M at 40k vectors; the join
+    shape did not finish inside 10 minutes at that scale, the kernel
+    runs in seconds). Embeddings are cast to array<double> before any
+    arithmetic, and the kernel reproduces the zip_with/aggregate
+    float64 fold bit-for-bit, so the verify still matches the float64
+    SQL oracle exactly.
     """
     dbl = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     )
-    bands = bit_lsh_bands(dbl, id_col, vec_col, n_bands, band_bits)
-    left = bands.select(
-        F.col(id_col).alias("a"), F.col("band"), F.col("bucket")
-    )
-    right = bands.select(
-        F.col(id_col).alias("b"), F.col("band"), F.col("bucket")
-    )
-    cand = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    pairs = cosine_pairs_exact(dbl, cand, id_col, vec_col)
-    return pairs.filter(F.col("cosine") >= threshold)
+    bands = bit_lsh_bands(dbl, id_col, vec_col, n_bands, band_bits, keep_vec=True)
+    exact = _bucket_pairs_cosine(bands, id_col, vec_col, threshold)
+    return exact.select(
+        "a", "b", F.round("cosine", 9).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
 
 
 def embedding_drift(
