@@ -1954,6 +1954,7 @@ def q_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch from the vocabulary counts and takes the same min-over-rows
     (deterministic: collisions only ever add, identically on both
     engines)."""
+    from sparkval.pipeline.dedup import _spread_small_input
     from sparkval.pipeline.text import _ws_tokens
     from sparkval.stats import (
         countmin_estimate_expr,
@@ -1962,9 +1963,13 @@ def q_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    terms = docs.filter(F.trim(F.col("text")) != "").select(
-        "source", F.explode(_ws_tokens("text")).alias("term")
-    )
+    # tokenize+explode feeds BOTH the sketch build and the exact
+    # top-20 aggregation: spread the (few-partition) doc scan first so
+    # the explode runs on every core instead of 1-2 scan partitions
+    # (round 6; no-op whenever the table has >= slots partitions)
+    terms = _spread_small_input(docs.select("source", "text")).filter(
+        F.trim(F.col("text")) != ""
+    ).select("source", F.explode(_ws_tokens("text")).alias("term"))
     sk = countmin_sketches(terms, "term", ["source"])
     merged = merge_countmin(sk, [])
     top = (
@@ -2218,6 +2223,7 @@ def q_kmv_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB recomputes the identical sketches (k smallest distinct
     hashes per source) AND the identical estimates — the sketch
     family's sixth monoid, fully value-oracled."""
+    from sparkval.pipeline.dedup import _spread_small_input
     from sparkval.stats import kmv_overlap, kmv_sketches
 
     docs = _t(spark, sf_dir, "documents")
@@ -2226,9 +2232,12 @@ def q_kmv_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size(toks) - 4),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
     )
-    stream = docs.filter(F.size(toks) >= 5).select(
-        "source", F.explode(grams).alias("gram")
-    )
+    # spread the doc scan BEFORE the shingle explode (round 6): the
+    # explode otherwise runs on 1-2 scan partitions, and spreading the
+    # 90 B gram strings afterwards costs ~100x the doc bytes
+    stream = _spread_small_input(docs.select("source", "text")).filter(
+        F.size(toks) >= 5
+    ).select("source", F.explode(grams).alias("gram"))
     sk = kmv_sketches(stream, "gram", ["source"], k=256)
     return kmv_overlap(sk, "source", k=256).orderBy("group_a", "group_b")
 

@@ -1002,7 +1002,11 @@ def ngram_jaccard_exact(df: DataFrame, candidates: DataFrame, text_col: str = "t
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
-    g = df.select(F.col(id_col), grams.alias("grams"))
+    # gram building is the cost — spread a few-partition scan first
+    # (no-op whenever partitions >= slots)
+    g = _spread_small_input(df.select(id_col, text_col)).select(
+        F.col(id_col), grams.alias("grams")
+    )
     a = g.select(F.col(id_col).alias("a"), F.col("grams").alias("ga"))
     b = g.select(F.col(id_col).alias("b"), F.col("grams").alias("gb"))
     joined = candidates.select("a", "b").join(a, "a").join(b, "b")
@@ -1030,8 +1034,13 @@ def ngram_hash_stream(df: DataFrame, text_col: str = "text",
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
     )
+    # the tokenize+hash expressions are the cost: spread a
+    # few-partition input across the cluster first so they don't run
+    # on 1-2 cores (no-op whenever partitions >= slots — see
+    # _spread_small_input)
     return (
-        df.filter(F.size(toks) >= n)
+        _spread_small_input(df.select(id_col, text_col))
+        .filter(F.size(toks) >= n)
         .select(F.col(id_col), F.explode(grams).alias("gram_hash"))
     )
 
@@ -1048,7 +1057,8 @@ def ngram_hash_positions(df: DataFrame, text_col: str = "text",
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
     )
     return (
-        df.filter(F.size(toks) >= n)
+        _spread_small_input(df.select(id_col, text_col))
+        .filter(F.size(toks) >= n)
         .select(F.col(id_col), F.posexplode(grams).alias("pos", "gram_hash"))
     )
 
@@ -1305,7 +1315,8 @@ def bloom_gram_filter(
         raise ValueError(f"bad n={n}")
     toks, grams = _gram_exprs(text_col, n)
     bench_grams = (
-        benchmark.filter(F.size(toks) >= n)
+        _spread_small_input(benchmark.select(text_col))
+        .filter(F.size(toks) >= n)
         .select(F.explode(grams).alias("gram"), F.lit(0).alias("_g"))
     )
     seed = benchmark.sparkSession.range(1).select(
@@ -1364,7 +1375,8 @@ def bloom_decontaminate(
     filt = bloom_gram_filter(benchmark, text_col, n, k, m_bits)
 
     probed = (
-        corpus.filter(F.size(toks) >= n)
+        _spread_small_input(corpus.select(id_col, text_col))
+        .filter(F.size(toks) >= n)
         .select(F.col(id_col), grams.alias("_grams"))
         .crossJoin(F.broadcast(filt))
         .select(

@@ -437,7 +437,11 @@ def countmin_sketches(
             ]
         )
 
-    part = df.select(*group_cols, col).mapInPandas(partials, schema)
+    # spread a few-partition input before the Python sketch kernel
+    # (no-op whenever partitions >= slots — see _spread_narrow_scan)
+    part = _spread_narrow_scan(df.select(*group_cols, col)).mapInPandas(
+        partials, schema
+    )
     return part.groupBy(*group_cols).applyInPandas(merge, schema)
 
 
@@ -559,7 +563,11 @@ def bloom_filters(
             ]
         )
 
-    part = df.select(*group_cols, col).mapInPandas(partials, schema)
+    # spread a few-partition input before the Python sketch kernel
+    # (no-op whenever partitions >= slots — see _spread_narrow_scan)
+    part = _spread_narrow_scan(df.select(*group_cols, col)).mapInPandas(
+        partials, schema
+    )
     return part.groupBy(*group_cols).applyInPandas(merge, schema)
 
 
@@ -680,9 +688,12 @@ def kmv_sketches(
             ]
         )
 
-    part = df.select(*group_cols, value.alias("_v")).mapInPandas(
-        partials, schema
-    )
+    # the value may be an expensive expression (e.g. shingles over
+    # text): spread the RAW input first so it evaluates on every
+    # core, not on 1-2 scan partitions (no-op at scale)
+    part = _spread_narrow_scan(df).select(
+        *group_cols, value.alias("_v")
+    ).mapInPandas(partials, schema)
     return part.groupBy(*group_cols).applyInPandas(merge, schema)
 
 
