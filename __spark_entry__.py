@@ -2000,14 +2000,17 @@ def q_stream_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFr
     import shutil
     import tempfile
 
+    from sparkval.pipeline.dedup import _spread_small_input
     from sparkval.pipeline.text import _ws_tokens
     from sparkval.stats import countmin_estimate_expr, merge_countmin
     from sparkval.streaming import stream_heavy_hitters
 
     docs = _t(spark, sf_dir, "documents")
-    terms = docs.filter(F.trim(F.col("text")) != "").select(
-        "source", F.explode(_ws_tokens("text")).alias("term")
-    )
+    # spread the few-partition doc scan before the explode (round 6 —
+    # see q_heavy_hitters; no-op at >= slots partitions)
+    terms = _spread_small_input(docs.select("source", "text")).filter(
+        F.trim(F.col("text")) != ""
+    ).select("source", F.explode(_ws_tokens("text")).alias("term"))
     tmp = tempfile.mkdtemp(prefix="sparkval_shh_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     src, out, ckpt = f"{tmp}/terms", f"{tmp}/out", f"{tmp}/ckpt"

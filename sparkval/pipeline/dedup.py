@@ -1365,7 +1365,7 @@ def bloom_decontaminate(
     The report is localCheckpointed (O(docs) narrow rows — the op's
     own output) so candidate selection does not re-run the probe
     scan."""
-    from sparkval.stats import bloom_contains_expr
+    from sparkval.stats import bloom_h0_contains_expr, bloom_h0_expr
 
     if n < 1:
         raise ValueError(f"bad n={n}")
@@ -1374,6 +1374,10 @@ def bloom_decontaminate(
     # idempotent — see bloom_gram_filter)
     filt = bloom_gram_filter(benchmark, text_col, n, k, m_bits)
 
+    # two-stage probe: transform computes the md5-derived base hash
+    # ONCE per gram, then the k bit tests run on the long — inside a
+    # single filter() lambda Spark re-evaluates the md5 per bit test
+    # (no CSE in higher-order lambdas), 4x the hash work
     probed = (
         _spread_small_input(corpus.select(id_col, text_col))
         .filter(F.size(toks) >= n)
@@ -1384,8 +1388,8 @@ def bloom_decontaminate(
             F.size("_grams").cast("long").alias("n_grams"),
             F.size(
                 F.filter(
-                    "_grams",
-                    lambda g: bloom_contains_expr(g, "filter", k, m_bits),
+                    F.transform("_grams", lambda g: bloom_h0_expr(g)),
+                    lambda h: bloom_h0_contains_expr(h, "filter", k, m_bits),
                 )
             ).cast("long").alias("bloom_hits"),
         )

@@ -615,12 +615,31 @@ def bloom_contains_expr(
     dies map-side inside WholeStageCodegen. ``term_col`` may be a
     column name or an arbitrary string-typed Column (e.g. an n-gram
     expression that never materializes outside the projection)."""
-    from sparkval.bloom import P, row_coeffs
-
     term = F.col(term_col) if isinstance(term_col, str) else term_col
-    h0 = F.conv(F.substring(F.md5(term.cast("binary")), 1, 8), 16, 10).cast(
+    return bloom_h0_contains_expr(bloom_h0_expr(term), filter_col, k, m_bits)
+
+
+def bloom_h0_expr(term) -> F.Column:
+    """The base hash of the Bloom chain (first 8 md5 hex chars as a
+    long) as its own expression — split out so hot probe paths can
+    evaluate the md5 ONCE per term (via transform) instead of once
+    per bit test: inside a higher-order lambda Spark does not
+    common-subexpression-eliminate, so the composed form pays k
+    md5+conv per term."""
+    term = F.col(term) if isinstance(term, str) else term
+    return F.conv(F.substring(F.md5(term.cast("binary")), 1, 8), 16, 10).cast(
         "long"
     )
+
+
+def bloom_h0_contains_expr(
+    h0, filter_col: str = "filter", k: int = 4, m_bits: int = 1 << 20
+) -> F.Column:
+    """Membership test given a precomputed base hash (bloom_h0_expr):
+    the k mod-prime bit positions and getbit() probes, pure codegen."""
+    from sparkval.bloom import P, row_coeffs
+
+    h0 = F.col(h0) if isinstance(h0, str) else h0
     bits = []
     for a, b in row_coeffs(k):
         pos = ((F.lit(a) * h0 + F.lit(b)) % F.lit(P)) % F.lit(m_bits)

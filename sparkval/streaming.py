@@ -305,8 +305,8 @@ def stream_contamination_gate(
     stay idempotent. Because the per-doc probe is independent of
     batching, summing n_flagged over the log equals the batch-mode
     flagged count exactly."""
-    from sparkval.pipeline.dedup import _gram_exprs
-    from sparkval.stats import bloom_contains_expr
+    from sparkval.pipeline.dedup import _gram_exprs, _spread_small_input
+    from sparkval.stats import bloom_h0_contains_expr, bloom_h0_expr
 
     filt = bloom_filter.select("filter")
     toks, grams = _gram_exprs(text_col, n)
@@ -314,8 +314,14 @@ def stream_contamination_gate(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # a maxFilesPerTrigger micro-batch arrives as 1-2 partitions:
+        # spread it so the gram probe uses every core (no-op when the
+        # batch already has >= slots partitions), and hash each gram
+        # once (bloom_h0_expr) before the k bit tests — the composed
+        # probe re-ran the md5 per bit test inside the filter lambda
         probed = (
-            batch_df.select(
+            _spread_small_input(batch_df.select(text_col))
+            .select(
                 F.when(F.size(toks) >= n, grams)
                 .otherwise(F.array().cast("array<string>"))
                 .alias("_grams")
@@ -325,8 +331,8 @@ def stream_contamination_gate(
                 (
                     F.size(
                         F.filter(
-                            "_grams",
-                            lambda g: bloom_contains_expr(g, "filter", k, m_bits),
+                            F.transform("_grams", lambda g: bloom_h0_expr(g)),
+                            lambda h: bloom_h0_contains_expr(h, "filter", k, m_bits),
                         )
                     )
                     > 0
