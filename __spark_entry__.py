@@ -1345,7 +1345,11 @@ def q_stream_dedupe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        raise TimeoutError(
+            "streaming query still running after 300 s — refusing to "
+            "read a possibly-incomplete sink (ADVICE r5)"
+        )
     return spark.read.parquet(out).select("event_id").orderBy("event_id")
 
 
@@ -1392,7 +1396,11 @@ def q_stream_windowed_counts_events(spark: SparkSession, sf_dir: str) -> DataFra
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        raise TimeoutError(
+            "streaming query still running after 300 s — refusing to "
+            "read a possibly-incomplete sink (ADVICE r5)"
+        )
     return spark.table("sparkval_win_ev").select(
         F.date_format("window_start", _TS_FMT).alias("window_start"),
         "event_type",
@@ -1444,7 +1452,11 @@ def q_stream_cumulative_drift_documents(spark: SparkSession, sf_dir: str) -> Dat
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "streaming query still running after 300 s — refusing to "
+                "read a possibly-incomplete sink (ADVICE r5)"
+            )
         # last emission per bucket = the cumulative final state
         w = Window.partitionBy("repo_bucket").orderBy(F.desc("files_seen"))
         return (
@@ -1497,7 +1509,11 @@ def q_stream_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifted.write.parquet(src)
     stream = spark.readStream.schema(shifted.schema).parquet(src)
     q = stream_validate(stream, base, cfg, out, ckpt, trigger_once=True)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        raise TimeoutError(
+            "streaming query still running after 300 s — refusing to "
+            "read a possibly-incomplete sink (ADVICE r5)"
+        )
 
     cols = ["repo_bucket", "lang", "score", "verdict", "n_files_snap"]
     sv = spark.read.parquet(out).select(*cols)
@@ -2598,7 +2614,11 @@ def q_stream_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        raise TimeoutError(
+            "streaming query still running after 300 s — refusing to "
+            "read a possibly-incomplete sink (ADVICE r5)"
+        )
     return spark.table("sparkval_sess_ev").select(
         "user_id",
         F.date_format("session_start", _TS_FMT).alias("session_start"),
@@ -3150,7 +3170,11 @@ def q_stream_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        raise TimeoutError(
+            "streaming query still running after 300 s — refusing to "
+            "read a possibly-incomplete sink (ADVICE r5)"
+        )
     state = spark.table("sparkval_fresh_state")
     out = freshness_verdicts(state)
     return out.select(

@@ -156,6 +156,13 @@ class ValidationEngine:
                 split_fused,
             )
 
+            # release any fused table a PREVIOUS validate() left cached
+            # before persisting a new one: direct callers in long-lived
+            # sessions otherwise accrete one cached table per call
+            # (ADVICE r5). Unpersist never invalidates an outstanding
+            # result DataFrame — a late consumer just recomputes
+            # uncached.
+            release_scan_caches()
             fused = fused_scan_partials(snapshot, cfg).persist()
             _SCAN_CACHES.append(fused)
             hist_partials, row_partials = split_fused(fused)
@@ -598,18 +605,16 @@ class ValidationEngine:
                     "verdicts": out["verdicts"].localCheckpoint(eager=True),
                     "violations": out["violations"].localCheckpoint(eager=True),
                 }
-            pre = len(_SCAN_CACHES)
             out = self.validate(snapshot, baseline, commits, expected_manifest)
             result = {
                 "verdicts": out["verdicts"].localCheckpoint(eager=True),
                 "violations": out["violations"].localCheckpoint(eager=True),
             }
             # both outputs are materialized above, so any fused scan
-            # table THIS call persisted (AUTO single_scan) is done —
-            # release it here instead of leaking one per call
-            # (review round 5)
-            while len(_SCAN_CACHES) > pre:
-                _SCAN_CACHES.pop().unpersist()
+            # table still cached (this call's, or a stale one validate()
+            # did not yet self-release) is done — drain the registry
+            # (review round 5 / ADVICE r5)
+            release_scan_caches()
             return result
         except ValidationCancelled:
             raise

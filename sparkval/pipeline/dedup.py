@@ -626,6 +626,20 @@ def connected_components(pairs: DataFrame, src: str = "a", dst: str = "b",
         )
         if changed == 0:
             break
+    if changed:
+        # exhausted max_iter with labels still moving: the returned
+        # components are SPLIT (a chain with diameter > max_iter keeps
+        # extra duplicates downstream) — tell the caller instead of
+        # silently under-merging (ADVICE r5)
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): components may be split. "
+            "Raise max_iter or pre-contract with exact dedup.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -356,9 +356,13 @@ def psi_report(
         F.sum("n_ref").alias("_tr"),
         F.count(F.lit(1)).alias("_nb"),
     )
-    # _nb counts OBSERVED bins; smoothing denominators use n_bins so
-    # all-empty bins (absent from both sides) contribute nothing, as
-    # if present with p == q
+    # _nb counts OBSERVED bins; smoothing denominators use n_bins, and
+    # bins absent from BOTH sides are EXCLUDED from the sum (they never
+    # appear in j). Note this is not identical to densifying first:
+    # an absent bin's smoothed p = 0.5/(_tc + 0.5*n_bins) and
+    # q = 0.5/(_tr + 0.5*n_bins) differ whenever the two totals differ,
+    # so a true all-bins smoothed PSI would add those tiny terms — the
+    # exclusion is the documented contract here (ADVICE r5)
     w = j.join(F.broadcast(totals), gname)
     p = (F.col("n_cur") + 0.5) / (F.col("_tc") + 0.5 * n_bins)
     q = (F.col("n_ref") + 0.5) / (F.col("_tr") + 0.5 * n_bins)
@@ -438,10 +442,16 @@ def countmin_sketches(
         )
 
     # spread a few-partition input before the Python sketch kernel
-    # (no-op whenever partitions >= slots — see _spread_narrow_scan)
-    part = _spread_narrow_scan(df.select(*group_cols, col)).mapInPandas(
-        partials, schema
-    )
+    # (no-op whenever partitions >= slots — see _spread_narrow_scan).
+    # The value column is cast to STRING (no-op for string inputs):
+    # the Python hasher encodes utf-8 and the codegen estimate expr
+    # hashes the string bytes, so a non-string column would either
+    # crash the executor (AttributeError in term_hash) or disagree
+    # with the expression side — the cast aligns both by
+    # construction (ADVICE r5)
+    part = _spread_narrow_scan(
+        df.select(*group_cols, F.col(col).cast("string").alias(col))
+    ).mapInPandas(partials, schema)
     return part.groupBy(*group_cols).applyInPandas(merge, schema)
 
 
@@ -564,10 +574,16 @@ def bloom_filters(
         )
 
     # spread a few-partition input before the Python sketch kernel
-    # (no-op whenever partitions >= slots — see _spread_narrow_scan)
-    part = _spread_narrow_scan(df.select(*group_cols, col)).mapInPandas(
-        partials, schema
-    )
+    # (no-op whenever partitions >= slots — see _spread_narrow_scan).
+    # The value column is cast to STRING (no-op for string inputs):
+    # the Python hasher encodes utf-8 and the codegen estimate expr
+    # hashes the string bytes, so a non-string column would either
+    # crash the executor (AttributeError in term_hash) or disagree
+    # with the expression side — the cast aligns both by
+    # construction (ADVICE r5)
+    part = _spread_narrow_scan(
+        df.select(*group_cols, F.col(col).cast("string").alias(col))
+    ).mapInPandas(partials, schema)
     return part.groupBy(*group_cols).applyInPandas(merge, schema)
 
 
@@ -710,8 +726,10 @@ def kmv_sketches(
     # the value may be an expensive expression (e.g. shingles over
     # text): spread the RAW input first so it evaluates on every
     # core, not on 1-2 scan partitions (no-op at scale)
+    # string cast: same hashing-alignment contract as
+    # countmin_sketches (no-op for string values)
     part = _spread_narrow_scan(df).select(
-        *group_cols, value.alias("_v")
+        *group_cols, value.cast("string").alias("_v")
     ).mapInPandas(partials, schema)
     return part.groupBy(*group_cols).applyInPandas(merge, schema)
 
