@@ -130,10 +130,15 @@ def q_score_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkval.pipeline.dedup import _spread_small_input
     from sparkval.pipeline.text import with_token_count
 
     docs = _t(spark, sf_dir, "documents")
-    return with_token_count(docs).select("doc_id", "n_tokens")
+    # spread the few-partition doc scan so the tokenizer runs on every
+    # core (round 6; no-op at >= slots partitions; output is a row SET)
+    return with_token_count(
+        _spread_small_input(docs.select("doc_id", "text"))
+    ).select("doc_id", "n_tokens")
 
 
 def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,11 +164,16 @@ def q_exact_dup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-based language ID counts per (true lang, predicted)."""
+    from sparkval.pipeline.dedup import _spread_small_input
     from sparkval.pipeline.text import with_lang_id
 
     docs = _t(spark, sf_dir, "documents")
+    # the 5-language marker scorer is the cost: spread the
+    # few-partition doc scan first so it runs on every core (round 6;
+    # no-op at >= slots partitions, and the groupBy result is
+    # partition-invariant)
     return (
-        with_lang_id(docs)
+        with_lang_id(_spread_small_input(docs.select("lang", "text")))
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
