@@ -303,6 +303,52 @@ _VERIFY_BLOCK = 2048
 #: path (all of a group's small-bucket pairs through one vectorized
 #: compare); at or above it, the unique-collapse + block-tile path
 _VERIFY_SPLIT = 512
+#: buckets ABOVE this member count are not verified in one task at
+#: all: stage 1 re-emits their rows as (chunk_i, chunk_j) block-pair
+#: work items and a second grouped stage verifies each block pair —
+#: per-task work is bounded at ~cap^2 pair cells however large the
+#: bucket, the levenshtein block-join lesson applied to LSH buckets.
+#: When no bucket exceeds the cap (every scale measured so far), the
+#: second stage receives zero rows and costs one empty shuffle.
+_HOT_BUCKET_CAP = 8192
+
+_MINHASH_STAGE1_SCHEMA = T.StructType(
+    [
+        T.StructField("a", T.LongType(), True),
+        T.StructField("b", T.LongType(), True),
+        T.StructField("jaccard_est", T.DoubleType(), True),
+        T.StructField("band", T.IntegerType(), True),
+        T.StructField("bucket", T.IntegerType(), True),
+        T.StructField("ci", T.IntegerType(), True),
+        T.StructField("cj", T.IntegerType(), True),
+        T.StructField("_id", T.LongType(), True),
+        T.StructField("chunk", T.IntegerType(), True),
+        T.StructField("signature", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def _pair_agreement_emit(S, S16, ids, pi, pj, threshold, out_a, out_b, out_j):
+    """Chunked int16-prefilter + exact-recount agreement over explicit
+    row-index pair arrays; appends surviving (min, max, est) to the
+    out lists. Shared by the small-bucket batch and the hot block-pair
+    kernel so the two paths cannot drift."""
+    chunk = 1 << 21  # ~256 MB of int16 gather per tile
+    for c0 in range(0, len(pi), chunk):
+        pic, pjc = pi[c0: c0 + chunk], pj[c0: c0 + chunk]
+        agree = (S16[pic] == S16[pjc]).sum(axis=1, dtype=np.int16)
+        cand = np.flatnonzero(agree / float(_N_PERM) >= threshold)
+        if not len(cand):
+            continue
+        pic, pjc = pic[cand], pjc[cand]
+        exact = (S[pic] == S[pjc]).sum(axis=1)
+        est = exact / float(_N_PERM)
+        keep = est >= threshold
+        if keep.any():
+            ia, ib = ids[pic[keep]], ids[pjc[keep]]
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+            out_j.append(est[keep])
 
 
 def _bucket_pairs_minhash(bands: DataFrame, id_col: str, threshold: float) -> DataFrame:
@@ -341,11 +387,77 @@ def _bucket_pairs_minhash(bands: DataFrame, id_col: str, threshold: float) -> Da
     spark = bands.sparkSession
     n_groups = max(spark.sparkContext.defaultParallelism, 8) * 32
 
-    def verify(tbl: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-             "jaccard_est": pa.array([], pa.float64())}
+    def _stage1_table(out_a, out_b, out_j, hot) -> pa.Table:
+        n_p = 0
+        cols: dict[str, object] = {}
+        if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            j = np.concatenate(out_j)
+            n_p = len(a)
+        else:
+            a = b = np.empty(0, dtype=np.int64)
+            j = np.empty(0, dtype=np.float64)
+        if hot:
+            h_band = np.concatenate([h[0] for h in hot])
+            h_bucket = np.concatenate([h[1] for h in hot])
+            h_ci = np.concatenate([h[2] for h in hot])
+            h_cj = np.concatenate([h[3] for h in hot])
+            h_id = np.concatenate([h[4] for h in hot])
+            h_chunk = np.concatenate([h[5] for h in hot])
+            h_sig = np.concatenate([h[6] for h in hot])  # (rows, 64) stacked
+            n_h = len(h_id)
+        else:
+            n_h = 0
+        cols["a"] = pa.concat_arrays(
+            [pa.array(a, pa.int64()), pa.nulls(n_h, pa.int64())]
         )
+        cols["b"] = pa.concat_arrays(
+            [pa.array(b, pa.int64()), pa.nulls(n_h, pa.int64())]
+        )
+        cols["jaccard_est"] = pa.concat_arrays(
+            [pa.array(j, pa.float64()), pa.nulls(n_h, pa.float64())]
+        )
+        if n_h:
+            cols["band"] = pa.concat_arrays(
+                [pa.nulls(n_p, pa.int32()), pa.array(h_band.astype(np.int32))]
+            )
+            cols["bucket"] = pa.concat_arrays(
+                [pa.nulls(n_p, pa.int32()), pa.array(h_bucket.astype(np.int32))]
+            )
+            cols["ci"] = pa.concat_arrays(
+                [pa.nulls(n_p, pa.int32()), pa.array(h_ci.astype(np.int32))]
+            )
+            cols["cj"] = pa.concat_arrays(
+                [pa.nulls(n_p, pa.int32()), pa.array(h_cj.astype(np.int32))]
+            )
+            cols["_id"] = pa.concat_arrays(
+                [pa.nulls(n_p, pa.int64()), pa.array(h_id.astype(np.int64))]
+            )
+            cols["chunk"] = pa.concat_arrays(
+                [pa.nulls(n_p, pa.int32()), pa.array(h_chunk.astype(np.int32))]
+            )
+            sig_list = pa.ListArray.from_arrays(
+                pa.array(np.arange(n_h + 1) * _N_PERM, pa.int32()),
+                pa.array(h_sig.reshape(-1), pa.int64()),
+            )
+            cols["signature"] = pa.concat_arrays(
+                [pa.nulls(n_p, pa.list_(pa.int64())), sig_list]
+            )
+        else:
+            cols["band"] = pa.nulls(n_p, pa.int32())
+            cols["bucket"] = pa.nulls(n_p, pa.int32())
+            cols["ci"] = pa.nulls(n_p, pa.int32())
+            cols["cj"] = pa.nulls(n_p, pa.int32())
+            cols["_id"] = pa.nulls(n_p, pa.int64())
+            cols["chunk"] = pa.nulls(n_p, pa.int32())
+            cols["signature"] = pa.nulls(n_p, pa.list_(pa.int64()))
+        return pa.table(
+            {f.name: cols[f.name] for f in _MINHASH_STAGE1_SCHEMA.fields}
+        )
+
+    def verify(tbl: pa.Table) -> pa.Table:
+        empty = _stage1_table([], [], [], [])
         m = tbl.num_rows
         if m < 2:
             return empty
@@ -367,6 +479,7 @@ def _bucket_pairs_minhash(bands: DataFrame, id_col: str, threshold: float) -> Da
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         out_j: list[np.ndarray] = []
+        hot: list[tuple] = []
 
         def emit(a: np.ndarray, b: np.ndarray, est: float) -> None:
             lo = np.minimum(a, b)
@@ -407,6 +520,27 @@ def _bucket_pairs_minhash(bands: DataFrame, id_col: str, threshold: float) -> Da
                 ii, jj = np.triu_indices(mm, k=1)
                 small_pi.append(s + ii)
                 small_pj.append(s + jj)
+                continue
+            if mm > _HOT_BUCKET_CAP:
+                # too big to verify in one task: re-emit as block-pair
+                # work items for stage 2. Chunks are contiguous runs of
+                # the id-sorted segment (deterministic); each member is
+                # emitted once per chunk pair that includes its chunk,
+                # so every (x, y) pair lands in exactly one
+                # (min(cx,cy), max(cx,cy)) group.
+                nck = int(-(-mm // _HOT_BUCKET_CAP))  # ceil
+                chunk_of = (np.arange(mm, dtype=np.int64) * nck // mm).astype(np.int32)
+                rep_chunk = np.repeat(chunk_of, nck)
+                rep_j = np.tile(np.arange(nck, dtype=np.int32), mm)
+                hot.append((
+                    np.repeat(band[s:e], nck),
+                    np.repeat(bucket[s:e], nck),
+                    np.minimum(rep_chunk, rep_j),
+                    np.maximum(rep_chunk, rep_j),
+                    np.repeat(ids[s:e], nck),
+                    rep_chunk,
+                    np.repeat(S[s:e], nck, axis=0),
+                ))
                 continue
             seg = np.ascontiguousarray(S[s:e])
             seg_ids = ids[s:e]
@@ -456,24 +590,42 @@ def _bucket_pairs_minhash(bands: DataFrame, id_col: str, threshold: float) -> Da
                         )
         # one batched compare for every small-bucket pair in the group
         if small_pi:
-            pi = np.concatenate(small_pi)
-            pj = np.concatenate(small_pj)
-            chunk = 1 << 21  # ~256 MB of int16 gather per tile
-            for c0 in range(0, len(pi), chunk):
-                pic, pjc = pi[c0: c0 + chunk], pj[c0: c0 + chunk]
-                agree = (S16[pic] == S16[pjc]).sum(axis=1, dtype=np.int16)
-                cand = np.flatnonzero(agree / float(_N_PERM) >= threshold)
-                if not len(cand):
-                    continue
-                pic, pjc = pic[cand], pjc[cand]
-                exact = (S[pic] == S[pjc]).sum(axis=1)
-                est = exact / float(_N_PERM)
-                keep = est >= threshold
-                if keep.any():
-                    # ids ascend within a segment, so pi < pj => a < b
-                    out_a.append(ids[pic[keep]])
-                    out_b.append(ids[pjc[keep]])
-                    out_j.append(est[keep])
+            _pair_agreement_emit(
+                S, S16, ids,
+                np.concatenate(small_pi), np.concatenate(small_pj),
+                threshold, out_a, out_b, out_j,
+            )
+        return _stage1_table(out_a, out_b, out_j, hot)
+
+    def hot_verify(tbl: pa.Table) -> pa.Table:
+        """Stage 2: one (band, bucket, ci, cj) block pair — within-chunk
+        pairs when ci == cj, cross-chunk pairs otherwise. Same
+        prefilter+exact arithmetic as stage 1."""
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "jaccard_est": pa.array([], pa.float64())}
+        )
+        m = tbl.num_rows
+        if m < 2:
+            return empty
+        tbl = tbl.combine_chunks()
+        ids = tbl.column("_id").to_numpy().astype(np.int64)
+        chunk = tbl.column("chunk").to_numpy()
+        ci = int(tbl.column("ci")[0].as_py())
+        cj = int(tbl.column("cj")[0].as_py())
+        S = tbl.column("signature").chunk(0).flatten().to_numpy().reshape(m, _N_PERM)
+        S16 = S.astype(np.int16)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_j: list[np.ndarray] = []
+        if ci == cj:
+            pi, pj = np.triu_indices(m, k=1)
+        else:
+            ai = np.flatnonzero(chunk == ci)
+            bi = np.flatnonzero(chunk == cj)
+            pi = np.repeat(ai, len(bi))
+            pj = np.tile(bi, len(ai))
+        _pair_agreement_emit(S, S16, ids, pi, pj, threshold, out_a, out_b, out_j)
         if not out_a:
             return empty
         return pa.table(
@@ -485,9 +637,33 @@ def _bucket_pairs_minhash(bands: DataFrame, id_col: str, threshold: float) -> Da
     grouped = bands.withColumn(
         "_grp", F.pmod(F.xxhash64("band", "bucket"), F.lit(n_groups))
     )
-    pairs = grouped.groupBy("_grp").applyInArrow(verify, _PAIR_EST_SCHEMA)
+    # stage 1 feeds two consumers (verified pairs + hot work items);
+    # without a barrier each branch would re-run the verify kernel.
+    # Its output is tiny (surviving pairs + usually-zero hot rows), so
+    # an eager localCheckpoint pins one computation — NOT a result
+    # cache: it is recomputed from the parquet inputs on every fresh
+    # plan (each bench attempt builds a new one).
+    stage1 = grouped.groupBy("_grp").applyInArrow(
+        verify, _MINHASH_STAGE1_SCHEMA
+    ).localCheckpoint(eager=True)
+    verified = stage1.filter(F.col("a").isNotNull()).select("a", "b", "jaccard_est")
+    # runtime-adaptive stage 2 (the AQE idea, hand-rolled): stage 1 is
+    # already materialized, so probing for hot work items costs one
+    # ~ms job over checkpointed rows; at every scale measured so far
+    # there are none and the pipeline stays one grouped stage
+    has_hot = bool(
+        stage1.filter(F.col("_id").isNotNull()).limit(1).take(1)
+    )
+    if has_hot:
+        hot_items = stage1.filter(F.col("_id").isNotNull()).select(
+            "band", "bucket", "ci", "cj", "_id", "chunk", "signature"
+        )
+        hot_pairs = hot_items.groupBy("band", "bucket", "ci", "cj").applyInArrow(
+            hot_verify, _PAIR_EST_SCHEMA
+        )
+        verified = verified.unionByName(hot_pairs)
     # a pair found in k bands carries the identical estimate k times
-    return pairs.dropDuplicates(["a", "b"])
+    return verified.dropDuplicates(["a", "b"])
 
 
 def near_duplicates_minhash(df: DataFrame, text_col: str = "text",

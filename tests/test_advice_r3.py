@@ -102,11 +102,11 @@ def test_minhash_materialize_false_leaves_cache_to_caller(spark):
         ["doc_id", "text"],
     )
     out = near_duplicates_minhash(docs, threshold=0.5, materialize=False)
-    # lazy: the full LSH lineage (the grouped bucket-verify stage) is
-    # still in the plan — a localCheckpoint would have collapsed it to
-    # a scan of checkpointed RDD blocks with no grouped-map stage left
+    # lazy: the pair dedup + threshold filter still sit above the
+    # (checkpointed) bucket-verify sweep — a materialize=True result
+    # would have collapsed to a bare scan of checkpointed RDD blocks
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "FlatMapGroupsIn" in plan, plan  # Arrow or Pandas grouped map
+    assert "Aggregate" in plan, plan  # the dropDuplicates
     assert out.count() > 0
     spark.catalog.clearCache()
 
@@ -114,7 +114,7 @@ def test_minhash_materialize_false_leaves_cache_to_caller(spark):
     # no cached tables survive
     out2 = near_duplicates_minhash(docs, threshold=0.5)
     plan2 = out2._jdf.queryExecution().optimizedPlan().toString()
-    assert "FlatMapGroupsIn" not in plan2, plan2
+    assert "Aggregate" not in plan2, plan2
     assert out2.count() > 0
     jsc = spark._jsparkSession.sharedState().cacheManager()
     assert jsc.isEmpty()
